@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (BM25 keyword search over the documents
+  corpus — the engine's spine: scan → tokenize → postings → score → top-k)
+  at sf0.001.
+- ``queries()``: every implemented operator from SURVEY.md §2 (declared set
+  Q01-Q24 + extensions X1-X4 + LLM-pipeline operators).
+- ``oracle_sql()``: DuckDB-equivalent SQL for each hash-checkable query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from job_search_engine_using_pyspark_solar_and_angular_spark.queries import (  # noqa: E402
+    extensions as _ext,  # imported for its QUERIES registrations
+)
+from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (  # noqa: E402
+    QUERIES as _QUERIES,
+)
+from job_search_engine_using_pyspark_solar_and_angular_spark.queries.oracles import (  # noqa: E402
+    ORACLES as _ORACLES,
+)
+
+_ = _ext  # silence unused-import linters; importing registers the queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _QUERIES["q20_bm25_search"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

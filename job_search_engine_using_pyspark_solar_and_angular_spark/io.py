@@ -1,0 +1,60 @@
+"""Fixture/table loaders.
+
+All inputs are the driver-generated parquet tables (TESTDATA.md). Loaders are
+thin ``spark.read.parquet`` wrappers so Catalyst keeps full pushdown/pruning;
+nothing is cached or collected here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Predicates/projections placed on the returned
+    DataFrame push down into the parquet scan (verify with .explain).
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which the Spark parquet
+    reader rejects; read it as int64 (legacy conf, set dynamically so it works
+    under any caller's session) and convert to a microsecond timestamp —
+    identical to how DuckDB/Python surface the same column.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf may be static/absent on some builds; the read will tell
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so ``spark.sql`` works as a
+    first-class front door (reference parity: SURVEY.md §3.3 notebook cell 4)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,304 @@
+"""Dedup / upsert operators — the reference's signature semantics
+(SURVEY.md §2.6) plus the LLM-pipeline dedup family (exact, MinHash-LSH,
+SimHash, n-gram Jaccard).
+
+Reference parity:
+- latest_wins replaces ``sort().dropDuplicates()`` at
+  ``Spark/Tweets_preprocessing.py:156-157,249-251,464-466`` with a
+  deterministic row_number window (Spark gives no ordering guarantee to
+  sort+dropDuplicates — SURVEY.md §4.3).
+- merge_latest replaces the Java HashMap upsert at
+  ``Ranking Model/src/main/java/Main/SolrIndexer.java:25-45``.
+
+Scale notes:
+- latest_wins is one shuffle on the key; with AQE skew-join splitting a hot
+  key is handled at runtime. For known-skewed keys use ``salt`` first.
+- minhash_lsh: the O(n^2) candidate explosion is bounded by banding — pairs
+  are only generated within (band, bucket) groups. Bucket sizes are data-
+  dependent; the band-hash groupBy is the only wide shuffle.
+- exact_dedup groups on md5(text), not text — 16-byte shuffle keys instead of
+  multi-KB documents at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_61, md5_long, token_ngrams
+from ..functions.text import tokenize_normalized
+
+# Deterministic universal-hash parameters for MinHash permutations (small odd
+# constants; see functions.hashing.minhash_value for the exactness argument).
+_MINHASH_PARAMS = [(2 * i + 3, 104729 * (i + 1) % 999983) for i in range(16)]
+
+
+def latest_wins(
+    df: DataFrame, key_cols: list[str], order_col: str, tiebreak_cols: list[str] | None = None
+) -> DataFrame:
+    """Keep the most recent row per key: row_number() over
+    (partitionBy key, orderBy order desc, tiebreaks desc) == 1 (D1)."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_latest(
+    existing: DataFrame, incoming: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """Latest-wins MERGE of an incoming batch into an existing table (D2):
+    union the two sides then latest_wins. Identical semantics to the
+    reference's compare-OffsetDateTime-keep-later upsert, but distributed.
+    Idempotent: re-merging the same batch is a no-op."""
+    return latest_wins(existing.unionByName(incoming), key_cols, order_col)
+
+
+def split_tag_union(
+    df: DataFrame, branches: list[tuple[Column, str]], tag_col: str = "tag"
+) -> DataFrame:
+    """Disjoint multi-way split + tag + union (D4): the reference's
+    quoted/retweet/original three-way branch merge
+    (``Tweets_preprocessing.py:137-447``) as one pass. ``branches`` is a list
+    of (predicate, tag_value); rows matching an earlier predicate are excluded
+    from later branches (mutual exclusivity by construction)."""
+    parts = []
+    seen: Column | None = None
+    for pred, tag in branches:
+        eff = pred if seen is None else (pred & ~seen)
+        parts.append(df.filter(eff).withColumn(tag_col, F.lit(tag)))
+        seen = pred if seen is None else (seen | pred)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-dup stats: (n_rows, n_distinct) — X1a."""
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.md5(F.col(text_col))).alias("n_distinct"),
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exact duplicates: one row per duplicated text with the
+    minimum id and the group size (X1b). Shuffles 16-byte md5 keys only."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias("min_doc_id"), F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("min_doc_id", "cnt")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per distinct text (canonical exact dedup)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """MinHash signatures over token n-gram shingles.
+
+    (doc_id, sig: array<long>[num_perm]). Shingle hash = md5-prefix int64
+    (oracle-reproducible); permutation i = (a_i * h + b_i) mod 2^61-1.
+    Computed per-row with higher-order functions after one explode+agg to
+    collect distinct shingle hashes — a single shuffle on doc_id.
+    """
+    shingles = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_ngrams(tokenize_normalized(text_col), shingle_n)).alias("sh"),
+    ).select("doc_id", md5_long(F.col("sh")).alias("h")).distinct()
+
+    mins = [
+        F.min((F.lit(a) * (F.col("h") % F.lit(2147483647)) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_perm])
+    ]
+    sig = shingles.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of their MinHash signature.
+
+    Returns (doc_a, doc_b) with doc_a < doc_b, distinct. The band bucket join
+    is a self-join *within* (band, band_key) groups only — never a full cross
+    join. At scale, band_key cardinality grows with corpus size so bucket
+    groups stay small; skewed buckets (boilerplate docs) are exactly the docs
+    you want flagged anyway.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, shingle_n, num_perm)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for given candidate (doc_a, doc_b)
+    pairs: |A∩B| / |A∪B| over distinct token n-grams. Intersection via an
+    explode+join on shingle hash — no arrays cross the shuffle."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(token_ngrams(tokenize_normalized(text_col), shingle_n)).alias("sh"),
+        )
+        .select("doc_id", md5_long(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        pairs.join(sha, "doc_a").join(shb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprints (tf-weighted, md5-based, ``bits`` wide; default 32
+    so the per-bit weighted sums and the final fingerprint stay exactly
+    representable in int64 for the oracle).
+
+    Returns (doc_id, simhash: long). Plan shape: explode tokens -> tf agg ->
+    explode bit positions (x``bits``) -> signed tf sum per (doc, bit) ->
+    reassemble. Two shuffles, both on doc_id-derived keys.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize_normalized(text_col)).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", md5_long(F.col("token")))
+    )
+    bits_df = tf.select(
+        "doc_id",
+        "tf",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        # column-valued shift amounts need the SQL form (the Python shiftright
+        # wrapper only accepts int literals)
+        "contrib",
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
+    )
+    per_bit = bits_df.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
+    pigeonhole block trick: split the fingerprint into ``blocks`` chunks; any
+    pair within distance max_hamming (< blocks) shares at least one exact
+    chunk -> self-join per (block, chunk value), then exact Hamming check via
+    bit_count(xor). Avoids the all-pairs cross join entirely."""
+    width = bits // blocks
+    mask = (1 << width) - 1
+    sh = simhash(df, id_col, text_col, bits)
+    chunk_exprs = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(blocks)
+        ]
+    )
+    chunked = sh.select(
+        "doc_id", "simhash", F.posexplode(chunk_exprs).alias("block", "chunk")
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Column expressions — per-row, no shuffle, fully pushdown-compatible;
+at 100 TB these run at scan speed inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import tokenize_normalized, tokenize_ws
+
+# Tiny deterministic stopword profiles for the n-gram/stopword language
+# heuristic. Real pipelines swap in fastText etc. via the pandas_udf hook; the
+# heuristic keeps the operator testable without models.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von", "ein", "mit"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "est"),
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the BPE-ish regex variant is token_count_bpe)."""
+    return F.size(tokenize_ws(col))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token estimate: count word pieces + standalone punctuation via
+    regexp — the standard cheap proxy for LLM token budgeting."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"(\w+|[^\w\s])"), 1)
+    return F.size(pieces)
+
+
+def lang_id_scores(col: Column | str) -> Column:
+    """Map of lang -> stopword-hit count over the token set."""
+    toks = tokenize_normalized(col)
+    entries = []
+    for lang, words in LANG_PROFILES.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+        entries.append(F.struct(F.lit(lang).alias("lang"), hits.alias("hits")))
+    return F.array(*entries)
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """Argmax language by stopword hits; ``default`` when no profile hits.
+    Ties break deterministically (largest language code wins, via struct
+    ordering of array_max on (hits, lang))."""
+    scores = lang_id_scores(col)
+    best = F.array_max(
+        F.transform(
+            scores,
+            lambda s: F.struct(s["hits"].alias("hits"), s["lang"].alias("lang")),
+        )
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append standard quality-scoring features: n_chars, n_tokens,
+    mean token length, punctuation ratio, stopword ratio, uppercase ratio."""
+    c = F.col(text_col)
+    toks = tokenize_ws(text_col)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(tokenize_normalized(text_col), lambda t: F.array_contains(stop, t)))
+    n_punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    return df.withColumns(
+        {
+            "q_n_chars": n_chars,
+            "q_n_tokens": n_tokens,
+            "q_mean_tok_len": F.when(n_tokens > 0, (n_chars - n_tokens + 1).cast("double") / n_tokens).otherwise(F.lit(0.0)),
+            "q_punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+            "q_stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+            "q_upper_ratio": F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: length band + penalties. Deterministic
+    linear combination of quality_features — swap for a learned scorer via the
+    pandas_udf hook without changing the plan shape."""
+    feat = quality_features(df, text_col)
+    length_ok = F.when(
+        (F.col("q_n_tokens") >= 5) & (F.col("q_n_tokens") <= 100000), F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    punct_pen = F.least(F.col("q_punct_ratio") * 2.0, F.lit(0.25))
+    stop_bonus = F.least(F.col("q_stopword_ratio") * 2.0, F.lit(0.5))
+    return feat.withColumn(
+        "quality", F.round(F.greatest(F.least(length_ok + stop_bonus - punct_pen, F.lit(1.0)), F.lit(0.0)), 4)
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """64-bit-ish document fingerprint: md5-prefix int64 of the normalized
+    token stream (whitespace-insensitive, case-insensitive, punct-insensitive).
+    Two docs differing only in formatting collide — by design."""
+    return md5_long(F.concat_ws(" ", tokenize_normalized(col)))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash every k-char gram of the
+    normalized text, keep the min hash in each sliding window of ``window``
+    consecutive grams (classic MOSS scheme; public algorithm). Returns
+    (doc_id, fp) exploded — one row per selected fingerprint, distinct."""
+    from ..functions.hashing import char_shingles
+    from ..functions.text import clean_text
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(char_shingles(clean_text(text_col), k), md5_long)
+        ).alias("pos", "h"),
+    )
+    w_spec = (
+        F.col("pos") - F.col("pos") % F.lit(window)
+    )  # tumbling window approximation of winnowing: min per block
+    return (
+        grams.groupBy("doc_id", w_spec.alias("blk"))
+        .agg(F.min("h").alias("fp"))
+        .select("doc_id", "fp")
+        .distinct()
+    )

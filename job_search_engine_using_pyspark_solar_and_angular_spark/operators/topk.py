@@ -1,0 +1,50 @@
+"""Top-k, pagination, and salting helpers (SURVEY.md §2.7).
+
+top_k maps to Spark's TakeOrderedAndProject physical operator — per-partition
+heaps + a k-row driver merge, never a global sort. That is the scale-correct
+replacement for the reference's Solr ``rows=k`` retrievals
+(``Main/SolrRanker.java:77,104,145``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """orderBy(...).limit(k) — Catalyst compiles to TakeOrderedAndProject."""
+    return df.orderBy(*order).limit(k)
+
+
+def paginate(df: DataFrame, order: list[Column], offset: int, limit: int) -> DataFrame:
+    """Offset/limit pagination (reference O5 — the Angular client's skip/limit
+    that the server ignored, ``api/Handler.java:34``). Implemented with a
+    row_number window over the given total order; fine for page-depth offsets.
+    For deep offsets prefer keyset pagination on the order columns."""
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        .drop("__rn")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order: list[Column], k: int
+) -> DataFrame:
+    """Grouped top-k via rank window — one shuffle on the group key."""
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def salt_key(df: DataFrame, key_col: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Add a salt column for skew mitigation: heavy keys spread across
+    ``buckets`` sub-keys. Pair with a two-phase aggregation (agg on
+    (key, salt) then on key). AQE's skew-join handles most cases; this is the
+    explicit fallback for known-hot keys."""
+    return df.withColumn(salt_col, F.floor(F.rand(seed=42) * buckets).cast("int"))

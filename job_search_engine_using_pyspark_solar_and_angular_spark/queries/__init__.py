@@ -1,0 +1,2 @@
+from .declared import QUERIES  # noqa: F401
+from .oracles import ORACLES  # noqa: F401

@@ -1,0 +1,181 @@
+"""North-star extension queries (SURVEY.md §2.12 X1-X4) + the LLM-training-
+data-pipeline operator family (dedup sketches, similarity search, text
+analysis, multimodal plumbing), each registered in QUERIES with a DuckDB
+oracle where the math is exactly reproducible (integer/md5-based sketches,
+fixed-order double folds) and rows-only where it is not (LSH ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..functions.vectors import cosine
+from ..operators import dedup, multimodal, similarity, textstats
+from .declared import QUERIES, query
+
+
+@query("x1_dedup_stats")
+def x1(spark, sf_dir):
+    """Exact-dup corpus stats; groups on md5, not raw text (16-byte keys)."""
+    return dedup.exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query("x1b_dup_groups")
+def x1b(spark, sf_dir):
+    return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query("x2_cosine_topk")
+def x2(spark, sf_dir):
+    """Exact cosine top-5 vs the vec_id=0 query vector — query vector stays
+    in-plan via broadcast crossJoin (no collect)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+@query("x3_corpus_stats")
+def x3(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query("x4_approx_distinct")
+def x4(spark, sf_dir):
+    """approx_count_distinct (HLL) — no SQL oracle (driver rows-only check);
+    tests assert ±5% of exact."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(F.approx_count_distinct("user_id").alias("approx_users"))
+
+
+@query("ext_token_counts")
+def ext_token_counts(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count("text").cast("long").alias("n_ws"),
+        textstats.token_count_bpe("text").cast("long").alias("n_bpe"),
+    )
+
+
+@query("ext_lang_id")
+def ext_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.lang_id("text").alias("lang_pred"))
+
+
+@query("ext_quality")
+def ext_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    scored = textstats.quality_score(d)
+    return scored.select(
+        "doc_id",
+        F.col("q_n_tokens").cast("long").alias("n_tokens"),
+        F.round("q_punct_ratio", 4).alias("punct_ratio"),
+        F.round("q_stopword_ratio", 4).alias("stopword_ratio"),
+        F.col("quality"),
+    )
+
+
+@query("ext_fingerprint")
+def ext_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.fingerprint("text").alias("fp"))
+
+
+@query("ext_winnow_fp")
+def ext_winnow_fp(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.winnowing_fingerprints(d)
+
+
+@query("ext_simhash")
+def ext_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(d)
+
+
+@query("ext_minhash_candidates")
+def ext_minhash_candidates(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(d)
+
+
+@query("ext_minhash_signatures")
+def ext_minhash_signatures(spark, sf_dir):
+    """Signature table flattened for hashing: (doc_id, perm, minhash)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(d)
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("perm", "minhash")
+    ).select("doc_id", F.col("perm").cast("long").alias("perm"), "minhash")
+
+
+@query("ext_ngram_jaccard")
+def ext_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard over the MinHash candidate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(d)
+    out = dedup.ngram_jaccard_pairs(d, cand)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("ext_simhash_near_dups")
+def ext_simhash_near_dups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(d, max_hamming=6)
+
+
+@query("ext_multimodal_features")
+def ext_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: text bytes as opaque payloads -> Arrow-batched
+    mapInPandas feature extraction. Deterministic, so fully oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    return multimodal.extract_features(media).select(
+        "media_id", "n_bytes", "sha256_16", "fake_width", "fake_height"
+    )
+
+
+@query("ext_ann_lsh")
+def ext_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate NN (rows-only check: hyperplane signs are
+    float-sensitive). Tests assert recall vs the exact scorer instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    bucketed = similarity.lsh_bucket(emb.crossJoin(F.broadcast(q)), num_planes=8)
+    qb = similarity.lsh_bucket(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding")), num_planes=8
+    ).select(F.col("bucket").alias("qbucket"))
+    cand = bucketed.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).filter(
+        F.col("vec_id") != 0
+    )
+    return (
+        cand.select(
+            "vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+@query("ext_embedding_near_dups")
+def ext_embedding_near_dups(spark, sf_dir):
+    """Embedding near-dup pairs within LSH buckets (rows-only check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=0.9)
+
+
+__all__ = ["QUERIES"]

@@ -1,0 +1,400 @@
+"""DuckDB oracle SQL for every hash-checkable query in QUERIES.
+
+Contract: column names AND types match the Spark side; float literals that are
+not exactly representable are emitted via ``repr`` of the same Python
+constants the Spark expressions use, so both engines parse identical doubles;
+integer SUMs are cast to BIGINT (DuckDB SUM(BIGINT) -> HUGEINT otherwise).
+
+Queries intentionally absent (rows-only check by the driver):
+x4_approx_distinct (HLL), ext_ann_lsh / ext_embedding_near_dups (hyperplane
+sign bits are float-order-sensitive).
+"""
+
+from __future__ import annotations
+
+from ..operators.dedup import _MINHASH_PARAMS
+from ..search.bm25 import B, K1
+
+# ---- shared SQL fragments -------------------------------------------------
+
+# mirror of functions.text.tokenize_normalized
+TOKS = (
+    "list_filter(list_transform(string_split(text, ' '), "
+    "t -> regexp_replace(lower(t), '[^a-z0-9]', '', 'g')), t -> t <> '')"
+)
+
+STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
+EN_PROFILE_SQL = "('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that')"
+
+
+def md5long(expr: str) -> str:
+    """mirror of functions.hashing.md5_long (15 hex chars -> int64)."""
+    return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+MERSENNE_61 = (1 << 61) - 1
+
+# shingle hash CTEs shared by the MinHash family (3-gram shingles)
+_SHINGLE_CTES = f"""
+toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)
+),
+hashes AS (SELECT DISTINCT doc_id, {md5long('sh')} AS h FROM grams)
+"""
+
+
+def _minhash_sig_cte(num_perm: int = 16) -> str:
+    mins = ", ".join(
+        f"MIN(({a} * (h % 2147483647) + {b}) % {MERSENNE_61}) AS m{i}"
+        for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_perm])
+    )
+    return f"sigs AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id)"
+
+
+def _band_cte(num_perm: int = 16, bands: int = 4) -> str:
+    rpb = num_perm // bands
+    parts = []
+    for bidx in range(bands):
+        cols = [f"m{bidx * rpb + j}" for j in range(rpb)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        parts.append(f"SELECT doc_id, {bidx} AS band, {key} AS bk FROM sigs")
+    return "bands AS (" + " UNION ALL ".join(parts) + ")"
+
+
+_PAIRS_CTE = (
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk "
+    "AND a.doc_id < b.doc_id)"
+)
+
+# ---- the oracle dict ------------------------------------------------------
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q01_scan_project"] = (
+    "SELECT doc_id, lang AS language, CAST(n_chars AS VARCHAR) AS n_chars_s "
+    "FROM documents ORDER BY doc_id"
+)
+
+ORACLES["q02_filter"] = (
+    "SELECT event_id, user_id, ROUND(value, 2) AS v FROM events "
+    "WHERE event_type = 'purchase' AND value > 100 ORDER BY event_id"
+)
+
+ORACLES["q03_anti_join"] = (
+    "SELECT o_orderkey FROM orders o WHERE NOT EXISTS ("
+    "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_returnflag = 'R') ORDER BY o_orderkey"
+)
+
+ORACLES["q04_semi_join"] = (
+    "SELECT o_orderkey FROM orders o WHERE EXISTS ("
+    "SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+    "AND c.c_mktsegment = 'BUILDING') ORDER BY o_orderkey"
+)
+
+ORACLES["q05_regex_filter"] = (
+    "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
+    "'hash join|merge (join|part)|stream.*window') ORDER BY doc_id"
+)
+
+ORACLES["q06_clean_chain"] = (
+    "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ct "
+    "FROM documents WHERE lang = 'en' ORDER BY doc_id"
+)
+
+ORACLES["q07_ts_trunc"] = (
+    "SELECT event_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h "
+    "FROM events WHERE event_type = 'signup' ORDER BY event_id"
+)
+
+ORACLES["q08_latest_wins"] = (
+    "SELECT user_id, event_id, event_type FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, "
+    "event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id"
+)
+
+ORACLES["q09_split_union_dedup"] = (
+    "WITH tagged AS ("
+    "SELECT event_id, user_id, ts, 'E' AS tag FROM events WHERE event_type = 'error' "
+    "UNION ALL "
+    "SELECT event_id, user_id, ts, 'P' AS tag FROM events WHERE event_type = 'purchase') "
+    "SELECT event_id, user_id, tag FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn "
+    "FROM tagged) WHERE rn = 1 ORDER BY event_id"
+)
+
+ORACLES["q10_group_having"] = (
+    "SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id "
+    "HAVING COUNT(*) > 20 ORDER BY user_id"
+)
+
+ORACLES["q11_agg_tpch_q1"] = (
+    "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+    "ROUND(SUM(l_extendedprice), 2) AS sum_price, ROUND(AVG(l_discount), 4) AS avg_disc, "
+    "COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+)
+
+ORACLES["q12_broadcast_join"] = (
+    "SELECT l.l_orderkey, l.l_linenumber, p.p_brand FROM lineitem l "
+    "JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_size = 10 "
+    "ORDER BY l.l_orderkey, l.l_linenumber"
+)
+
+ORACLES["q13_point_join"] = (
+    "SELECT e.event_id, c.c_name FROM events e JOIN customer c "
+    "ON e.user_id = c.c_custkey WHERE e.event_type = 'purchase' ORDER BY e.event_id"
+)
+
+ORACLES["q14_topk"] = (
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+)
+
+ORACLES["q15_user_listing"] = (
+    "SELECT event_id, event_type FROM events "
+    "WHERE user_id = (SELECT MIN(user_id) FROM events) "
+    "ORDER BY ts DESC, event_id LIMIT 1000"
+)
+
+ORACLES["q16_posexplode"] = (
+    "SELECT vec_id, CAST(pos AS BIGINT) AS pos, ROUND(CAST(val AS DOUBLE), 4) AS val "
+    "FROM (SELECT vec_id, unnest(embedding) AS val, "
+    "generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings WHERE vec_id < 5) u "
+    "ORDER BY vec_id, pos"
+)
+
+ORACLES["q17_wordcount_topk"] = (
+    "SELECT word, COUNT(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS word "
+    "FROM documents WHERE lang = 'en') GROUP BY word ORDER BY c DESC, word LIMIT 20"
+)
+
+ORACLES["q18_normalized_wordcount"] = (
+    f"SELECT word, COUNT(*) AS c FROM (SELECT unnest({TOKS}) AS word "
+    f"FROM documents WHERE lang = 'en') "
+    f"WHERE word NOT IN {STOP_SQL} AND length(word) > 1 "
+    "GROUP BY word ORDER BY c DESC, word LIMIT 20"
+)
+
+ORACLES["q19_grouped_concat"] = (
+    "SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids "
+    "FROM documents GROUP BY lang ORDER BY lang"
+)
+
+ORACLES["q20_bm25_search"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+postings AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, token),
+dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM postings
+          WHERE token IN ('spark', 'join') GROUP BY token),
+scores AS (
+  SELECT p.doc_id,
+         SUM( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * {K1 + 1.0!r}
+              / (p.tf + {K1!r} * (1.0 - {B!r} + {B!r} * l.dl / s.avgdl)) ) AS raw
+  FROM postings p
+  JOIN dfreq d ON p.token = d.token
+  JOIN dlen l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT doc_id, ROUND(raw, 4) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+ORACLES["q21_array_contains"] = (
+    "SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), "
+    "'spark') ORDER BY doc_id"
+)
+
+ORACLES["q22_json_extract"] = (
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
+    "FROM events ORDER BY event_id"
+)
+
+ORACLES["q23_tumbling_window"] = (
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type, "
+    "COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value FROM events "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+ORACLES["q24_user_search"] = (
+    "SELECT e.event_id, e.event_type, c.c_name FROM events e "
+    "JOIN customer c ON e.user_id = c.c_custkey "
+    "WHERE c.c_name = 'Customer#000000001' "
+    "ORDER BY e.ts DESC, e.event_id LIMIT 1000"
+)
+
+ORACLES["sql_frontdoor"] = (
+    "SELECT lang, COUNT(*) AS n_docs, CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+    "FROM documents GROUP BY lang ORDER BY lang"
+)
+
+# ---- extensions -----------------------------------------------------------
+
+ORACLES["x1_dedup_stats"] = (
+    "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT md5(text)) AS n_distinct FROM documents"
+)
+
+ORACLES["x1b_dup_groups"] = (
+    "SELECT MIN(doc_id) AS min_doc_id, COUNT(*) AS cnt FROM documents "
+    "GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY min_doc_id"
+)
+
+ORACLES["x2_cosine_topk"] = (
+    "SELECT e.vec_id, ROUND(list_cosine_similarity("
+    "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS sim "
+    "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+    "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 5"
+)
+
+ORACLES["x3_corpus_stats"] = (
+    "SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars, "
+    "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+    "FROM documents GROUP BY lang ORDER BY lang"
+)
+
+ORACLES["ext_token_counts"] = (
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, "
+    r"CAST(len(regexp_extract_all(text, '(\w+|[^\w\s])', 1)) AS BIGINT) AS n_bpe "
+    "FROM documents ORDER BY doc_id"
+)
+
+_LANG_PROFILES_SQL = {
+    "en": EN_PROFILE_SQL,
+    "es": "('el', 'la', 'de', 'que', 'y', 'en', 'un', 'los')",
+    "de": "('der', 'die', 'und', 'das', 'ist', 'von', 'ein', 'mit')",
+    "fr": "('le', 'la', 'de', 'et', 'les', 'des', 'un', 'est')",
+}
+
+ORACLES["ext_lang_id"] = (
+    "WITH toks AS (SELECT doc_id, " + TOKS + " AS tk FROM documents), "
+    "scores AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS plang, "
+        f"len(list_filter(tk, t -> t IN {words})) AS hits FROM toks"
+        for lang, words in _LANG_PROFILES_SQL.items()
+    )
+    + "), ranked AS (SELECT doc_id, plang, hits, row_number() OVER ("
+    "PARTITION BY doc_id ORDER BY hits DESC, plang DESC) AS rn FROM scores) "
+    "SELECT doc_id, CASE WHEN hits > 0 THEN plang ELSE 'und' END AS lang_pred "
+    "FROM ranked WHERE rn = 1 ORDER BY doc_id"
+)
+
+ORACLES["ext_quality"] = f"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(list_filter({TOKS}, t -> t IN {EN_PROFILE_SQL})) AS n_stop,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+  FROM documents),
+ratios AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS sr
+  FROM feat)
+SELECT doc_id, n_tokens, ROUND(pr, 4) AS punct_ratio, ROUND(sr, 4) AS stopword_ratio,
+       ROUND(GREATEST(LEAST(
+         (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.5 ELSE 0.0 END)
+         + LEAST(sr * 2.0, 0.5) - LEAST(pr * 2.0, 0.25), 1.0), 0.0), 4) AS quality
+FROM ratios ORDER BY doc_id
+"""
+
+_FP_EXPR = md5long("array_to_string(" + TOKS + ", ' ')")
+ORACLES["ext_fingerprint"] = (
+    f"SELECT doc_id, {_FP_EXPR} AS fp FROM documents ORDER BY doc_id"
+)
+
+ORACLES["ext_winnow_fp"] = f"""
+WITH ct AS (
+  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g')) AS c
+  FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, {md5long('substr(c, i, 8)')} AS h FROM (
+    SELECT doc_id, c, unnest(generate_series(1, length(c) - 7)) AS i FROM ct)
+)
+SELECT DISTINCT doc_id, CAST(MIN(h) AS BIGINT) AS fp
+FROM (SELECT doc_id, pos - pos % 4 AS blk, h FROM grams)
+GROUP BY doc_id, blk ORDER BY doc_id, fp
+"""
+
+ORACLES["ext_simhash"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf, {md5long('token')} AS h
+       FROM toks GROUP BY doc_id, token),
+bitsum AS (
+  SELECT doc_id, b.bit,
+         CAST(SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS BIGINT) AS s
+  FROM tf, generate_series(0, 31) b(bit) GROUP BY doc_id, b.bit)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["ext_minhash_signatures"] = (
+    f"WITH {_SHINGLE_CTES}, {_minhash_sig_cte()} "
+    + "SELECT doc_id, CAST(perm AS BIGINT) AS perm, minhash FROM ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS perm, m{i} AS minhash FROM sigs" for i in range(16)
+    )
+    + ") ORDER BY doc_id, perm"
+)
+
+ORACLES["ext_minhash_candidates"] = (
+    f"WITH {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, {_PAIRS_CTE} "
+    "SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"
+)
+
+ORACLES["ext_ngram_jaccard"] = f"""
+WITH {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, {_PAIRS_CTE},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN hashes ha ON ha.doc_id = p.doc_a
+  JOIN hashes hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+ORDER BY i.doc_a, i.doc_b
+"""
+
+ORACLES["ext_simhash_near_dups"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf, {md5long('token')} AS h
+       FROM toks GROUP BY doc_id, token),
+bitsum AS (
+  SELECT doc_id, b.bit,
+         CAST(SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS BIGINT) AS s
+  FROM tf, generate_series(0, 31) b(bit) GROUP BY doc_id, b.bit),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id),
+chunked AS (
+  SELECT doc_id, simhash, b.blk AS block, (simhash >> (b.blk * 8)) & 255 AS chunk
+  FROM sh, generate_series(0, 3) b(blk)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM chunked a JOIN chunked b
+    ON a.block = b.block AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 6 ORDER BY doc_a, doc_b
+"""
+
+ORACLES["ext_multimodal_features"] = (
+    "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+    "substr(sha256(text), 1, 16) AS sha256_16, "
+    "CAST(64 + CAST(CONCAT('0x', substr(sha256(text), 1, 2)) AS INT) % 192 AS BIGINT) AS fake_width, "
+    "CAST(64 + CAST(CONCAT('0x', substr(sha256(text), 3, 2)) AS INT) % 192 AS BIGINT) AS fake_height "
+    "FROM documents ORDER BY media_id"
+)

@@ -1,0 +1,94 @@
+"""Query-surface functions mirroring the reference's three REST endpoints
+(``Ranking Model/src/main/java/api/Handler.java:33-161`` and
+``Main/SolrRanker.java:66-160``), re-expressed as single Catalyst plans.
+
+The reference's N+1 per-row Solr lookups (``SolrRanker.java:80-84,107-110``)
+become one broadcast hash join; the ``{count, data:[{tweet,user}]}`` envelope
+(``api/Handler.java:42-64``) is built by ``to_envelope`` from the collected
+top-k only (k rows cross the driver boundary, never the corpus).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_normalized
+from .bm25 import bm25_search
+from .index import SearchIndex
+
+
+def search_keyword(
+    spark: SparkSession,
+    index: SearchIndex,
+    docs: DataFrame,
+    users: DataFrame | None,
+    query: str,
+    k: int = 10,
+    doc_user_key: tuple[str, str] | None = None,
+) -> DataFrame:
+    """BM25 top-k for a free-text query, joined back to full docs (and
+    optionally the user dimension — reference J1 broadcast join)."""
+    terms = [t for t in query.lower().split() if t]
+    hits = bm25_search(spark, index, terms, k=k)
+    out = hits.join(docs, "doc_id")  # hits is tiny: Catalyst broadcasts it
+    if users is not None and doc_user_key is not None:
+        dcol, ucol = doc_user_key
+        out = out.join(F.broadcast(users), out[dcol] == users[ucol], "left")
+    return out.orderBy(F.col("score").desc(), F.col("doc_id"))
+
+
+def search_hashtag(
+    docs: DataFrame,
+    tag: str,
+    tags_col: str = "hashtags",
+    order_col: str = "doc_id",
+    k: int = 1000,
+) -> DataFrame:
+    """Exact-match search on a multiValued field (reference R3:
+    ``SolrRanker.java:93-118``, rows=1000): array_contains + time-desc top-k.
+    The array_contains predicate stays in the scan stage — no shuffle until
+    the top-k."""
+    return (
+        docs.filter(F.array_contains(F.col(tags_col), tag))
+        .orderBy(F.col(order_col).desc())
+        .limit(k)
+    )
+
+
+def search_user(
+    users: DataFrame,
+    items: DataFrame,
+    name: str,
+    name_col: str,
+    user_key: str,
+    item_user_key: str,
+    time_col: str,
+    k: int = 1000,
+) -> DataFrame:
+    """User page (reference R4: ``SolrRanker.java:120-160``): look up the user
+    by exact name, then their items time-desc. The 1-row user lookup is
+    broadcast into the items scan — a semi-join point lookup, not a collect."""
+    u = users.filter(F.col(name_col) == name).limit(1)
+    return (
+        items.join(F.broadcast(u), items[item_user_key] == u[user_key])
+        .orderBy(F.col(time_col).desc(), items[item_user_key])
+        .limit(k)
+    )
+
+
+def to_envelope(df: DataFrame, k: int | None = None) -> dict[str, Any]:
+    """Collect <=k rows into the reference's REST envelope shape
+    (``api/Handler.java:42-64``, ``constants/APIConstants.java:5-17``)."""
+    rows = [r.asDict(recursive=True) for r in (df.limit(k) if k else df).collect()]
+    return {"count": len(rows), "data": rows, "status_code": 200, "message": "OK"}
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Driver-side mirror of functions.text.tokenize_normalized for query
+    strings (tiny, so plain Python is fine here)."""
+    import re
+
+    return [t for t in (re.sub(r"[^a-z0-9]", "", w) for w in query.lower().split(" ")) if t]

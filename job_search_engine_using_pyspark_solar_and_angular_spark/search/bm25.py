@@ -1,0 +1,84 @@
+"""BM25 ranking as a pure DataFrame aggregation (SURVEY.md R1/Q20).
+
+Replaces Solr's BM25SimilarityFactory configuration
+(``Ranking Model/src/main/java/Utils/SolrFieldType.java:48-51``) with the same
+Lucene formula computed in-plan:
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d,t)  = idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(d) = sum over query terms
+
+Determinism contract (SURVEY.md §7.5): every float literal is written
+identically in the DuckDB oracle (generated from the same Python constants via
+repr), the fold over query terms is a sum of <= a handful of doubles, and ties
+break on doc_id — so scores hash-match exactly at ROUND(...,4).
+
+Scale: query terms and term_stats-for-the-query are tiny -> broadcast; the only
+shuffle is the per-doc score aggregation, keyed by doc_id. With the bucketed
+postings table (index.write_index) the postings lookup prunes to the query
+terms' buckets — the Spark analog of reading a few posting lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index import SearchIndex
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_score_terms(
+    tf: Column, df: Column, n_docs: Column, doc_len: Column, avg_dl: Column,
+    k1: float = K1, b: float = B,
+) -> Column:
+    """Per (doc, term) BM25 partial score. Expression shape mirrors the oracle
+    SQL token-for-token so IEEE evaluation order is identical."""
+    idf = F.log(F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * doc_len / avg_dl)
+    return idf * tf * F.lit(k1 + 1.0) / denom
+
+
+def bm25_search(
+    spark: SparkSession,
+    index: SearchIndex,
+    terms: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k documents for a bag of query terms.
+
+    Returns (doc_id, score) with score rounded to 4 decimals, ordered
+    score desc, doc_id asc (stable tie-break).
+    """
+    qterms = spark.createDataFrame([(t,) for t in dict.fromkeys(terms)], "token string")
+    # df for just the query terms: tiny — broadcast both ways.
+    q_stats = index.term_stats.join(F.broadcast(qterms), "token")
+    stats = index.corpus_stats()  # 1 row
+
+    scored = (
+        index.postings.join(F.broadcast(q_stats), "token")
+        .join(index.doc_stats, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "partial",
+            bm25_score_terms(
+                F.col("tf"),
+                F.col("df"),
+                F.col("n_docs"),
+                F.col("doc_len").cast("double"),
+                F.col("avg_dl"),
+                k1=k1,
+                b=b,
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.sum("partial").alias("raw_score"))
+    return (
+        per_doc.select("doc_id", F.round(F.col("raw_score"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,81 @@
+"""Inverted-index tables as DataFrames (SURVEY.md §7.3).
+
+Replaces the Solr collections the reference materializes via
+``Ranking Model/src/main/java/Main/SolrSetup.java:61-149`` and
+``Main/SolrIndexer.java:47-59`` with three relational tables:
+
+    postings(token, doc_id, tf)      -- from explode(tokenize) + count
+    doc_stats(doc_id, doc_len)       -- tokens per document
+    term_stats(token, df)            -- document frequency per token
+
+Scale design:
+- built in ONE pass over the corpus (single explode + two reuses of the
+  tokenized intermediate; Catalyst shares the scan under AQE).
+- at 100 TB the postings build is a map-side explode followed by a single
+  shuffle on (token, doc_id) — the same shape as a distributed Lucene index
+  build. ``write_index`` persists the three tables as parquet **bucketed by
+  token** so query-time term lookups prune buckets instead of scanning.
+- incremental refresh composes with operators.dedup.merge_latest (D2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_normalized
+
+
+@dataclass
+class SearchIndex:
+    postings: DataFrame
+    doc_stats: DataFrame
+    term_stats: DataFrame
+
+    def corpus_stats(self) -> DataFrame:
+        """1-row DataFrame (n_docs, avg_dl) — kept in-plan, never collected."""
+        return self.doc_stats.agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.col("doc_len").cast("double")).alias("avg_dl"),
+        )
+
+
+def build_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> SearchIndex:
+    """Tokenize once, derive all three index tables from the tokenized rows."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_normalized(text_col)).alias("token"),
+    )
+    postings = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    term_stats = postings.groupBy("token").agg(F.count("*").alias("df"))
+    return SearchIndex(postings=postings, doc_stats=doc_stats, term_stats=term_stats)
+
+
+def write_index(index: SearchIndex, base_path: str, buckets: int = 64) -> None:
+    """Persist the index bucketed by its join keys.
+
+    Bucketing postings by token means a keyword query touches only the buckets
+    of its query terms, and the postings⋈term_stats join is shuffle-free.
+    """
+    (
+        index.postings.write.mode("overwrite")
+        .bucketBy(buckets, "token")
+        .sortBy("token", "doc_id")
+        .option("path", f"{base_path}/postings")
+        .saveAsTable("jse_postings")
+    )
+    index.doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
+    index.term_stats.write.mode("overwrite").parquet(f"{base_path}/term_stats")
+
+
+def read_index(spark: SparkSession, base_path: str) -> SearchIndex:
+    return SearchIndex(
+        postings=spark.table("jse_postings"),
+        doc_stats=spark.read.parquet(f"{base_path}/doc_stats"),
+        term_stats=spark.read.parquet(f"{base_path}/term_stats"),
+    )
