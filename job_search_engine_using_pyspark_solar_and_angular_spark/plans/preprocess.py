@@ -1,0 +1,209 @@
+"""Tweet preprocessing pipeline — the reference's core batch job
+(``Spark/Tweets_preprocessing.py:102-507``) re-expressed as ONE lazy
+DataFrame plan (SURVEY.md §3.2 "new-engine lifecycle").
+
+What the reference computes (and this reproduces):
+1. drop possibly-sensitive statuses (``:81-83,112-115``)
+2. three-way disjoint split: quoted / retweet / original
+   (``:137,227-234,347-348``), each branch flattening the referenced status
+   into 24 flat columns (§1.3 schema), with truncated statuses pulling
+   full text + entities from ``extended_tweet`` (``:167-215,258-305``)
+3. union-merge (``:446-447``), timestamp normalization (``:451-455``)
+4. latest-wins dedup on org_id by observation time (``:464-466``)
+5. hiring-vocabulary regex filter (``:475-481``)
+6. parquet + CSV sinks (``:484-507``)
+
+How it differs (SURVEY.md §4.3 anti-pattern rewrites):
+- no mid-plan ``collect``/``toPandas``/RDD hops: the sensitive-id filter is a
+  plain predicate per branch (the flag lives on the status being kept, so no
+  driver round-trip is ever needed); membership-style variants are exposed as
+  ``left_anti`` joins by the operators module.
+- truncated/untruncated sub-branches (2 x 3 in the reference) collapse into
+  ``when/coalesce`` expressions — same results, one pass, no extra unions.
+- ``sort().dropDuplicates()`` becomes the deterministic row_number window
+  (operators.dedup.latest_wins).
+- array->string CSV export uses ``to_json`` (JVM) instead of a Python UDF.
+
+Scale: the whole pipeline is narrow (filters/projections/unions) except the
+final dedup — one shuffle on org_id. At 100 TB that shuffle is the only wide
+edge; AQE handles skew (celebrity tweets retweeted millions of times land on
+one org_id key and get split by skew-join handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    csv_safe,
+    normalize_apostrophes,
+    parse_twitter_timestamp,
+)
+from ..operators.dedup import latest_wins
+
+# Engine's hiring vocabulary (same capability as the reference's 30-phrase
+# list at ``Tweets_preprocessing.py:584-589``; the exact phrase list is
+# configuration, passed by callers who want reference-identical behavior).
+HIRING_TERMS = (
+    "hiring",
+    "recruit",
+    "job opening",
+    "job opportunity",
+    "we are looking for",
+    "we're looking for",
+    "join our team",
+    "apply now",
+    "apply today",
+    "career opportunity",
+    "now accepting applications",
+    "open position",
+    "vacancy",
+    "send your resume",
+    "send your cv",
+)
+
+
+def _first_media_url(prefix: str) -> Column:
+    """First media expanded_url (reference P5/U1: replaces the Python UDF at
+    ``Tweets_preprocessing.py:85-89,309`` with element_at)."""
+    return F.element_at(F.col(f"{prefix}extended_entities.media.expanded_url"), 1)
+
+
+def _trunc_field(prefix: str, ext_path: str, base_path: str) -> Column:
+    """Pick the extended_tweet variant of a field when the status is
+    truncated (reference's truncated sub-branches, ``:167-215``)."""
+    truncated = F.coalesce(F.col(f"{prefix}truncated"), F.lit(False))
+    ext = F.col(f"{prefix}extended_tweet.{ext_path}")
+    base = F.col(f"{prefix}{base_path}")
+    return F.when(truncated, F.coalesce(ext, base)).otherwise(base)
+
+
+def _flatten_branch(df: DataFrame, src: str | None, org_url: Column) -> DataFrame:
+    """Flatten one branch to the §1.3 canonical 24-column schema.
+
+    ``src`` is the nested struct holding the *original* status
+    (``quoted_status`` / ``retweeted_status``) or None when the sampled tweet
+    IS the original. ``samp_*`` always comes from the top level.
+    """
+    p = f"{src}." if src else ""
+    cols = [
+        F.col(f"{p}id").alias("org_id"),
+        F.col("id").alias("samp_id"),
+        parse_twitter_timestamp(F.col("created_at")).alias("samp_datetime"),
+        org_url.alias("org_url"),
+        _trunc_field(p, "extended_entities.media.media_url", "extended_entities.media.media_url").alias("org_media_url"),
+        _trunc_field(p, "extended_entities.media.type", "extended_entities.media.type").alias("org_media_type"),
+        _trunc_field(p, "entities.urls.expanded_url", "entities.urls.expanded_url").alias("org_attached_links"),
+        _trunc_field(p, "full_text", "text").alias("org_text"),
+        _trunc_field(p, "entities.hashtags.text", "entities.hashtags.text").alias("org_hashtags"),
+        # reference column name kept verbatim (CSV consumed positionally by
+        # ``Main/SolrIndexer.java:89-113``; the typo is part of the contract)
+        _trunc_field(p, "entities.user_mentions.screen_name", "entities.user_mentions.screen_name").alias("org_user_metions"),
+        F.col(f"{p}user.id").alias("user_id"),
+        F.col(f"{p}user.name").alias("user_name"),
+        F.col(f"{p}user.screen_name").alias("user_screen_name"),
+        F.col(f"{p}user.verified").alias("user_verified"),
+        F.col(f"{p}user.profile_image_url").alias("user_profile_image_url"),
+        F.col(f"{p}user.profile_banner_url").alias("user_profile_banner_url"),
+        F.col(f"{p}user.profile_background_image_url").alias("user_profile_background_image_url"),
+        F.col(f"{p}user.followers_count").alias("user_followers_count"),
+        F.col(f"{p}user.friends_count").alias("user_friends_count"),
+        F.col(f"{p}favorite_count").alias("org_favorite_count"),
+        F.col(f"{p}quote_count").alias("org_quote_count"),
+        F.col(f"{p}reply_count").alias("org_reply_count"),
+        F.col(f"{p}retweet_count").alias("org_retweet_count"),
+        parse_twitter_timestamp(F.col(f"{p}created_at")).alias("org_datetime"),
+    ]
+    return df.select(*cols)
+
+
+def _not_sensitive(prefix: str) -> Column:
+    """Keep statuses not flagged possibly_sensitive (reference F4/U3: the
+    RDD map+filter+collect+isin at ``Tweets_preprocessing.py:81-83,112-115``
+    collapses to a null-safe predicate on the kept status itself)."""
+    return ~F.coalesce(F.col(f"{prefix}possibly_sensitive"), F.lit(False))
+
+
+def flatten_tweets(raw: DataFrame) -> DataFrame:
+    """Three-way split -> flatten -> union (reference D4 + P2/P3).
+
+    Branch predicates are mutually exclusive by construction:
+      quoted:   is_quote_status AND quoted_status present
+      retweet:  NOT quoted AND retweeted_status present
+      original: everything else
+    """
+    is_quoted = (
+        F.coalesce(F.col("is_quote_status"), F.lit(False))
+        & F.col("quoted_status.id").isNotNull()
+    )
+    is_retweet = ~is_quoted & F.col("retweeted_status.id").isNotNull()
+    is_original = ~is_quoted & F.col("retweeted_status.id").isNull()
+
+    quoted = _flatten_branch(
+        raw.filter(is_quoted & _not_sensitive("quoted_status.")),
+        "quoted_status",
+        # quoted permalink (reference ``Tweets_preprocessing.py:138``)
+        F.col("quoted_status_permalink.expanded"),
+    )
+    retweet = _flatten_branch(
+        raw.filter(is_retweet & _not_sensitive("retweeted_status.")),
+        "retweeted_status",
+        _first_media_url("retweeted_status."),
+    )
+    original = _flatten_branch(
+        raw.filter(is_original & _not_sensitive("")),
+        None,
+        _first_media_url(""),
+    )
+    return quoted.unionByName(retweet).unionByName(original)
+
+
+def hiring_filter(df: DataFrame, terms=HIRING_TERMS, text_col: str = "org_text") -> DataFrame:
+    """Case-folded, apostrophe-normalized vocabulary regex filter
+    (reference F5, ``Tweets_preprocessing.py:475-481``)."""
+    pattern = "|".join(terms)
+    return df.filter(normalize_apostrophes(F.lower(F.col(text_col))).rlike(pattern))
+
+
+def preprocess(raw: DataFrame, apply_hiring_filter: bool = True) -> DataFrame:
+    """The full pipeline as one lazy plan: flatten -> dedup -> filter.
+
+    Latest-wins keeps the most recently *observed* version of each original
+    tweet (engagement counts grow over time), keyed on org_id, ordered by
+    samp_datetime desc with samp_id as the deterministic tiebreak
+    (reference D1, ``Tweets_preprocessing.py:464-466``).
+    """
+    flat = flatten_tweets(raw)
+    deduped = latest_wins(flat, ["org_id"], "samp_datetime", ["samp_id"])
+    return hiring_filter(deduped) if apply_hiring_filter else deduped
+
+
+def write_outputs(df: DataFrame, parquet_path: str, csv_path: str | None = None) -> None:
+    """Dual sink (reference S4/S5, ``Tweets_preprocessing.py:484-507``):
+    typed parquet (arrays kept) and optionally a CSV export with arrays
+    JSON-stringified and ids as strings — ``to_json``/``cast`` instead of the
+    reference's Python UDF + regex scrub.
+
+    No ``coalesce(1)``: output file count follows upstream parallelism (the
+    reference's single-file write + manual folder flatten at ``:511-581`` is
+    a driver bottleneck at any real scale).
+    """
+    df.write.mode("overwrite").parquet(parquet_path)
+    if csv_path:
+        arr_cols = {"org_media_url", "org_media_type", "org_attached_links",
+                    "org_hashtags", "org_user_metions"}
+        id_cols = {"org_id", "samp_id", "user_id"}
+        out = df.select(
+            *[
+                F.to_json(F.col(c)).alias(c)
+                if c in arr_cols
+                else F.col(c).cast("string").alias(c)
+                if c in id_cols
+                else csv_safe(F.col(c)).alias(c)
+                if c == "org_text"
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        out.write.mode("overwrite").option("header", True).csv(csv_path)

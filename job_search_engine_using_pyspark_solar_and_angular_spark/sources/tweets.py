@@ -1,0 +1,147 @@
+"""Raw tweet-stream source (SURVEY.md §2.1 S1-S3).
+
+The reference ingests Twitter API status JSON written by a stream listener
+(``Data Collection/DataCollector.py:26-39``) and reads it per-file with full
+schema inference (``Spark/Tweets_preprocessing.py:103``). Schema inference is
+fragile across files (the reference defends with explicit column lists —
+``Tweets_preprocessing.py:120,150-154``); the new engine fixes the schema
+explicitly so every batch/stream parses identically and the parquet/JSON
+reader can prune columns.
+
+Scale notes:
+- an explicit schema turns ``spark.read.json`` into a single-pass parse (no
+  inference pre-scan over 100 TB), keeps column pruning exact, and makes the
+  streaming source (``read_tweets_stream``) legal (Structured Streaming
+  requires a user-supplied schema).
+- file ordering by epoch-encoded filename (reference S3,
+  ``Tweets_preprocessing.py:58-79``) is unnecessary for correctness here:
+  latest-wins dedup keys on observation time, so batches commute. The
+  streaming source option ``latestFirst=false`` preserves arrival order when
+  wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# -- nested building blocks (subset of the Twitter v1.1 status payload the
+# reference actually touches; SURVEY.md §1.2) ------------------------------
+
+def _entities_type() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                "hashtags",
+                T.ArrayType(T.StructType([T.StructField("text", T.StringType())])),
+            ),
+            T.StructField(
+                "urls",
+                T.ArrayType(
+                    T.StructType([T.StructField("expanded_url", T.StringType())])
+                ),
+            ),
+            T.StructField(
+                "user_mentions",
+                T.ArrayType(
+                    T.StructType([T.StructField("screen_name", T.StringType())])
+                ),
+            ),
+        ]
+    )
+
+
+def _media_type() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                "media",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("media_url", T.StringType()),
+                            T.StructField("expanded_url", T.StringType()),
+                            T.StructField("type", T.StringType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+
+
+def _user_type() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("screen_name", T.StringType()),
+            T.StructField("verified", T.BooleanType()),
+            T.StructField("profile_image_url", T.StringType()),
+            T.StructField("profile_banner_url", T.StringType()),
+            T.StructField("profile_background_image_url", T.StringType()),
+            T.StructField("followers_count", T.LongType()),
+            T.StructField("friends_count", T.LongType()),
+        ]
+    )
+
+
+def _inner_status_fields() -> list[T.StructField]:
+    """Fields shared by top-level, quoted_status, and retweeted_status."""
+    return [
+        T.StructField("id", T.LongType()),
+        T.StructField("created_at", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("truncated", T.BooleanType()),
+        T.StructField("possibly_sensitive", T.BooleanType()),
+        T.StructField("entities", _entities_type()),
+        T.StructField("extended_entities", _media_type()),
+        T.StructField(
+            "extended_tweet",
+            T.StructType(
+                [
+                    T.StructField("full_text", T.StringType()),
+                    T.StructField("entities", _entities_type()),
+                    T.StructField("extended_entities", _media_type()),
+                ]
+            ),
+        ),
+        T.StructField("favorite_count", T.LongType()),
+        T.StructField("quote_count", T.LongType()),
+        T.StructField("reply_count", T.LongType()),
+        T.StructField("retweet_count", T.LongType()),
+        T.StructField("user", _user_type()),
+        T.StructField("lang", T.StringType()),
+    ]
+
+
+def tweet_schema() -> T.StructType:
+    """Full raw-status schema: inner fields + quote/retweet nesting + the
+    quoted permalink the reference reads at ``Tweets_preprocessing.py:138``."""
+    inner = T.StructType(_inner_status_fields())
+    return T.StructType(
+        _inner_status_fields()
+        + [
+            T.StructField("is_quote_status", T.BooleanType()),
+            T.StructField("quoted_status", inner),
+            T.StructField("retweeted_status", inner),
+            T.StructField(
+                "quoted_status_permalink",
+                T.StructType([T.StructField("expanded", T.StringType())]),
+            ),
+        ]
+    )
+
+
+def read_tweets(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
+    """Batch read of raw tweet JSON (reference S2,
+    ``Tweets_preprocessing.py:103``) with the fixed schema."""
+    return spark.read.schema(tweet_schema()).json(path, multiLine=multiline)
+
+
+def read_tweets_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming read of a tweet-JSON directory (reference S1: replaces the
+    tweepy listener + per-file driver loop, ``DataCollector.py:19-64`` +
+    ``Tweets_preprocessing.py:605-621``). English-only / keyword filters are
+    applied downstream as ordinary filters (F7/F5)."""
+    return spark.readStream.schema(tweet_schema()).json(path)
