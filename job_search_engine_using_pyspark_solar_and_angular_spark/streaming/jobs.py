@@ -1,0 +1,152 @@
+"""Streaming jobs: windowed aggregation, trending top-k, latest-wins merge.
+
+Reference capability mapping (SURVEY.md §2.11):
+
+| reference emulation                                   | here                    |
+|-------------------------------------------------------|-------------------------|
+| per-file driver loop (Tweets_preprocessing.py:605-621)| file-source micro-batch |
+| 2 h file rotation (DataCollector.py:41-46)            | tumbling event-time window |
+| per-batch trending words (Report.pdf §3.4.1)          | trending_topk           |
+| HashMap latest-wins re-index (SolrIndexer.java:25-45) | latest_wins_merge_sink  |
+| no late-data story (idempotent by dedup)              | withWatermark + dedup   |
+
+Scale notes:
+- windowed aggs carry state bounded by the watermark horizon; at 100 TB/day
+  the state store holds only open windows, and the shuffle is keyed on
+  (window, group) — the same partial/final hash agg as batch.
+- latest_wins_merge_sink is a ``foreachBatch`` MERGE: each micro-batch joins
+  against the current target snapshot. On a real deployment the target would
+  be a transactional table format; plain-parquet swap semantics are used here
+  so the container stays dependency-free. The merge itself is the batch D2
+  operator, so replaying a batch is a no-op (idempotent sink = exactly-once
+  results over at-least-once delivery).
+- streaming_dedup: ``dropDuplicates`` after ``withWatermark`` bounds the
+  dedup state store — keys older than the horizon are evicted (the unbounded
+  -state pitfall in SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import merge_latest
+
+
+def stream_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """File-source stream over a parquet directory (explicit schema — required
+    by Structured Streaming, and the 100 TB-safe choice anyway)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Tumbling event-time window aggregation — the streaming form of the
+    declared Q23. Works identically on batch DataFrames (watermark skipped),
+    which is how the replay-parity test pins the semantics."""
+    if df.isStreaming and watermark:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = [F.count("*").alias("n")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 2).alias(f"sum_{value_col}"))
+    keys = [F.window(ts_col, window).alias("w"), *(group_cols or [])]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w"),
+        *(group_cols or []),
+        *[c for c in out.columns if c not in ("w", *(group_cols or []))],
+    )
+
+
+def trending_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window word counts (trend analysis / word-cloud analog,
+    Report.pdf §3.4.1). Emits (window_start, word, c); the final per-window
+    top-k cut happens in the sink (``foreachBatch`` + row_number) or on the
+    complete-mode result — a global ordered limit is not expressible inside
+    a streaming agg, and shouldn't be: the heavy lifting (explode + count)
+    stays distributed here."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    words = df.select(
+        F.col(ts_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy(F.window(ts_col, window).alias("w"), "word")
+        .agg(F.count("*").alias("c"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w"), "word", "c")
+    )
+
+
+def topk_per_window(counts: DataFrame, k: int = 10) -> DataFrame:
+    """Batch-side per-window top-k over trending counts (applied to the
+    complete-mode table or inside foreachBatch)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("w").orderBy(F.col("c").desc(), F.col("word"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def streaming_dedup(
+    df: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermark-bounded streaming dedup: first-seen wins within the horizon
+    (exact-once event processing). State store holds only keys newer than the
+    watermark."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def latest_wins_merge_sink(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    target_path: str,
+    key_cols: list[str],
+    order_col: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """Incremental latest-wins index maintenance via foreachBatch (D2).
+
+    Each micro-batch: (optional transform) -> merge_latest against the
+    current target snapshot -> atomic swap write. Returns the started query.
+    """
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        b = transform(batch) if transform else batch
+        try:
+            existing = spark.read.parquet(target_path)
+            merged = merge_latest(existing, b, key_cols, order_col)
+        except Exception:  # first batch: no target yet
+            from ..operators.dedup import latest_wins
+
+            merged = latest_wins(b, key_cols, order_col)
+        # plain-parquet swap (localized stand-in for a transactional table):
+        # materialize the merge before overwriting what it reads from.
+        tmp = target_path + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

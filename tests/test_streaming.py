@@ -1,0 +1,220 @@
+"""Structured Streaming tests: replay parity with the batch declared queries
+(the driver's oracle covers batch; these pin stream==batch), incremental
+latest-wins merge, and per-window trending top-k.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+from job_search_engine_using_pyspark_solar_and_angular_spark.operators.dedup import (
+    latest_wins,
+)
+from job_search_engine_using_pyspark_solar_and_angular_spark.streaming import (
+    latest_wins_merge_sink,
+    stream_parquet,
+    streaming_dedup,
+    trending_topk,
+    windowed_counts,
+)
+from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.jobs import (
+    topk_per_window,
+)
+
+from .conftest import SF_DIR, canon_rows
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events fixture re-written as a clean µs-timestamp parquet dir the
+    streaming file source can read (two files -> >=2 micro-batches)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _stream_schema(spark, path):
+    return spark.read.parquet(path).schema
+
+
+def test_windowed_counts_replay_parity(spark, events_dir, tmp_path):
+    """Streaming replay of Q23 == batch Q23 (same 1-hour tumbling window)."""
+    schema = _stream_schema(spark, events_dir)
+    stream = stream_parquet(spark, events_dir, schema)
+    agg = windowed_counts(
+        stream, ts_col="ts", group_cols=["event_type"], window="1 hour",
+        value_col="value",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", "1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("win_counts")
+
+    batch = load_table(spark, SF_DIR, "events")
+    want = windowed_counts(
+        batch, ts_col="ts", group_cols=["event_type"], window="1 hour",
+        value_col="value",
+    )
+    g = canon_rows(got.columns, [tuple(r) for r in got.collect()])
+    w = canon_rows(want.columns, [tuple(r) for r in want.collect()])
+    assert g == w
+
+
+def test_latest_wins_merge_incremental(spark, tmp_path):
+    """Two micro-batched stream runs == one batch latest-wins over the union
+    (the reference's per-batch re-index upsert, SolrIndexer.java:25-45)."""
+    ev = load_table(spark, SF_DIR, "events").cache()
+    stream_dir = str(tmp_path / "in")
+    target = str(tmp_path / "target")
+    ck = str(tmp_path / "ck")
+    schema = ev.schema
+
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(stream_dir)
+
+    def run_once():
+        q = latest_wins_merge_sink(
+            stream_parquet(spark, stream_dir, schema),
+            spark,
+            target,
+            key_cols=["user_id"],
+            order_col="ts",
+            checkpoint=ck,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second batch arrives as new files; same checkpoint -> only new data read
+    half2.write.mode("append").parquet(stream_dir)
+    run_once()
+
+    got = spark.read.parquet(target)
+    want = latest_wins(ev, ["user_id"], "ts", ["event_id"])
+    # compare per-user freshest timestamp (ties on ts are tiebreak-dependent)
+    g = sorted(tuple(r) for r in got.select("user_id", "ts").collect())
+    w = sorted(tuple(r) for r in want.select("user_id", "ts").collect())
+    assert g == w
+    ev.unpersist()
+
+
+def test_merge_sink_idempotent_replay(spark, tmp_path):
+    """Replaying the same batch (fresh checkpoint, same data) leaves the
+    target unchanged — the exactly-once-results property."""
+    ev = load_table(spark, SF_DIR, "events")
+    stream_dir = str(tmp_path / "in")
+    target = str(tmp_path / "target")
+    ev.write.mode("overwrite").parquet(stream_dir)
+    schema = ev.schema
+
+    for i, ck in enumerate(("ck1", "ck2")):  # second run = full replay
+        q = latest_wins_merge_sink(
+            stream_parquet(spark, stream_dir, schema),
+            spark,
+            target,
+            key_cols=["user_id"],
+            order_col="ts",
+            checkpoint=str(tmp_path / ck),
+        )
+        q.awaitTermination(120)
+        if i == 0:
+            first = sorted(tuple(r) for r in spark.read.parquet(target).select("user_id", "ts").collect())
+    second = sorted(tuple(r) for r in spark.read.parquet(target).select("user_id", "ts").collect())
+    assert first == second
+
+
+def test_trending_topk_stream(spark, tmp_path):
+    """Per-window word counts on a synthetic doc stream match the batch
+    computation, and topk_per_window cuts each window independently."""
+    rows = [
+        {"ts": "2024-01-01 10:00:05", "text": "spark spark join"},
+        {"ts": "2024-01-01 10:10:00", "text": "spark window"},
+        {"ts": "2024-01-01 11:00:01", "text": "join join join shuffle"},
+        {"ts": "2024-01-01 11:59:59", "text": "shuffle"},
+    ]
+    src = str(tmp_path / "docs")
+    import os
+
+    os.makedirs(src)
+    with open(os.path.join(src, "batch1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "ts string, text string"
+    stream = (
+        spark.readStream.schema(schema).json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    counts = trending_topk(stream, text_col="text", ts_col="ts", window="1 hour")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("trend")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    top = {
+        (r["w"], r["word"]): r["c"]
+        for r in topk_per_window(spark.table("trend"), k=2).collect()
+    }
+    assert top == {
+        ("2024-01-01 10:00:00", "spark"): 3,
+        ("2024-01-01 10:00:00", "join"): 1,
+        ("2024-01-01 11:00:00", "join"): 3,
+        ("2024-01-01 11:00:00", "shuffle"): 2,
+    }
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicates after withWatermark: duplicate keys within the horizon
+    are emitted once."""
+    rows = [
+        {"ts": "2024-01-01 10:00:00", "k": 1},
+        {"ts": "2024-01-01 10:00:30", "k": 1},
+        {"ts": "2024-01-01 10:01:00", "k": 2},
+    ]
+    src = str(tmp_path / "dups")
+    import os
+
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts string, k long").json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = streaming_dedup(stream, ["k"], ts_col="ts", watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ks = sorted(r["k"] for r in spark.table("dedup_out").collect())
+    assert ks == [1, 2]
