@@ -42,11 +42,14 @@ def main() -> None:
     spark = get_spark(app_name="jse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen paths once so per-query numbers measure the plan,
-    # not first-call JIT (standard benchmark practice; warmup at tiny sf).
+    # warm the JVM/codegen paths AND the Python worker pool once so per-query
+    # numbers measure the plan, not first-call JIT / worker-spawn (standard
+    # benchmark practice; warmup at tiny sf).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         QUERIES["q11_agg_tpch_q1"](spark, warm_dir).collect()
+        QUERIES["q20_bm25_search"](spark, warm_dir).collect()
+        QUERIES["ext_multimodal_features"](spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -49,6 +49,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions than
+    the cluster has slots.
+
+    Why: a single parquet file with one row group scans as ONE task, so every
+    CPU-heavy downstream stage (tokenize/shingle/hash) runs single-threaded no
+    matter how many cores exist. At real scale (thousands of files/splits)
+    ``getNumPartitions() >= slots`` and this is a no-op — the repartition
+    shuffle only ever pays for itself on pathologically under-split inputs.
+    Use before CPU-bound per-row operators, never before plain filters/aggs
+    (those are scan-bound and the shuffle would cost more than it saves).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -118,9 +118,17 @@ def minhash_signatures(
     Computed per-row with higher-order functions after one explode+agg to
     collect distinct shingle hashes — a single shuffle on doc_id.
     """
-    shingles = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(token_ngrams(tokenize_normalized(text_col), shingle_n)).alias("sh"),
+    # two-step projection: bind the token array to a column BEFORE the n-gram
+    # transform. Inlined, the regex-tokenize tree sits inside the per-position
+    # lambda of token_ngrams and is re-evaluated for every shingle — O(n^2)
+    # regex work per document (measured 13x slower at sf0.1).
+    from ..io import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+    )
+    shingles = toks.select(
+        "doc_id", F.explode(token_ngrams(F.col("tk"), shingle_n)).alias("sh")
     ).select("doc_id", md5_long(F.col("sh")).alias("h")).distinct()
 
     mins = [
@@ -148,7 +156,9 @@ def minhash_lsh_candidates(
     you want flagged anyway.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, shingle_n, num_perm)
+    # persist: the banded table feeds BOTH sides of the self-join below;
+    # without it the full shingle->minhash pipeline runs twice per action.
+    sig = minhash_signatures(df, id_col, text_col, shingle_n, num_perm).persist()
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -187,13 +197,18 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for given candidate (doc_a, doc_b)
     pairs: |A∩B| / |A∪B| over distinct token n-grams. Intersection via an
     explode+join on shingle hash — no arrays cross the shuffle."""
+    from ..io import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+    )
     sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(token_ngrams(tokenize_normalized(text_col), shingle_n)).alias("sh"),
+        toks.select(
+            "doc_id", F.explode(token_ngrams(F.col("tk"), shingle_n)).alias("sh")
         )
         .select("doc_id", md5_long(F.col("sh")).alias("h"))
         .distinct()
+        .persist()  # feeds sizes + both join sides: 3 subtrees, 1 computation
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "h")
@@ -231,8 +246,11 @@ def simhash(
     explode bit positions (x``bits``) -> signed tf sum per (doc, bit) ->
     reassemble. Two shuffles, both on doc_id-derived keys.
     """
+    from ..io import ensure_parallelism
+
     tf = (
-        df.select(
+        ensure_parallelism(df)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(tokenize_normalized(text_col)).alias("token"),
         )
@@ -276,7 +294,8 @@ def simhash_near_dups(
     bit_count(xor). Avoids the all-pairs cross join entirely."""
     width = bits // blocks
     mask = (1 << width) - 1
-    sh = simhash(df, id_col, text_col, bits)
+    # persist: the chunked fingerprints feed both sides of the block self-join
+    sh = simhash(df, id_col, text_col, bits).persist()
     chunk_exprs = F.array(
         *[
             F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))

@@ -76,6 +76,9 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via mapInPandas."""
+    from ..io import ensure_parallelism
+
+    media = ensure_parallelism(media)  # Python workers scale with partitions
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -120,11 +120,18 @@ def winnowing_fingerprints(
     (doc_id, fp) exploded — one row per selected fingerprint, distinct."""
     from ..functions.hashing import char_shingles
     from ..functions.text import clean_text
+    from ..io import ensure_parallelism
 
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
+    # two-step projection: bind the cleaned text to a column first, otherwise
+    # the regex clean chain re-evaluates inside char_shingles' per-position
+    # lambda — O(n^2) regex work per document.
+    cleaned = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), clean_text(text_col).alias("ct")
+    )
+    grams = cleaned.select(
+        "doc_id",
         F.posexplode(
-            F.transform(char_shingles(clean_text(text_col), k), md5_long)
+            F.transform(char_shingles(F.col("ct"), k), md5_long)
         ).alias("pos", "h"),
     )
     w_spec = (

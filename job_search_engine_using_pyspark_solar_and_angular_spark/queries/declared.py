@@ -272,7 +272,7 @@ def q19(spark, sf_dir):
 def q20(spark, sf_dir):
     """R1: BM25 keyword search top-10 (the Solr-replacement subsystem)."""
     docs = load_table(spark, sf_dir, "documents")
-    index = build_index(docs)
+    index = build_index(docs, cache=True)
     return bm25_search(spark, index, ["spark", "join"], k=10)
 
 

@@ -43,15 +43,29 @@ class SearchIndex:
 
 
 def build_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    cache: bool = False,
 ) -> SearchIndex:
-    """Tokenize once, derive all three index tables from the tokenized rows."""
-    toks = docs.select(
+    """Tokenize once, derive all three index tables from the tokenized rows.
+
+    ``cache=True`` persists the postings table so the three derived tables
+    (and a following search) share one tokenize+aggregate pass instead of
+    re-deriving it per subtree — the in-session analog of the materialized
+    index ``write_index`` produces. Without it a single BM25 action scans the
+    corpus up to 4x (postings/doc_stats/term_stats/corpus_stats subtrees)."""
+    from ..io import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize_normalized(text_col)).alias("token"),
     )
     postings = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    if cache:
+        postings = postings.persist()
     doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    if cache:
+        # doc_stats feeds both the per-doc join and corpus_stats (avg/count)
+        doc_stats = doc_stats.persist()
     term_stats = postings.groupBy("token").agg(F.count("*").alias("df"))
     return SearchIndex(postings=postings, doc_stats=doc_stats, term_stats=term_stats)
 
