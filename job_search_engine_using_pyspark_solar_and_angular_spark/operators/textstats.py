@@ -100,6 +100,41 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lemmatize(
+    df: DataFrame,
+    lemma_map: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dictionary-driven lemmatization (reference N5: the AntBNC Lemmatizer
+    annotator of ``Spark/Word_cloud_evaluation.ipynb`` cell 9) as a broadcast
+    map-join: explode normalized tokens with position, left-join the lemma
+    dictionary, keep the lemma when present.
+
+    Returns (doc_id, pos, lemma) — one row per token, order recoverable from
+    pos. The dictionary is broadcast (lemma dictionaries are ~100k entries —
+    always the small side); the explode is map-side, so the whole operator
+    adds zero wide shuffles.
+    """
+    from ..io import ensure_parallelism
+
+    spark = df.sparkSession
+    dict_df = spark.createDataFrame(
+        list(lemma_map.items()), "token string, lemma string"
+    )
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+    )
+    exploded = toks.select(
+        "doc_id", F.posexplode("tk").alias("pos", "token")
+    )
+    return exploded.join(F.broadcast(dict_df), "token", "left").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce("lemma", "token").alias("lemma"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """64-bit-ish document fingerprint: md5-prefix int64 of the normalized
     token stream (whitespace-insensitive, case-insensitive, punct-insensitive).

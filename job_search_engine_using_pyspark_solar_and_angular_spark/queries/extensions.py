@@ -14,6 +14,21 @@ from ..functions.vectors import cosine
 from ..operators import dedup, multimodal, similarity, textstats
 from .declared import QUERIES, query
 
+# N5 lemma dictionary (tiny deterministic sample; production swaps in a full
+# AntBNC-style dictionary table — the plan shape is identical).
+LEMMA_MAP = {
+    "joins": "join",
+    "joined": "join",
+    "joining": "join",
+    "windows": "window",
+    "queries": "query",
+    "tables": "table",
+    "partitions": "partition",
+    "streams": "stream",
+    "running": "run",
+    "ran": "run",
+}
+
 
 @query("x1_dedup_stats")
 def x1(spark, sf_dir):
@@ -136,6 +151,80 @@ def ext_ngram_jaccard(spark, sf_dir):
 def ext_simhash_near_dups(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(d, max_hamming=6)
+
+
+@query("ext_pagination")
+def ext_pagination(spark, sf_dir):
+    """O5: offset/limit pagination over a total order (the Angular client's
+    skip/limit the reference server ignored, ``api/Handler.java:34``)."""
+    from ..operators.topk import paginate
+
+    e = load_table(spark, sf_dir, "events")
+    page = paginate(e, [F.col("ts"), F.col("event_id")], offset=40, limit=20)
+    return page.select("event_id", "event_type")
+
+
+@query("ext_arrays_zip")
+def ext_arrays_zip(spark, sf_dir):
+    """T16: arrays_zip + posexplode (notebook cell 13's zip of parallel
+    annotation arrays), over the two halves of each embedding."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
+    z = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.slice("embedding", 1, 32).alias("a"),
+                F.slice("embedding", 33, 32).alias("b"),
+            )
+        ).alias("pos", "z"),
+    )
+    return z.select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(
+            F.col("z.a").cast("double") * F.col("z.b").cast("double"), 4
+        ).alias("prod"),
+    )
+
+
+@query("ext_lemmatize")
+def ext_lemmatize(spark, sf_dir):
+    """N5: dictionary lemmatization as a broadcast map-join."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return textstats.lemmatize(d, LEMMA_MAP)
+
+
+@query("ext_rollup")
+def ext_rollup(spark, sf_dir):
+    """Grouping-sets capability (free Catalyst extension, SURVEY.md §2.5):
+    ROLLUP over (event_type, hour)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "h", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        )
+        .rollup("event_type", "h")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query("ext_intersect")
+def ext_intersect(spark, sf_dir):
+    """Set intersection (SURVEY.md §2.7 — free in Spark; absent from the
+    reference, which achieved disjointness via anti-membership)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.array_contains(F.split("text", " "), "spark")).select("doc_id")
+    b = d.filter(F.array_contains(F.split("text", " "), "join")).select("doc_id")
+    return a.intersect(b)
+
+
+@query("ext_except")
+def ext_except(spark, sf_dir):
+    """Set difference: docs mentioning spark but never join."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.array_contains(F.split("text", " "), "spark")).select("doc_id")
+    b = d.filter(F.array_contains(F.split("text", " "), "join")).select("doc_id")
+    return a.exceptAll(b).distinct()
 
 
 @query("ext_multimodal_features")

@@ -391,6 +391,56 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 6 ORDER BY doc_a, doc_b
 """
 
+ORACLES["ext_pagination"] = (
+    "SELECT event_id, event_type FROM events "
+    "ORDER BY ts, event_id LIMIT 20 OFFSET 40"
+)
+
+ORACLES["ext_arrays_zip"] = (
+    "SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, "
+    "ROUND(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i + 32] AS DOUBLE), 4) AS prod "
+    "FROM embeddings, generate_series(1, 32) g(i) WHERE vec_id < 3 "
+    "ORDER BY vec_id, pos"
+)
+
+
+def _lemma_values_sql() -> str:
+    from .extensions import LEMMA_MAP
+
+    return ", ".join(f"('{k}', '{v}')" for k, v in LEMMA_MAP.items())
+
+
+ORACLES["ext_lemmatize"] = (
+    f"WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents WHERE doc_id < 50), "
+    "ex AS (SELECT doc_id, i - 1 AS pos, tk[i] AS token FROM "
+    "(SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks)), "
+    f"lm(token, lemma) AS (VALUES {_lemma_values_sql()}) "
+    "SELECT ex.doc_id, CAST(ex.pos AS BIGINT) AS pos, "
+    "COALESCE(lm.lemma, ex.token) AS lemma "
+    "FROM ex LEFT JOIN lm ON ex.token = lm.token ORDER BY doc_id, pos"
+)
+
+ORACLES["ext_rollup"] = (
+    "SELECT event_type, h, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "
+    "FROM (SELECT event_type, strftime(date_trunc('hour', ts), "
+    "'%Y-%m-%d %H:%M:%S') AS h, value FROM events) "
+    "GROUP BY ROLLUP(event_type, h) ORDER BY event_type, h"
+)
+
+ORACLES["ext_intersect"] = (
+    "SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), 'spark') "
+    "INTERSECT "
+    "SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), 'join') "
+    "ORDER BY doc_id"
+)
+
+ORACLES["ext_except"] = (
+    "SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), 'spark') "
+    "EXCEPT "
+    "SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), 'join') "
+    "ORDER BY doc_id"
+)
+
 ORACLES["ext_multimodal_features"] = (
     "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
     "substr(sha256(text), 1, 16) AS sha256_16, "

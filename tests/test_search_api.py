@@ -1,0 +1,126 @@
+"""Search subsystem tests: API surface (the reference's three REST endpoints),
+bucketed index persistence, and ranking invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+from job_search_engine_using_pyspark_solar_and_angular_spark.search.api import (
+    search_hashtag,
+    search_keyword,
+    search_user,
+    to_envelope,
+    tokenize_query,
+)
+from job_search_engine_using_pyspark_solar_and_angular_spark.search.bm25 import (
+    bm25_search,
+)
+from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+    build_index,
+    read_index,
+    write_index,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs):
+    return build_index(docs, cache=True)
+
+
+def test_keyword_search_envelope(spark, docs, index):
+    """R1+R8: free-text query -> BM25 top-k joined to docs -> envelope
+    (reference ``api/Handler.java:33-74``)."""
+    hits = search_keyword(spark, index, docs, None, "spark join", k=10)
+    env = to_envelope(hits)
+    assert env["status_code"] == 200
+    assert env["count"] == len(env["data"]) <= 10
+    # every hit carries both score and the full document row
+    for row in env["data"]:
+        assert "score" in row and "text" in row and "doc_id" in row
+    # ranked descending
+    scores = [r["score"] for r in env["data"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_keyword_search_user_join(spark, docs, index):
+    """J1: hits joined to a user dimension via broadcast (replaces the
+    reference's N+1 Solr loop)."""
+    users = load_table(spark, SF_DIR, "customer")
+    d = docs.withColumn("owner", (F.col("doc_id") % 100) + 1)
+    hits = search_keyword(
+        spark, index, d, users, "spark", k=5, doc_user_key=("owner", "c_custkey")
+    )
+    rows = hits.collect()
+    assert rows and all(r["c_name"] is not None for r in rows)
+
+
+def test_hashtag_search(spark, docs):
+    """R3: array_contains exact match, time-desc, rows<=1000."""
+    tagged = docs.withColumn("hashtags", F.split("text", " "))
+    out = search_hashtag(tagged, "spark", tags_col="hashtags", order_col="doc_id")
+    rows = out.select("doc_id").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids == sorted(ids, reverse=True)
+    assert len(ids) <= 1000
+    # parity with the declared q21 predicate
+    want = docs.filter(F.array_contains(F.split("text", " "), "spark")).count()
+    assert len(ids) == min(want, 1000)
+
+
+def test_user_search(spark):
+    """R4: exact-name lookup -> their events time-desc (reference
+    ``SolrRanker.java:120-160``)."""
+    users = load_table(spark, SF_DIR, "customer")
+    events = load_table(spark, SF_DIR, "events")
+    out = search_user(
+        users, events, "Customer#000000001",
+        name_col="c_name", user_key="c_custkey",
+        item_user_key="user_id", time_col="ts", k=1000,
+    )
+    rows = out.select("ts").collect()
+    ts = [r["ts"] for r in rows]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_tokenize_query_matches_engine_analyzer(spark):
+    """Driver-side query tokenizer must agree with the corpus analyzer."""
+    q = "Hash-Join! AND  spark's"
+    py = tokenize_query(q)
+    from job_search_engine_using_pyspark_solar_and_angular_spark.functions.text import (
+        tokenize_normalized,
+    )
+
+    jvm = spark.createDataFrame([(q,)], "t string").select(
+        tokenize_normalized(F.lower(F.col("t"))).alias("tk")
+    ).collect()[0]["tk"]
+    assert py == jvm
+
+
+def test_index_write_read_roundtrip(spark, docs, index, tmp_path):
+    """S8 analog: bucketed postings persistence; search over the materialized
+    index returns identical results to the in-memory one."""
+    base = str(tmp_path / "idx")
+    write_index(index, base, buckets=8, table="jse_postings_test")
+    back = read_index(spark, base, table="jse_postings_test")
+    fresh = bm25_search(spark, index, ["spark", "join"], k=10).collect()
+    persisted = bm25_search(spark, back, ["spark", "join"], k=10).collect()
+    assert [tuple(r) for r in fresh] == [tuple(r) for r in persisted]
+    spark.sql("DROP TABLE IF EXISTS jse_postings_test")
+
+
+def test_bm25_scores_positive_and_tie_broken(spark, index):
+    res = bm25_search(spark, index, ["spark"], k=10).collect()
+    assert all(r["score"] > 0 for r in res)
+    # doc_id ascending within equal scores
+    for a, b in zip(res, res[1:]):
+        if a["score"] == b["score"]:
+            assert a["doc_id"] < b["doc_id"]
