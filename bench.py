@@ -34,6 +34,9 @@ HEADLINE = [
     "ext_minhash_candidates",
     "ext_simhash",
     "ext_multimodal_features",
+    # the reference's whole batch job (BASELINE.md Figure 10 workload shape):
+    # nested flatten + 3-way split + latest-wins dedup + vocab regex filter
+    "ext_preprocess_pipeline",
 ]
 
 

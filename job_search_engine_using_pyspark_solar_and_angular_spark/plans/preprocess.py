@@ -166,7 +166,9 @@ def hiring_filter(df: DataFrame, terms=HIRING_TERMS, text_col: str = "org_text")
     return df.filter(normalize_apostrophes(F.lower(F.col(text_col))).rlike(pattern))
 
 
-def preprocess(raw: DataFrame, apply_hiring_filter: bool = True) -> DataFrame:
+def preprocess(
+    raw: DataFrame, apply_hiring_filter: bool = True, terms=HIRING_TERMS
+) -> DataFrame:
     """The full pipeline as one lazy plan: flatten -> dedup -> filter.
 
     Latest-wins keeps the most recently *observed* version of each original
@@ -176,7 +178,7 @@ def preprocess(raw: DataFrame, apply_hiring_filter: bool = True) -> DataFrame:
     """
     flat = flatten_tweets(raw)
     deduped = latest_wins(flat, ["org_id"], "samp_datetime", ["samp_id"])
-    return hiring_filter(deduped) if apply_hiring_filter else deduped
+    return hiring_filter(deduped, terms=terms) if apply_hiring_filter else deduped
 
 
 def write_outputs(df: DataFrame, parquet_path: str, csv_path: str | None = None) -> None:

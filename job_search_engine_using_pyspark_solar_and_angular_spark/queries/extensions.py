@@ -227,6 +227,34 @@ def ext_except(spark, sf_dir):
     return a.exceptAll(b).distinct()
 
 
+@query("ext_preprocess_pipeline")
+def ext_preprocess_pipeline(spark, sf_dir):
+    """END-TO-END preprocess pipeline (plans/preprocess.py — the reference's
+    whole batch job, ``Spark/Tweets_preprocessing.py:102-507``) over a
+    deterministic tweet-shaped corpus synthesized from ``documents``: nested
+    flatten + 3-way branch split + sensitive drops + latest-wins dedup +
+    vocabulary regex filter, hash-checked against a field-by-field oracle."""
+    from ..plans.preprocess import preprocess
+    from ..sources.synthetic import tweets_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = preprocess(
+        tweets_from_documents(docs), terms=("spark", "join", "window")
+    )
+    return out.select(
+        "org_id",
+        "samp_id",
+        F.date_format("samp_datetime", "yyyy-MM-dd HH:mm:ss").alias("samp_dt"),
+        "org_url",
+        "org_text",
+        "org_hashtags",
+        "user_id",
+        "user_name",
+        "org_favorite_count",
+        F.date_format("org_datetime", "yyyy-MM-dd HH:mm:ss").alias("org_dt"),
+    )
+
+
 @query("ext_multimodal_features")
 def ext_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: text bytes as opaque payloads -> Arrow-batched

@@ -441,6 +441,45 @@ ORACLES["ext_except"] = (
     "ORDER BY doc_id"
 )
 
+# mirrors sources/synthetic.py construction field-by-field; branch routing
+# (original/retweet/quoted) only changes WHERE each field is read from in the
+# nested input, so the oracle states values directly.
+ORACLES["ext_preprocess_pipeline"] = """
+WITH obs AS (
+  SELECT doc_id, text, 0 AS re FROM documents
+  UNION ALL
+  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 7 = 0 AND doc_id % 3 <> 0
+),
+flat AS (
+  SELECT
+    CASE WHEN doc_id % 3 = 0 THEN doc_id + 1000000 ELSE doc_id END AS org_id,
+    doc_id + 1000000 + re * 1000000 AS samp_id,
+    TIMESTAMP '2022-01-01 00:00:00'
+      + (doc_id + 3600 + re * 7200) * INTERVAL 1 SECOND AS samp_ts,
+    CASE WHEN doc_id % 3 = 2 THEN 'https://p/' || doc_id ELSE NULL END AS org_url,
+    text AS org_text,
+    [string_split(text, ' ')[1]] AS org_hashtags,
+    CAST(doc_id % 100 AS BIGINT) AS user_id,
+    'u' || CAST(doc_id % 100 AS VARCHAR) AS user_name,
+    CAST(doc_id % 10 + re * 5 AS BIGINT) AS org_favorite_count,
+    CASE WHEN doc_id % 3 = 0
+         THEN TIMESTAMP '2022-01-01 00:00:00' + (doc_id + 3600) * INTERVAL 1 SECOND
+         ELSE TIMESTAMP '2022-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND
+    END AS org_dt_ts
+  FROM obs WHERE doc_id % 11 <> 3
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY org_id ORDER BY samp_ts DESC, samp_id DESC) AS rn
+  FROM flat)
+SELECT org_id, samp_id, strftime(samp_ts, '%Y-%m-%d %H:%M:%S') AS samp_dt,
+       org_url, org_text, org_hashtags, user_id, user_name, org_favorite_count,
+       strftime(org_dt_ts, '%Y-%m-%d %H:%M:%S') AS org_dt
+FROM dedup
+WHERE rn = 1 AND regexp_matches(lower(org_text), 'spark|join|window')
+ORDER BY org_id
+"""
+
 ORACLES["ext_multimodal_features"] = (
     "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
     "substr(sha256(text), 1, 16) AS sha256_16, "

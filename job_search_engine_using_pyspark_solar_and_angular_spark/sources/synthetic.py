@@ -1,0 +1,136 @@
+"""Deterministic tweet-shaped corpus synthesized from the ``documents``
+fixture table — lets the END-TO-END preprocess pipeline (plans/preprocess.py)
+be differential-tested against a DuckDB oracle: every field is a pure
+function of ``doc_id``/``text``, so the oracle can state the expected output
+without modeling the nested structures at all.
+
+Construction (mirrored in queries/oracles.py ``ext_preprocess_pipeline``):
+- branch  = doc_id % 3 -> 0 original, 1 retweet, 2 quoted
+- org_id  = doc_id; samp_id = doc_id + 1_000_000
+- org ts  = 2022-01-01 00:00:00 UTC + doc_id seconds; samp ts = org ts + 1 h
+- re-observation for doc_id % 7 == 0: samp_id += 1_000_000, samp ts += 2 h,
+  favorite_count += 5  (exercises latest-wins dedup)
+- sensitive when doc_id % 11 == 3 (flag sits on the ORG status: top level for
+  originals, nested for retweets/quotes — exercises every drop path)
+- hashtags = [first whitespace token of text]; quoted permalink for branch 2
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPOCH_2022 = 1640995200  # 2022-01-01 00:00:00 UTC
+TWITTER_FMT = "EEE MMM dd HH:mm:ss '+0000' yyyy"
+
+_NULL_ENTITIES_URLS = "array<struct<expanded_url:string>>"
+_NULL_MENTIONS = "array<struct<screen_name:string>>"
+_NULL_MEDIA = (
+    "struct<media:array<struct<media_url:string,expanded_url:string,type:string>>>"
+)
+_NULL_EXTENDED = (
+    "struct<full_text:string,"
+    "entities:struct<hashtags:array<struct<text:string>>,"
+    "urls:array<struct<expanded_url:string>>,"
+    "user_mentions:array<struct<screen_name:string>>>,"
+    "extended_entities:struct<media:array<struct<media_url:string,"
+    "expanded_url:string,type:string>>>>"
+)
+
+
+def _twitter_ts(epoch: Column) -> Column:
+    return F.date_format(F.timestamp_seconds(epoch), TWITTER_FMT)
+
+
+def _mk_status(doc_id: Column, text: Column, created_epoch: Column,
+               fav_bonus: Column) -> Column:
+    """A full inner-status struct whose every field is doc_id-derived."""
+    first_tok = F.split(text, " ").getItem(0)
+    entities = F.struct(
+        F.array(F.struct(first_tok.alias("text"))).alias("hashtags"),
+        F.lit(None).cast(_NULL_ENTITIES_URLS).alias("urls"),
+        F.lit(None).cast(_NULL_MENTIONS).alias("user_mentions"),
+    )
+    user = F.struct(
+        (doc_id % 100).alias("id"),
+        F.concat(F.lit("u"), (doc_id % 100).cast("string")).alias("name"),
+        F.concat(F.lit("u"), (doc_id % 100).cast("string")).alias("screen_name"),
+        (doc_id % 2 == 0).alias("verified"),
+        F.lit(None).cast("string").alias("profile_image_url"),
+        F.lit(None).cast("string").alias("profile_banner_url"),
+        F.lit(None).cast("string").alias("profile_background_image_url"),
+        (doc_id % 100 * 10).cast("long").alias("followers_count"),
+        (doc_id % 100 * 3).cast("long").alias("friends_count"),
+    )
+    return F.struct(
+        doc_id.alias("id"),
+        _twitter_ts(created_epoch).alias("created_at"),
+        text.alias("text"),
+        F.lit(False).alias("truncated"),
+        (doc_id % 11 == 3).alias("possibly_sensitive"),
+        entities.alias("entities"),
+        F.lit(None).cast(_NULL_MEDIA).alias("extended_entities"),
+        F.lit(None).cast(_NULL_EXTENDED).alias("extended_tweet"),
+        ((doc_id % 10) + fav_bonus).cast("long").alias("favorite_count"),
+        (doc_id % 5).cast("long").alias("quote_count"),
+        (doc_id % 7).cast("long").alias("reply_count"),
+        (doc_id % 13).cast("long").alias("retweet_count"),
+        user.alias("user"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def tweets_from_documents(docs: DataFrame) -> DataFrame:
+    """Nested raw-tweet DataFrame: one observation per document plus a later
+    re-observation (higher counts) for every 7th doc."""
+    # re-observations only for retweet/quote branches: an original's org_id
+    # IS its samp_id, so a "re-observation" would be a different tweet.
+    base = docs.select("doc_id", "text", F.lit(0).alias("re_obs")).unionByName(
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 3 != 0)).select(
+            "doc_id", "text", F.lit(1).alias("re_obs")
+        )
+    )
+    doc_id = F.col("doc_id")
+    text = F.col("text")
+    branch = doc_id % 3
+    org_epoch = F.lit(EPOCH_2022) + doc_id
+    samp_epoch = org_epoch + 3600 + F.col("re_obs") * 7200
+    fav_bonus = F.col("re_obs") * 5
+
+    org = _mk_status(doc_id, text, org_epoch, fav_bonus)
+    samp_id = doc_id + 1000000 + F.col("re_obs") * 1000000
+
+    # the sampled (outer) status: for originals it IS the org status but with
+    # the outer id/created_at; for retweets/quotes the outer text is noise.
+    outer_text = F.when(branch == 0, text).otherwise(F.lit("RT noise"))
+    outer = _mk_status(samp_id, outer_text, samp_epoch, fav_bonus)
+
+    struct_t = org  # same type for quoted/retweeted slots
+    return base.select(
+        *[
+            outer.getField(f).alias(f)
+            for f in (
+                "created_at", "truncated", "entities",
+                "extended_entities", "extended_tweet", "favorite_count",
+                "quote_count", "reply_count", "retweet_count", "lang",
+            )
+        ],
+        samp_id.alias("id"),
+        outer_text.alias("text"),
+        # originals carry the org's sensitive flag + counts + user at top level
+        F.when(branch == 0, doc_id % 11 == 3).otherwise(F.lit(False)).alias(
+            "possibly_sensitive"
+        ),
+        F.when(branch == 0, org.getField("user")).otherwise(
+            outer.getField("user")
+        ).alias("user"),
+        (branch == 2).alias("is_quote_status"),
+        F.when(branch == 2, struct_t).alias("quoted_status"),
+        F.when(branch == 1, struct_t).alias("retweeted_status"),
+        F.when(
+            branch == 2,
+            F.struct(
+                F.concat(F.lit("https://p/"), doc_id.cast("string")).alias("expanded")
+            ),
+        ).alias("quoted_status_permalink"),
+    )
