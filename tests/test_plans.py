@@ -1,0 +1,93 @@
+"""Physical-plan regression tests (SURVEY.md §4): the properties that make
+the engine scale — pushdown, pruning, join strategy, top-k operator, no
+row-at-a-time Python in any hot path — asserted on the optimized plans so a
+refactor that silently loses them fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from job_search_engine_using_pyspark_solar_and_angular_spark.queries import extensions  # noqa: F401
+from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import QUERIES
+
+from .conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan_of(spark, "q02_filter")
+    assert "EqualTo(event_type,purchase)" in p and "GreaterThan(value,100.0)" in p
+
+
+def test_column_pruning(spark):
+    """q01 projects 3 of documents' columns; the scan must not read text."""
+    p = plan_of(spark, "q01_scan_project")
+    m = re.search(r"ReadSchema: (\S+)", p)
+    assert m and "text" not in m.group(1), m.group(1)
+
+
+def test_dimension_join_broadcasts(spark):
+    for q in ("q12_broadcast_join", "q13_point_join", "q24_user_search"):
+        p = plan_of(spark, q)
+        assert "BroadcastHashJoin" in p, q
+        assert "SortMergeJoin" not in p, q
+
+
+def test_anti_semi_joins_are_joins_not_collects(spark):
+    for q, kind in (("q03_anti_join", "LeftAnti"), ("q04_semi_join", "LeftSemi")):
+        p = plan_of(spark, q)
+        assert kind in p, f"{q}: {kind} missing"
+
+
+def test_topk_uses_take_ordered(spark):
+    """O2: top-k must compile to TakeOrderedAndProject (per-partition heaps),
+    not a global Sort + Limit."""
+    p = plan_of(spark, "q14_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_agg_is_partial_final(spark):
+    """A1: two-phase hash aggregation (map-side combine before the shuffle)."""
+    p = plan_of(spark, "q11_agg_tpch_q1")
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p
+
+
+def test_no_python_udfs_in_relational_queries(spark):
+    """U1-U3 rewrites hold: no BatchEvalPython (row-at-a-time Python) anywhere;
+    only the multimodal operators may use Arrow-batched Python (mapInPandas)."""
+    offenders = []
+    for name in QUERIES:
+        p = plan_of(spark, name)
+        if "BatchEvalPython" in p:
+            offenders.append(name)
+        if "ArrowEvalPython" in p or "MapInPandas" in p:
+            if "multimodal" not in name:
+                offenders.append(f"{name} (arrow python outside multimodal)")
+    assert not offenders, offenders
+
+
+def test_whole_stage_codegen_active(spark):
+    """Hot relational pipelines stay inside WholeStageCodegen spans (the
+    ``*(n)`` markers; visible only on the FINAL adaptive plan, so execute
+    first)."""
+    for q in ("q11_agg_tpch_q1", "q12_broadcast_join", "q17_wordcount_topk"):
+        df = QUERIES[q](spark, SF_DIR)
+        df.collect()  # count() would spawn a separate QueryExecution
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p, f"{q}: plan not finalized"
+        assert "*(" in p, f"{q}: no codegen spans in final plan"
+
+
+def test_bm25_broadcasts_small_sides(spark):
+    """R1: query-term stats and corpus stats broadcast; only per-doc agg
+    shuffles."""
+    p = plan_of(spark, "q20_bm25_search")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
