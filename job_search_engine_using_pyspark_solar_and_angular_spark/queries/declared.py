@@ -220,7 +220,8 @@ def q16(spark, sf_dir):
     return ex.select(
         "vec_id",
         F.col("pos").cast("long").alias("pos"),
-        F.round(F.col("val").cast("double"), 4).alias("val"),
+        # + 0.0 canonicalizes IEEE -0.0 (engines disagree on round's sign bit)
+        (F.round(F.col("val").cast("double"), 4) + F.lit(0.0)).alias("val"),
     )
 
 

@@ -50,7 +50,10 @@ def x2(spark, sf_dir):
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("sim"))
+        .select(
+            "vec_id",
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 4) + F.lit(0.0)).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(5)
     )
@@ -181,8 +184,11 @@ def ext_arrays_zip(spark, sf_dir):
     return z.select(
         "vec_id",
         F.col("pos").cast("long").alias("pos"),
-        F.round(
-            F.col("z.a").cast("double") * F.col("z.b").cast("double"), 4
+        # + 0.0 canonicalizes IEEE -0.0 to +0.0 (ROUND keeps the sign bit and
+        # engines disagree on it; the oracle does the same)
+        (
+            F.round(F.col("z.a").cast("double") * F.col("z.b").cast("double"), 4)
+            + F.lit(0.0)
         ).alias("prod"),
     )
 

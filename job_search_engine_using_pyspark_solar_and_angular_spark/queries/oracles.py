@@ -161,7 +161,7 @@ ORACLES["q15_user_listing"] = (
 )
 
 ORACLES["q16_posexplode"] = (
-    "SELECT vec_id, CAST(pos AS BIGINT) AS pos, ROUND(CAST(val AS DOUBLE), 4) AS val "
+    "SELECT vec_id, CAST(pos AS BIGINT) AS pos, ROUND(CAST(val AS DOUBLE), 4) + 0.0 AS val "
     "FROM (SELECT vec_id, unnest(embedding) AS val, "
     "generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings WHERE vec_id < 5) u "
     "ORDER BY vec_id, pos"
@@ -246,7 +246,7 @@ ORACLES["x1b_dup_groups"] = (
 
 ORACLES["x2_cosine_topk"] = (
     "SELECT e.vec_id, ROUND(list_cosine_similarity("
-    "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS sim "
+    "CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS sim "
     "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
     "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 5"
 )
@@ -398,7 +398,7 @@ ORACLES["ext_pagination"] = (
 
 ORACLES["ext_arrays_zip"] = (
     "SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, "
-    "ROUND(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i + 32] AS DOUBLE), 4) AS prod "
+    "ROUND(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i + 32] AS DOUBLE), 4) + 0.0 AS prod "
     "FROM embeddings, generate_series(1, 32) g(i) WHERE vec_id < 3 "
     "ORDER BY vec_id, pos"
 )
