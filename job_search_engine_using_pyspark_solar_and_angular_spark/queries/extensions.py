@@ -233,6 +233,24 @@ def ext_except(spark, sf_dir):
     return a.exceptAll(b).distinct()
 
 
+@query("ext_window_analytics")
+def ext_window_analytics(spark, sf_dir):
+    """Analytic window functions (lag / running sum / row_number) per user —
+    the general form of the D1 dedup window; one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.sum("value").over(wsum), 2).alias("running_value"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
 @query("ext_preprocess_pipeline")
 def ext_preprocess_pipeline(spark, sf_dir):
     """END-TO-END preprocess pipeline (plans/preprocess.py — the reference's

@@ -441,6 +441,15 @@ ORACLES["ext_except"] = (
     "ORDER BY doc_id"
 )
 
+ORACLES["ext_window_analytics"] = (
+    "SELECT event_id, user_id, "
+    "ROUND(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value, "
+    "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING), 2) AS running_value, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn "
+    "FROM events WHERE user_id < 100 ORDER BY user_id, rn"
+)
+
 # mirrors sources/synthetic.py construction field-by-field; branch routing
 # (original/retweet/quoted) only changes WHERE each field is read from in the
 # nested input, so the oracle states values directly.
