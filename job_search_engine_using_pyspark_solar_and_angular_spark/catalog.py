@@ -1,0 +1,86 @@
+"""Schema DDL / catalog surface (reference R5).
+
+The reference manages Solr field schemas programmatically — add/delete field
+and field type, lookups of indexed/stored flags
+(``Ranking Model/src/main/java/Utils/SolrSchema.java:27-151``, interactive
+lookup ``Main/SolrSetup.java:17-39``). In a Spark-native engine that surface
+is the catalog: table registration, schema description, and schema evolution
+expressed as plan-level projections (parquet/views are schema-on-read, so
+"add field" is a select, not a rewrite).
+
+All functions are metadata-only or lazy — nothing scans data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def register_table(spark: SparkSession, name: str, df: DataFrame) -> None:
+    """Catalog registration (Solr collection-create analog,
+    ``Main/SolrSetup.java:41-59``)."""
+    df.createOrReplaceTempView(name)
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """S9 teardown analog (``Main/SolrCleanup.java:84-116``)."""
+    spark.catalog.dropTempView(name)
+
+
+def describe_fields(df: DataFrame) -> list[dict]:
+    """Field lookup (``SolrSchema.java:97-151``): name, type, nullable.
+
+    Every parquet column is implicitly both "indexed" (min/max + dictionary
+    page metadata serve pruning) and "docValues" (columnar), so those Solr
+    flags have no per-field toggle here — noted for parity.
+    """
+    return [
+        {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+        for f in df.schema.fields
+    ]
+
+
+def add_field(df: DataFrame, name: str, col: F.Column) -> DataFrame:
+    """Schema evolution: add a (derived or literal-default) field
+    (``SolrSchema.java:27-53`` addField analog). Lazy projection."""
+    return df.withColumn(name, col)
+
+
+def delete_field(df: DataFrame, name: str) -> DataFrame:
+    """``SolrSchema.java:55-73`` deleteField analog."""
+    return df.drop(name)
+
+
+def cast_field(df: DataFrame, name: str, new_type: str | T.DataType) -> DataFrame:
+    """Field re-type (Solr required a delete+re-add + full re-index; here a
+    projection — the scan still prunes/pushes down on the raw column)."""
+    return df.withColumn(name, F.col(name).cast(new_type))
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> dict[str, list[str]]:
+    """Added/removed/retyped fields between two schemas — the check a
+    latest-wins merge (D2) should run before unioning existing ∪ incoming."""
+    fa = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    fb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    return {
+        "added": sorted(set(fb) - set(fa)),
+        "removed": sorted(set(fa) - set(fb)),
+        "retyped": sorted(k for k in set(fa) & set(fb) if fa[k] != fb[k]),
+    }
+
+
+def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project/cast a DataFrame onto a target schema: missing fields become
+    typed nulls, extra fields drop, mismatched types cast. The ingest-side
+    defense the reference implements as hand-listed selects
+    (``Tweets_preprocessing.py:120,150-154`` — per-file schema drift)."""
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -139,6 +139,78 @@ def read_tweets(spark: SparkSession, path: str, multiline: bool = True) -> DataF
     return spark.read.schema(tweet_schema()).json(path, multiLine=multiline)
 
 
+def flat_tweet_schema() -> T.StructType:
+    """The §1.3 canonical 24-column flat schema as written by
+    ``plans.preprocess.write_outputs`` CSV export (arrays JSON-stringified,
+    ids stringified) — the layout ``Main/SolrIndexer.java:89-113`` consumes
+    positionally."""
+    s = T.StringType()
+    return T.StructType(
+        [
+            T.StructField("org_id", s),
+            T.StructField("samp_id", s),
+            T.StructField("samp_datetime", T.TimestampType()),
+            T.StructField("org_url", s),
+            T.StructField("org_media_url", s),
+            T.StructField("org_media_type", s),
+            T.StructField("org_attached_links", s),
+            T.StructField("org_text", s),
+            T.StructField("org_hashtags", s),
+            T.StructField("org_user_metions", s),
+            T.StructField("user_id", s),
+            T.StructField("user_name", s),
+            T.StructField("user_screen_name", s),
+            T.StructField("user_verified", T.BooleanType()),
+            T.StructField("user_profile_image_url", s),
+            T.StructField("user_profile_banner_url", s),
+            T.StructField("user_profile_background_image_url", s),
+            T.StructField("user_followers_count", T.LongType()),
+            T.StructField("user_friends_count", T.LongType()),
+            T.StructField("org_favorite_count", T.LongType()),
+            T.StructField("org_quote_count", T.LongType()),
+            T.StructField("org_reply_count", T.LongType()),
+            T.StructField("org_retweet_count", T.LongType()),
+            T.StructField("org_datetime", T.TimestampType()),
+        ]
+    )
+
+
+def read_flat_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV scan of the flat export (reference S7: replaces the Java
+    positional reader ``Main/SolrIndexer.java:82-141``). JSON-stringified
+    array columns are re-typed to ``array<string>`` via from_json — no
+    Python-repr round-trip (SURVEY.md T20 anti-pattern)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.schema(flat_tweet_schema()).option("header", True).csv(path)
+    arr_cols = (
+        "org_media_url", "org_media_type", "org_attached_links",
+        "org_hashtags", "org_user_metions",
+    )
+    out = df
+    for c in arr_cols:
+        out = out.withColumn(c, F.from_json(F.col(c), "array<string>"))
+    for c in ("org_id", "samp_id", "user_id"):
+        out = out.withColumn(c, F.col(c).cast("long"))
+    return out
+
+
+def batches_in_epoch_order(spark: SparkSession, path: str) -> DataFrame:
+    """Reference S3 (``Tweets_preprocessing.py:58-79``): the driver loop
+    ordered raw files by the epoch embedded in the filename. Here the whole
+    directory reads as one DataFrame and per-row provenance comes from
+    ``input_file_name()``; the epoch is extracted so downstream logic can
+    window or order by batch — no driver-side file loop.
+    """
+    from pyspark.sql import functions as F
+
+    df = read_tweets(spark, path, multiline=True)
+    return df.withColumn("__file", F.input_file_name()).withColumn(
+        "__batch_epoch",
+        F.regexp_extract(F.col("__file"), r"(\d+)\.json$", 1).cast("long"),
+    )
+
+
 def read_tweets_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming read of a tweet-JSON directory (reference S1: replaces the
     tweepy listener + per-file driver loop, ``DataCollector.py:19-64`` +
