@@ -119,6 +119,83 @@ def ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col, exclude_ids)
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF codebook: the ``n_centroids`` lowest-id vectors act
+    as centroids (reproducible across runs; production swaps in k-means —
+    the inverted-list plan below is unchanged). Returns (cent_id, centroid)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(id_col))
+    return (
+        embeddings.select(id_col, vec_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_centroids)
+        .select(
+            (F.col("__rn") - 1).alias("cent_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (cosine argmax) — the
+    inverted-list build. Centroids broadcast; one max_by agg per vector.
+    At 100 TB, write the result partitioned by cent_id so a query scans only
+    its probed lists (partition pruning = the inverted file)."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cent_id"),
+        cosine(F.col(vec_col), F.col("centroid")).alias("csim"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by("cent_id", F.struct("csim", (-F.col("cent_id")).alias("t"))).alias(
+            "cent_id"
+        ),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+    assigned: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
+    query, exact-score only their inverted lists. Pass a prebuilt
+    (assigned, centroids) pair to amortize the index across queries."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probes = (
+        centroids.select("cent_id", cosine(F.col("centroid"), q).alias("qsim"))
+        .orderBy(F.col("qsim").desc(), F.col("cent_id"))
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "cent_id")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col, exclude_ids)
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

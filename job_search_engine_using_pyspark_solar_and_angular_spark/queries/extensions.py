@@ -312,6 +312,16 @@ def ext_ann_lsh(spark, sf_dir):
     )
 
 
+@query("ext_ann_ivf")
+def ext_ann_ivf(spark, sf_dir):
+    """IVF approximate NN (rows-only: centroid assignment is float-order
+    sensitive). Recall vs the exact scorer is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding")
+    qvec = [float(x) for x in qrow.first()["embedding"]]
+    return similarity.ivf_topk(emb, qvec, k=5, nprobe=4, exclude_ids=[0])
+
+
 @query("ext_embedding_near_dups")
 def ext_embedding_near_dups(spark, sf_dir):
     """Embedding near-dup pairs within LSH buckets (rows-only check)."""
