@@ -184,6 +184,68 @@ def test_trending_topk_stream(spark, tmp_path):
     }
 
 
+def test_streaming_tweet_preprocess_merge(spark, tmp_path):
+    """End-to-end streaming ingest (SURVEY.md §2.11): raw tweet JSON files
+    arrive as micro-batches -> flatten (stateless preprocess) inside
+    foreachBatch -> latest-wins merge into the serving table. Result must
+    equal the batch pipeline over all files at once."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.plans.preprocess import (
+        flatten_tweets,
+        preprocess,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources.tweets import (
+        read_tweets,
+        read_tweets_stream,
+    )
+
+    from .test_preprocess import _fixture_tweets
+
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir()
+    tweets = _fixture_tweets()
+    # multiLine arrays are not streamable; one JSON object per line
+    with open(raw_dir / "b1.json", "w") as f:
+        for t in tweets[:5]:
+            f.write(json.dumps(t) + "\n")
+
+    target = str(tmp_path / "serving")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = latest_wins_merge_sink(
+            read_tweets_stream(spark, str(raw_dir)),
+            spark,
+            target,
+            key_cols=["org_id"],
+            order_col="samp_datetime",
+            checkpoint=ck,
+            transform=flatten_tweets,
+        )
+        q.awaitTermination(120)
+
+    run()
+    with open(raw_dir / "b2.json", "w") as f:
+        for t in tweets[5:]:
+            f.write(json.dumps(t) + "\n")
+    run()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(target)
+        .select("org_id", "samp_id", "org_favorite_count")
+        .collect()
+    )
+    batch = preprocess(
+        read_tweets(spark, str(tmp_path / "raw"), multiline=False),
+        apply_hiring_filter=False,
+    )
+    want = sorted(
+        tuple(r)
+        for r in batch.select("org_id", "samp_id", "org_favorite_count").collect()
+    )
+    assert got == want
+
+
 def test_streaming_dedup_bounded_state(spark, tmp_path):
     """dropDuplicates after withWatermark: duplicate keys within the horizon
     are emitted once."""
