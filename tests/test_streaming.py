@@ -246,6 +246,42 @@ def test_streaming_tweet_preprocess_merge(spark, tmp_path):
     assert got == want
 
 
+def test_stateful_running_profile(spark, events_dir, tmp_path):
+    """applyInPandasWithState: per-user running totals across micro-batches
+    must equal the batch aggregation over all data."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.stateful import (
+        running_user_profile,
+    )
+
+    schema = _stream_schema(spark, events_dir)
+    stream = stream_parquet(spark, events_dir, schema)
+    prof = running_user_profile(stream)
+    q = (
+        prof.writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode: keep the LAST emitted row per user
+    got_df = spark.table("profiles")
+    latest = got_df.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+    )
+    got = {r["user_id"]: r["n_events"] for r in latest.collect()}
+
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup_bounded_state(spark, tmp_path):
     """dropDuplicates after withWatermark: duplicate keys within the horizon
     are emitted once."""
