@@ -70,6 +70,29 @@ def build_index(
     return SearchIndex(postings=postings, doc_stats=doc_stats, term_stats=term_stats)
 
 
+def refresh_index(
+    index: SearchIndex, changed_docs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> SearchIndex:
+    """Incremental latest-wins index maintenance (SURVEY.md §7.3; the Solr
+    re-index replace-by-id semantics of ``Main/SolrIndexer.java:36-45``):
+    postings for changed/new doc_ids replace their previous postings
+    entirely; untouched documents' postings pass through.
+
+    Plan shape: anti-join existing postings against the (small) changed-id
+    set — broadcast, map-side — then union the freshly built postings.
+    doc_stats/term_stats re-derive from the merged postings lazily; at scale
+    they are cheap aggregates of the postings table, not corpus re-scans.
+    """
+    fresh = build_index(changed_docs, id_col, text_col)
+    changed_ids = changed_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    kept = index.postings.join(F.broadcast(changed_ids), "doc_id", "left_anti")
+    postings = kept.unionByName(fresh.postings)
+    doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    term_stats = postings.groupBy("token").agg(F.count("*").alias("df"))
+    return SearchIndex(postings=postings, doc_stats=doc_stats, term_stats=term_stats)
+
+
 def write_index(
     index: SearchIndex, base_path: str, buckets: int = 64,
     table: str = "jse_postings",

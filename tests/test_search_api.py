@@ -117,6 +117,37 @@ def test_index_write_read_roundtrip(spark, docs, index, tmp_path):
     spark.sql("DROP TABLE IF EXISTS jse_postings_test")
 
 
+def test_incremental_refresh_equals_full_rebuild(spark, docs):
+    """refresh_index(old ∪ updates) must equal build_index(final corpus):
+    searches over both give identical results — the D2 idempotence property
+    lifted to the search index."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+        refresh_index,
+    )
+
+    first = docs.filter(F.col("doc_id") % 3 != 0)
+    # updates: the held-out third, plus re-ingestion of some existing docs
+    # with CHANGED text (must replace, not duplicate, their postings)
+    changed = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        docs.filter((F.col("doc_id") % 10 == 1) & (F.col("doc_id") % 3 != 0)).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" refreshed spark"))
+        )
+    )
+    final_corpus = docs.filter(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 10 != 1)
+    ).unionByName(
+        docs.filter((F.col("doc_id") % 10 == 1) & (F.col("doc_id") % 3 != 0)).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" refreshed spark"))
+        )
+    )
+
+    refreshed = refresh_index(build_index(first), changed)
+    rebuilt = build_index(final_corpus)
+    a = bm25_search(spark, refreshed, ["spark", "join"], k=10).collect()
+    b = bm25_search(spark, rebuilt, ["spark", "join"], k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_bm25_scores_positive_and_tie_broken(spark, index):
     res = bm25_search(spark, index, ["spark"], k=10).collect()
     assert all(r["score"] > 0 for r in res)
