@@ -30,8 +30,10 @@ def search_keyword(
     doc_user_key: tuple[str, str] | None = None,
 ) -> DataFrame:
     """BM25 top-k for a free-text query, joined back to full docs (and
-    optionally the user dimension — reference J1 broadcast join)."""
-    terms = [t for t in query.lower().split() if t]
+    optionally the user dimension — reference J1 broadcast join). The query
+    passes through the SAME analyzer as the corpus (tokenize_query mirrors
+    tokenize_normalized) — otherwise punctuated queries would never match."""
+    terms = tokenize_query(query)
     hits = bm25_search(spark, index, terms, k=k)
     out = hits.join(docs, "doc_id")  # hits is tiny: Catalyst broadcasts it
     if users is not None and doc_user_key is not None:

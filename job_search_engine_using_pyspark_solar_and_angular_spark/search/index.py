@@ -43,10 +43,15 @@ class SearchIndex:
 
 
 def build_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    docs: DataFrame, id_col: str = "doc_id", text_col: str | list[str] = "text",
     cache: bool = False,
 ) -> SearchIndex:
     """Tokenize once, derive all three index tables from the tokenized rows.
+
+    ``text_col`` may be a list of columns — they are space-concatenated before
+    tokenization, giving the reference's dual-field OR search
+    (``q=tweetText:<q> OR tweetMediaText:<q>``, ``SolrRanker.java:76``): a
+    term hit in ANY field scores the document.
 
     ``cache=True`` persists the postings table so the three derived tables
     (and a following search) share one tokenize+aggregate pass instead of
@@ -55,9 +60,15 @@ def build_index(
     corpus up to 4x (postings/doc_stats/term_stats/corpus_stats subtrees)."""
     from ..io import ensure_parallelism
 
+    if isinstance(text_col, (list, tuple)):
+        text_expr = F.concat_ws(
+            " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_col]
+        )
+    else:
+        text_expr = F.col(text_col)
     toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokenize_normalized(text_col)).alias("token"),
+        F.explode(tokenize_normalized(text_expr)).alias("token"),
     )
     postings = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
     if cache:

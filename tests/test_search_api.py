@@ -117,6 +117,30 @@ def test_index_write_read_roundtrip(spark, docs, index, tmp_path):
     spark.sql("DROP TABLE IF EXISTS jse_postings_test")
 
 
+def test_punctuated_query_matches(spark, docs, index):
+    """The query analyzer must normalize like the corpus analyzer: a
+    punctuated query still hits."""
+    clean = search_keyword(spark, index, docs, None, "spark join", k=10).collect()
+    punct = search_keyword(spark, index, docs, None, "  Spark, JOIN!", k=10).collect()
+    assert [tuple(r) for r in clean] == [tuple(r) for r in punct]
+
+
+def test_dual_field_search(spark):
+    """R1 dual-field OR semantics (``tweetText OR tweetMediaText``): a term
+    present only in the media-text field still scores the document."""
+    df = spark.createDataFrame(
+        [
+            (1, "plain words here", "ocr found hiring poster"),
+            (2, "more plain words", None),
+            (3, "hiring mentioned in text", ""),
+        ],
+        "doc_id long, text string, media_text string",
+    )
+    idx = build_index(df, text_col=["text", "media_text"])
+    hits = {r["doc_id"] for r in bm25_search(spark, idx, ["hiring"], k=10).collect()}
+    assert hits == {1, 3}
+
+
 def test_incremental_refresh_equals_full_rebuild(spark, docs):
     """refresh_index(old ∪ updates) must equal build_index(final corpus):
     searches over both give identical results — the D2 idempotence property
