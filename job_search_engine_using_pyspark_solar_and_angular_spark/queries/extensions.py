@@ -214,6 +214,17 @@ def ext_rollup(spark, sf_dir):
     )
 
 
+@query("ext_cube")
+def ext_cube(spark, sf_dir):
+    """CUBE over (event_type, lang-of-user bucket): all 4 grouping sets."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("ub", (F.col("user_id") % 4).cast("long"))
+        .cube("event_type", "ub")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @query("ext_intersect")
 def ext_intersect(spark, sf_dir):
     """Set intersection (SURVEY.md §2.7 — free in Spark; absent from the

@@ -427,6 +427,12 @@ ORACLES["ext_rollup"] = (
     "GROUP BY ROLLUP(event_type, h) ORDER BY event_type, h"
 )
 
+ORACLES["ext_cube"] = (
+    "SELECT event_type, ub, COUNT(*) AS n FROM "
+    "(SELECT event_type, CAST(user_id % 4 AS BIGINT) AS ub FROM events) "
+    "GROUP BY CUBE(event_type, ub) ORDER BY event_type, ub"
+)
+
 ORACLES["ext_intersect"] = (
     "SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), 'spark') "
     "INTERSECT "
