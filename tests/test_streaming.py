@@ -246,6 +246,59 @@ def test_streaming_tweet_preprocess_merge(spark, tmp_path):
     assert got == want
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: an event arriving
+    after its window's watermark has passed is dropped; windows finalize once
+    the watermark crosses their end."""
+    src = str(tmp_path / "late")
+    import os
+
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch("b1.json", [
+        {"ts": "2024-01-01 10:05:00", "k": "a"},
+        {"ts": "2024-01-01 10:20:00", "k": "a"},
+    ])
+
+    stream = (
+        spark.readStream.schema("ts string, k string").json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "15 minutes").alias("w"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("w"), "k", "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("late_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past the first window, then send a LATE
+        # event for it — must be dropped, not re-opened
+        write_batch("b2.json", [{"ts": "2024-01-01 11:00:00", "k": "a"}])
+        q.processAllAvailable()
+        write_batch("b3.json", [{"ts": "2024-01-01 10:01:00", "k": "a"}])  # late
+        write_batch("b4.json", [{"ts": "2024-01-01 11:30:00", "k": "a"}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {(r["w"], r["k"]): r["n"] for r in spark.table("late_agg").collect()}
+    # 10:00 window finalized with ONLY the on-time event (late one dropped)
+    assert rows.get(("10:00", "a")) == 1
+    assert rows.get(("10:15", "a")) == 1
+
+
 def test_stateful_running_profile(spark, events_dir, tmp_path):
     """applyInPandasWithState: per-user running totals across micro-batches
     must equal the batch aggregation over all data."""
