@@ -181,7 +181,12 @@ def preprocess(
     return hiring_filter(deduped, terms=terms) if apply_hiring_filter else deduped
 
 
-def write_outputs(df: DataFrame, parquet_path: str, csv_path: str | None = None) -> None:
+def write_outputs(
+    df: DataFrame,
+    parquet_path: str,
+    csv_path: str | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
     """Dual sink (reference S4/S5, ``Tweets_preprocessing.py:484-507``):
     typed parquet (arrays kept) and optionally a CSV export with arrays
     JSON-stringified and ids as strings — ``to_json``/``cast`` instead of the
@@ -190,8 +195,15 @@ def write_outputs(df: DataFrame, parquet_path: str, csv_path: str | None = None)
     No ``coalesce(1)``: output file count follows upstream parallelism (the
     reference's single-file write + manual folder flatten at ``:511-581`` is
     a driver bottleneck at any real scale).
+
+    ``partition_by`` (e.g. an ingest-date column) hive-partitions the parquet
+    output so time-scoped readers prune partitions instead of scanning the
+    corpus — the 100 TB layout.
     """
-    df.write.mode("overwrite").parquet(parquet_path)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(parquet_path)
     if csv_path:
         arr_cols = {"org_media_url", "org_media_type", "org_attached_links",
                     "org_hashtags", "org_user_metions"}

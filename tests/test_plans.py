@@ -85,6 +85,33 @@ def test_whole_stage_codegen_active(spark):
         assert "*(" in p, f"{q}: no codegen spans in final plan"
 
 
+def test_partition_pruning_on_partitioned_output(spark, tmp_path):
+    """Date-partitioned preprocess output: a date-filtered read must prune
+    partitions (PartitionFilters), not scan and post-filter."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.plans.preprocess import (
+        preprocess,
+        write_outputs,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources.synthetic import (
+        tweets_from_documents,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = preprocess(tweets_from_documents(docs), terms=("spark", "join")).withColumn(
+        "samp_date", F.to_date("samp_datetime")
+    )
+    path = str(tmp_path / "partitioned")
+    write_outputs(out, path, partition_by=["samp_date"])
+
+    back = spark.read.parquet(path).filter(F.col("samp_date") == "2022-01-01")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "samp_date" in m.group(1), plan[:800]
+
+
 def test_bm25_broadcasts_small_sides(spark):
     """R1: query-term stats and corpus stats broadcast; only per-doc agg
     shuffles."""
