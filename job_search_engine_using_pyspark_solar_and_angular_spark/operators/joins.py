@@ -1,0 +1,115 @@
+"""Temporal join operators Spark lacks as primitives: as-of join, range
+(interval-bucket) join, and gap-based sessionization — composed from existing
+DataFrame ops per the engine's custom-operator policy (composition first,
+Pandas UDF only if semantics demand it; these don't).
+
+The reference has no temporal joins (SURVEY.md §2.4: equi-joins only); these
+are extension operators for the training-data-pipeline charter (event/feature
+alignment, bucketed joins, session corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """For every left row, attach the LATEST right row with
+    ``right.ts <= left.ts`` for the same key (left outer: nulls when no prior
+    right row) — the standard event/feature-snapshot alignment join.
+
+    Scale design: NOT a per-row lookup and NOT a range cross-join. Both sides
+    union into one stream, ONE shuffle on the key, and a running
+    ``last(ignorenulls)`` window carries the most recent right-side values
+    forward onto left rows. O(n log n) in partition size, no state blowup,
+    AQE-skew-splittable — the same plan shape at any scale.
+
+    Ties (right.ts == left.ts): the right row counts (matches DuckDB/pandas
+    ASOF semantics with >=), enforced by ordering right rows before left rows
+    at equal timestamps.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    l_tagged = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns if c not in (key,)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (key,)],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        F.col(key),
+        *[F.col(c) for c in left.columns if c not in (key,)],
+        *[F.col(f"__asof_{c}").alias(c) for c in right_cols],
+    )
+    return out
+
+
+def range_bucket_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Join facts to half-open buckets [lo, hi) by a non-equi predicate.
+    The ranges side is a small static table by contract — broadcast, so the
+    'join' is a map-side scan per fact row (BroadcastNestedLoopJoin with a
+    tiny build side), never a shuffle."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(ranges), cond, "left")
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since the
+    key's previous event exceeds ``gap_seconds``. Returns per-session rows
+    (key, session_idx, n_events, start/end ts). One shuffle on the key; the
+    cumulative-sum window is the classic single-pass formulation (same SQL in
+    any engine, which is what makes it oracle-checkable)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col))
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    marked = events.withColumn(
+        "__new",
+        F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = marked.withColumn("session_idx", F.sum("__new").over(wsum))
+    return sessions.groupBy(key, "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )

@@ -214,6 +214,60 @@ def ext_rollup(spark, sf_dir):
     )
 
 
+@query("ext_asof_join")
+def ext_asof_join(spark, sf_dir):
+    """As-of join: each purchase event aligned to the user's latest signup
+    at-or-before it (event/feature-snapshot alignment)."""
+    from ..operators.joins import as_of_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    # dedup right side per (user, ts): equal-ts duplicates would make the
+    # as-of pick order-dependent in ANY engine
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("signup_value"))
+    )
+    out = as_of_join(purchases, signups, key="user_id", right_cols=["signup_value"])
+    return out.select("event_id", "user_id", "signup_value")
+
+
+@query("ext_range_join")
+def ext_range_join(spark, sf_dir):
+    """Range-bucket join: event values into static half-open buckets via a
+    broadcast non-equi join."""
+    from ..operators.joins import range_bucket_join
+
+    e = load_table(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e9, "high")],
+        "lo double, hi double, bucket string",
+    )
+    out = range_bucket_join(
+        e.select("event_id", "value"), ranges, value_col="value"
+    )
+    return out.select("event_id", "bucket")
+
+
+@query("ext_sessionize")
+def ext_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity gap) per user."""
+    from ..operators.joins import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, gap_seconds=1800)
+    return s.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+    )
+
+
 @query("ext_cube")
 def ext_cube(spark, sf_dir):
     """CUBE over (event_type, lang-of-user bucket): all 4 grouping sets."""

@@ -427,6 +427,43 @@ ORACLES["ext_rollup"] = (
     "GROUP BY ROLLUP(event_type, h) ORDER BY event_type, h"
 )
 
+ORACLES["ext_asof_join"] = """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS signup_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, s.signup_value
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id
+"""
+
+ORACLES["ext_range_join"] = (
+    "WITH r(lo, hi, bucket) AS (VALUES "
+    "(0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1000000000.0, 'high')) "
+    "SELECT e.event_id, r.bucket FROM events e "
+    "LEFT JOIN r ON e.value >= r.lo AND e.value < r.hi ORDER BY e.event_id"
+)
+
+# gap computed on floor(epoch) in BOTH engines: Spark's timestamp->long cast
+# truncates to whole seconds; DuckDB's epoch() keeps fractions.
+ORACLES["ext_sessionize"] = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS s_end
+FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
 ORACLES["ext_cube"] = (
     "SELECT event_type, ub, COUNT(*) AS n FROM "
     "(SELECT event_type, CAST(user_id % 4 AS BIGINT) AS ub FROM events) "

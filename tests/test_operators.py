@@ -121,6 +121,63 @@ def test_lemmatize_applies_dictionary(spark):
     assert out == {0: "join", 1: "and", 2: "join", 3: "table"}
 
 
+def test_asof_join_semantics(spark):
+    """Hand-computed as-of: latest right at-or-before each left ts, per key;
+    null when no prior right row; equal-ts right row matches."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        as_of_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 7, "l3")],
+        "k long, ts long, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 9, "r9")],
+        "k long, ts long, v string",
+    )
+    out = {r["lid"]: r["v"] for r in as_of_join(left, right, "k").collect()}
+    assert out == {"l0": None, "l1": "r10", "l2": "r15", "l3": None}
+
+
+def test_sessionize_gap_splits(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        sessionize,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),   # same session (600 s)
+        (1, "2024-01-01 11:00:00"),   # gap 3000 s -> new session
+        (2, "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    s = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert s == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_range_join_is_broadcast(spark):
+    """The ranges side must broadcast (nested-loop with tiny build side),
+    never shuffle the fact table."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        range_bucket_join,
+    )
+
+    e = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    ranges = spark.createDataFrame(
+        [(0.0, 100.0, "a"), (100.0, 1e9, "b")], "lo double, hi double, bucket string"
+    )
+    out = range_bucket_join(e, ranges, "value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert out.count() == e.count()  # left join keeps every fact row
+
+
 def test_merge_latest_idempotent(spark):
     e = load_table(spark, SF_DIR, "events")
     first = dedup.latest_wins(e, ["user_id"], "ts", ["event_id"])
