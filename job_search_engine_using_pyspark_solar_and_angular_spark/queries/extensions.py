@@ -214,6 +214,28 @@ def ext_rollup(spark, sf_dir):
     )
 
 
+@query("ext_search_e2e")
+def ext_search_e2e(spark, sf_dir):
+    """The flagship slice (SURVEY.md §7.2): BM25 top-10 -> join back to the
+    doc row -> broadcast-join the user dimension -> ranked envelope columns.
+    The whole reference request path (``Handler.java:33-74`` +
+    ``SolrRanker.java:66-91`` + the N+1 user loop) as ONE Catalyst plan."""
+    from ..search.bm25 import bm25_search
+    from ..search.index import build_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    users = load_table(spark, sf_dir, "customer")
+    index = build_index(docs, cache=True)
+    hits = bm25_search(spark, index, ["spark", "join"], k=10)
+    enriched = hits.join(docs, "doc_id").withColumn(
+        "owner", (F.col("doc_id") % 100) + 1
+    )
+    return (
+        enriched.join(F.broadcast(users), F.col("owner") == users.c_custkey)
+        .select("doc_id", "score", "lang", "c_name")
+    )
+
+
 @query("ext_asof_join")
 def ext_asof_join(spark, sf_dir):
     """As-of join: each purchase event aligned to the user's latest signup

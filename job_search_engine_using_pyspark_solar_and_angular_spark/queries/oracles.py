@@ -427,6 +427,32 @@ ORACLES["ext_rollup"] = (
     "GROUP BY ROLLUP(event_type, h) ORDER BY event_type, h"
 )
 
+ORACLES["ext_search_e2e"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+postings AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, token),
+dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM postings
+          WHERE token IN ('spark', 'join') GROUP BY token),
+scores AS (
+  SELECT p.doc_id,
+         SUM( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * {K1 + 1.0!r}
+              / (p.tf + {K1!r} * (1.0 - {B!r} + {B!r} * l.dl / s.avgdl)) ) AS raw
+  FROM postings p
+  JOIN dfreq d ON p.token = d.token
+  JOIN dlen l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+topk AS (SELECT doc_id, ROUND(raw, 4) AS score FROM scores
+         ORDER BY score DESC, doc_id LIMIT 10)
+SELECT t.doc_id, t.score, d.lang, c.c_name
+FROM topk t
+JOIN documents d ON d.doc_id = t.doc_id
+JOIN customer c ON c.c_custkey = (t.doc_id % 100) + 1
+ORDER BY t.score DESC, t.doc_id
+"""
+
 ORACLES["ext_asof_join"] = """
 WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
 s AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS signup_value

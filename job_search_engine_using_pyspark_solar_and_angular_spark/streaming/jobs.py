@@ -105,6 +105,32 @@ def topk_per_window(counts: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def session_counts(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (``F.session_window``): merging event-time
+    sessions per key, streaming-capable with watermark state eviction. The
+    batch gap-sum formulation lives in operators/joins.py ``sessionize`` —
+    the two agree wherever no inter-event gap equals the boundary exactly
+    (session_window splits at gap >= g, gap-sum at gap > g)."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     df: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -246,6 +246,37 @@ def test_streaming_tweet_preprocess_merge(spark, tmp_path):
     assert got == want
 
 
+def test_session_window_agrees_with_gap_sum(spark):
+    """F.session_window sessions == the batch gap-sum sessionize (same key
+    counts) when no gap sits exactly on the boundary."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        sessionize,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.jobs import (
+        session_counts,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 11:00:00"),   # 3000 s gap -> new session
+        (1, "2024-01-01 11:05:00"),
+        (2, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    native = sorted(
+        (r["user_id"], r["n_events"])
+        for r in session_counts(df, gap="30 minutes").collect()
+    )
+    gapsum = sorted(
+        (r["user_id"], r["n_events"])
+        for r in sessionize(df, gap_seconds=1800).collect()
+    )
+    assert native == gapsum == [(1, 2), (1, 2), (2, 1)]
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append-mode windowed agg with a 10-minute watermark: an event arriving
     after its window's watermark has passed is dropped; windows finalize once
