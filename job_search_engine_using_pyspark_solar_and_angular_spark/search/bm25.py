@@ -54,13 +54,19 @@ def bm25_search(
     Returns (doc_id, score) with score rounded to 4 decimals, ordered
     score desc, doc_id asc (stable tie-break).
     """
-    qterms = spark.createDataFrame([(t,) for t in dict.fromkeys(terms)], "token string")
-    # df for just the query terms: tiny — broadcast both ways.
-    q_stats = index.term_stats.join(F.broadcast(qterms), "token")
+    uniq = list(dict.fromkeys(terms))
+    # df for just the query terms, computed from postings pruned to those
+    # tokens — NOT from term_stats, which would aggregate the full token space
+    # (a shuffle over every distinct term in the corpus) to answer a 2-term
+    # query. On the bucketed on-disk postings (write_index) the isin filter
+    # prunes to the query terms' buckets, the Spark analog of reading a few
+    # posting lists.
+    q_postings = index.postings.filter(F.col("token").isin(uniq))
+    q_stats = q_postings.groupBy("token").agg(F.count("*").alias("df"))
     stats = index.corpus_stats()  # 1 row
 
     scored = (
-        index.postings.join(F.broadcast(q_stats), "token")
+        q_postings.join(F.broadcast(q_stats), "token")
         .join(index.doc_stats, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
