@@ -214,6 +214,117 @@ def ext_rollup(spark, sf_dir):
     )
 
 
+@query("ext_tpch_q3")
+def ext_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): fact⋈fact⋈dim with selective
+    filters on all three inputs, grouped revenue, top-10. Exercises what the
+    reference never could (its J1/J2 joins were per-row Solr lookups): filter
+    pushdown on all scans, broadcast of the filtered dimension, and a
+    TakeOrderedAndProject instead of a full sort. The o_orderpriority column
+    stands in for TPC-H's o_shippriority (fixture has no such column)."""
+    cutoff = F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query("ext_pivot")
+def ext_pivot(spark, sf_dir):
+    """Pivot (long→wide): per-user event counts, one column per event type.
+    The explicit value list keeps the plan a single pass (no extra distinct
+    scan to discover pivot values) and the output schema stable."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    e = load_table(spark, sf_dir, "events")
+    p = e.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+@query("ext_gap_fill")
+def ext_gap_fill(spark, sf_dir):
+    """Time-series resample with gap filling: per-user hourly event counts
+    over a dense hour spine from the user's first to last event —
+    ``sequence()`` + ``explode`` generates the spine in-plan (DuckDB:
+    ``generate_series``), a left join fills missing hours with 0. The spine
+    stays partitioned by user (no driver-side calendar)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    spans = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    counts = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    return hours.join(counts, ["user_id", "h"], "left").select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+
+
+@query("ext_funnel")
+def ext_funnel(spark, sf_dir):
+    """Event funnel: each user's first signup, first purchase at-or-after it,
+    and a 24-hour conversion flag. Two keyed aggregations + one left join —
+    the sequential-pattern query a training-data/behavioral pipeline runs
+    constantly; no window over the full event stream is needed."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(
+            F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 24 HOURS"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("converted"),
+    )
+
+
 @query("ext_search_e2e")
 def ext_search_e2e(spark, sf_dir):
     """The flagship slice (SURVEY.md §7.2): BM25 top-10 -> join back to the

@@ -427,6 +427,60 @@ ORACLES["ext_rollup"] = (
     "GROUP BY ROLLUP(event_type, h) ORDER BY event_type, h"
 )
 
+ORACLES["ext_tpch_q3"] = """
+SELECT l.l_orderkey AS l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o.o_orderpriority AS o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+ORACLES["ext_pivot"] = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in ["click", "view", "purchase", "signup", "error"]
+    )
+    + " FROM events GROUP BY user_id ORDER BY user_id"
+)
+
+ORACLES["ext_gap_fill"] = """
+WITH e AS (SELECT * FROM events WHERE user_id < 20),
+spans AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+                 date_trunc('hour', MAX(ts)) AS h1 FROM e GROUP BY user_id),
+hours AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM spans),
+counts AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2)
+SELECT hours.user_id, strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       COALESCE(counts.n, 0) AS n
+FROM hours LEFT JOIN counts ON hours.user_id = counts.user_id AND hours.h = counts.h
+ORDER BY hours.user_id, hour
+"""
+
+ORACLES["ext_funnel"] = """
+WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT s.user_id,
+       strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CAST(CASE WHEN p.purchase_ts <= s.signup_ts + INTERVAL 24 HOUR
+                 THEN 1 ELSE 0 END AS BIGINT) AS converted
+FROM s LEFT JOIN p ON s.user_id = p.user_id
+ORDER BY s.user_id
+"""
+
 ORACLES["ext_search_e2e"] = f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
 postings AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
