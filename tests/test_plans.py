@@ -118,3 +118,23 @@ def test_bm25_broadcasts_small_sides(spark):
     p = plan_of(spark, "q20_bm25_search")
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q3_plan_shape(spark):
+    """ext_tpch_q3: filters pushed into all three scans, both joins broadcast
+    (filtered orders + customer dims), top-10 via TakeOrderedAndProject."""
+    p = plan_of(spark, "ext_tpch_q3")
+    assert "GreaterThan(l_shipdate" in p
+    assert "LessThan(o_orderdate" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_gap_fill_spine_stays_distributed(spark):
+    """ext_gap_fill: the hour spine is generated in-plan (Generate/explode
+    over sequence), not via a driver-side calendar crossJoin."""
+    p = plan_of(spark, "ext_gap_fill")
+    assert "Generate explode(sequence" in p
+    assert "CartesianProduct" not in p
