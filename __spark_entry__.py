@@ -1,8 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-- ``entry(spark)``: flagship query (BM25 keyword search over the documents
-  corpus — the engine's spine: scan → tokenize → postings → score → top-k)
-  at sf0.001.
+- ``entry(spark)``: flagship query (SURVEY.md §7.2 — BM25 keyword search
+  over the documents corpus, top-k joined back to the doc rows and the
+  broadcast user dimension: scan → tokenize → postings → score → top-k →
+  join, the whole reference request path as one plan) at sf0.001.
 - ``queries()``: every implemented operator from SURVEY.md §2 (declared set
   Q01-Q24 + extensions X1-X4 + LLM-pipeline operators).
 - ``oracle_sql()``: DuckDB-equivalent SQL for each hash-checkable query.
@@ -33,7 +34,7 @@ _ = _ext  # silence unused-import linters; importing registers the queries
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _QUERIES["q20_bm25_search"](spark, "/root/testdata/sf0.001")
+    return _QUERIES["ext_search_e2e"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

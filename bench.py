@@ -23,6 +23,7 @@ from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared im
 
 HEADLINE = [
     "q03_anti_join",
+    "ext_tpch_q3",
     "q08_latest_wins",
     "q11_agg_tpch_q1",
     "q12_broadcast_join",

@@ -325,6 +325,26 @@ def ext_funnel(spark, sf_dir):
     )
 
 
+@query("ext_percentile")
+def ext_percentile(spark, sf_dir):
+    """Exact percentiles (median / p90) of event value per type — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` both linear-interpolate over
+    the sorted values, so ROUND(...,2) hash-matches. The scale path for
+    wide-cardinality groups is ``approx_percentile`` (t-digest, mergeable
+    map-side sketches); exact percentile needs the group's values sorted in
+    one place and is reserved for small groups like these 5."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("ext_search_e2e")
 def ext_search_e2e(spark, sf_dir):
     """The flagship slice (SURVEY.md §7.2): BM25 top-10 -> join back to the

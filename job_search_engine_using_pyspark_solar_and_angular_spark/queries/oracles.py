@@ -481,6 +481,14 @@ FROM s LEFT JOIN p ON s.user_id = p.user_id
 ORDER BY s.user_id
 """
 
+ORACLES["ext_percentile"] = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 2) AS p50,
+       ROUND(quantile_cont(value, 0.9), 2) AS p90,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 ORACLES["ext_search_e2e"] = f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
 postings AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
