@@ -32,20 +32,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Predicates/projections placed on the returned
     DataFrame push down into the parquet scan (verify with .explain).
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which the Spark parquet
-    reader rejects; read it as int64 (legacy conf, set dynamically so it works
-    under any caller's session) and convert to a microsecond timestamp —
-    identical to how DuckDB/Python surface the same column.
+    ``events.ts`` is written as TIMESTAMP(NANOS); depending on the Spark
+    build it surfaces either as int64 (with the legacy nanosAsLong conf) or as
+    TIMESTAMP_NTZ. Normalize BOTH to session-local ``TIMESTAMP`` here, once,
+    so every consumer (sessionize's epoch math, streaming ``withWatermark``,
+    window aggs) sees one canonical type. The session timezone is UTC
+    (session.py), so NTZ→TIMESTAMP preserves wall-clock values — identical to
+    how DuckDB/Python surface the same column.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # conf may be static/absent on some builds; the read will tell
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

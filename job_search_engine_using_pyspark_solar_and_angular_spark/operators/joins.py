@@ -101,7 +101,11 @@ def sessionize(
     cumulative-sum window is the classic single-pass formulation (same SQL in
     any engine, which is what makes it oracle-checkable)."""
     w = Window.partitionBy(key).orderBy(F.col(ts_col))
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # NTZ-safe epoch seconds: TIMESTAMP_NTZ can't cast straight to BIGINT on
+    # Spark 4; going through TIMESTAMP first is a no-op for TIMESTAMP inputs
+    # (UTC session) and legal for NTZ ones.
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     marked = events.withColumn(
         "__new",
         F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0)),

@@ -38,8 +38,16 @@ from ..operators.dedup import merge_latest
 
 def stream_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """File-source stream over a parquet directory (explicit schema — required
-    by Structured Streaming, and the 100 TB-safe choice anyway)."""
-    return spark.readStream.schema(schema).parquet(path)
+    by Structured Streaming, and the 100 TB-safe choice anyway).
+
+    TIMESTAMP_NTZ event-time columns are normalized to TIMESTAMP:
+    ``withWatermark`` requires TIMESTAMP, and the session runs in UTC so the
+    cast preserves wall-clock values (mirrors io.load_table)."""
+    df = spark.readStream.schema(schema).parquet(path)
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def windowed_counts(
