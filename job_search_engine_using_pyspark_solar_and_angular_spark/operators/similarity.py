@@ -127,18 +127,19 @@ def ivf_centroids(
 ) -> DataFrame:
     """Deterministic IVF codebook: the ``n_centroids`` lowest-id vectors act
     as centroids (reproducible across runs; production swaps in k-means —
-    the inverted-list plan below is unchanged). Returns (cent_id, centroid)."""
+    the inverted-list plan below is unchanged). Returns (cent_id, centroid).
+
+    Scale shape: ``orderBy(id).limit(n)`` compiles to TakeOrderedAndProject
+    (per-partition heaps + an n-row driver merge) — the full corpus never
+    funnels through one task. The row_number window that assigns cent_ids
+    runs AFTER the limit, over exactly ``n_centroids`` rows."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(id_col))
-    return (
-        embeddings.select(id_col, vec_col)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_centroids)
-        .select(
-            (F.col("__rn") - 1).alias("cent_id"),
-            F.col(vec_col).alias("centroid"),
-        )
+    picked = embeddings.select(id_col, vec_col).orderBy(F.col(id_col)).limit(n_centroids)
+    w = Window.orderBy(F.col(id_col))  # over n_centroids rows only
+    return picked.withColumn("__rn", F.row_number().over(w)).select(
+        (F.col("__rn") - 1).alias("cent_id"),
+        F.col(vec_col).alias("centroid"),
     )
 
 
@@ -196,6 +197,103 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col, exclude_ids)
 
 
+def ivf_topk_df(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+    exclude_ids: list[int] | None = None,
+    assigned: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k with the query vector kept IN-PLAN: ``query`` is
+    a one-row DataFrame holding the query vector. No driver-side ``.first()``
+    mid-plan — probe selection and candidate scoring both consume the vector
+    via a broadcast crossJoin, so the whole thing stays one lazy Catalyst plan
+    (mirrors x2_cosine_topk)."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    probes = (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            "cent_id",
+            cosine(F.col("centroid"), F.col(query_vec_col)).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), F.col("cent_id"))
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .crossJoin(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4).alias("sim"),
+        )
+    )
+    if exclude_ids:
+        cand = cand.filter(~F.col(id_col).isin(exclude_ids))
+    return cand.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_topk_np(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Vectorized exact cosine top-k: numpy dot over Arrow batches via
+    mapInPandas — the throughput tier for reranking ANN candidates (the HOF
+    tier in ``cosine_topk`` stays the oracle-exact baseline; this one is
+    recall-tested against it).
+
+    Scale shape: scoring is embarrassingly parallel per Arrow batch (no
+    shuffle, no per-row Python); only (id, sim) pairs leave the workers, and
+    the final cut is TakeOrderedAndProject. float64 math like the JVM tier."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    q = np.asarray(query_vec, dtype="float64")
+    qn = float(np.linalg.norm(q))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype="float64")))
+            dots = m @ q
+            norms = np.linalg.norm(m, axis=1) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(norms > 0, dots / norms, 0.0)
+            yield pd.DataFrame({id_col: pdf[id_col], "sim": np.round(sims, 4)})
+
+    out = embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} long, sim double"
+    )
+    if exclude_ids:
+        out = out.filter(~F.col(id_col).isin(exclude_ids))
+    return out.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def planes_for_corpus(n_rows: int, target_bucket: int = 1024) -> int:
+    """Pick num_planes so the EXPECTED bucket size n/2^p ≈ target_bucket.
+    With 8 planes = 256 buckets, per-bucket self-joins grow O((n/256)²) — at
+    large n the plane count must grow with log2(n) to keep each bucket's
+    quadratic term bounded. Clamped to [8, 24]."""
+    import math
+
+    p = math.ceil(math.log2(max(n_rows, 1) / max(target_bucket, 1))) if n_rows > target_bucket else 8
+    return max(8, min(24, p))
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -203,10 +301,47 @@ def embedding_near_dups(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), candidates limited
-    to same-LSH-bucket pairs. Returns (id_a, id_b, sim)."""
+    to same-LSH-bucket pairs. Returns (id_a, id_b, sim).
+
+    Skew bound: expected bucket size is n/2^num_planes, but hyperplane LSH
+    buckets are data-dependent — a dense cluster can put a large fraction of
+    the corpus in ONE bucket, making that bucket's self-join quadratic. Two
+    controls:
+    - size ``num_planes`` via :func:`planes_for_corpus` so the EXPECTED
+      bucket is small;
+    - ``max_bucket_size``: buckets above the cap are refined with extra
+      hyperplanes (one more plane per doubling over the cap, up to 8) before
+      self-joining, which splits the hot bucket geometrically. Pairs whose
+      members land in different refined sub-buckets are missed — the standard
+      LSH recall/cost trade, documented here and pinned by the skew test."""
     b = lsh_bucket(embeddings, num_planes, dim, vec_col)
+    if max_bucket_size is not None:
+        import math
+
+        sizes = b.groupBy("bucket").agg(F.count("*").alias("__bn"))
+        b = b.join(F.broadcast(sizes), "bucket")
+        # extra planes for oversized buckets: ceil(log2(size/cap)), <= 8
+        over = F.col("__bn") > max_bucket_size
+        extra_bits = []
+        for j in range(8):
+            plane = F.array(
+                *[F.lit(_plane_component(1000 + j, d)) for d in range(dim)]
+            )
+            need = F.ceil(F.log2(F.col("__bn") / F.lit(max_bucket_size)))
+            use_plane = over & (F.lit(j) < F.least(need, F.lit(8)))
+            extra_bits.append(
+                F.when(use_plane & (dot(F.col(vec_col), plane) >= 0), 1 << j).otherwise(0)
+            )
+        refine = extra_bits[0]
+        for eb in extra_bits[1:]:
+            refine = refine + eb
+        b = b.withColumn(
+            "bucket",
+            (F.col("bucket").cast("long") * F.lit(1 << 8) + refine).cast("long"),
+        ).drop("__bn")
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket")
     )

@@ -135,6 +135,51 @@ def lemmatize(
     )
 
 
+def pos_tag(
+    df: DataFrame,
+    tag_map: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic dictionary POS tagger (reference N7's relational tail:
+    ``Spark/Word_cloud_evaluation.ipynb`` cell 14 joins token-level POS tags
+    and filters on tag sets with ``isin``; the pretrained model itself is
+    descoped per SURVEY §2.8 — this reproduces the *relational* contract with
+    a dictionary + suffix-rule fallback, the same way N5 lemmatization uses a
+    dictionary in place of AntBNC).
+
+    Tags: dictionary hit wins; else all-digits → NUM, -ly → ADV, -ing/-ed →
+    VERB, else NOUN. Returns (doc_id, pos, token, tag), one row per token.
+    Plan shape = lemmatize: map-side posexplode + broadcast dictionary join,
+    zero wide shuffles.
+    """
+    from ..io import ensure_parallelism
+
+    spark = df.sparkSession
+    dict_df = spark.createDataFrame(
+        list(tag_map.items()), "token string, dtag string"
+    )
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+    )
+    exploded = toks.select("doc_id", F.posexplode("tk").alias("pos", "token"))
+    rule = (
+        F.when(F.col("token").rlike("^[0-9]+$"), F.lit("NUM"))
+        .when(F.col("token").endswith("ly"), F.lit("ADV"))
+        .when(
+            F.col("token").endswith("ing") | F.col("token").endswith("ed"),
+            F.lit("VERB"),
+        )
+        .otherwise(F.lit("NOUN"))
+    )
+    return exploded.join(F.broadcast(dict_df), "token", "left").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "token",
+        F.coalesce("dtag", rule).alias("tag"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """64-bit-ish document fingerprint: md5-prefix int64 of the normalized
     token stream (whitespace-insensitive, case-insensitive, punct-insensitive).

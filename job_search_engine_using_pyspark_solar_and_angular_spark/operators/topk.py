@@ -19,9 +19,13 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
 
 def paginate(df: DataFrame, order: list[Column], offset: int, limit: int) -> DataFrame:
     """Offset/limit pagination (reference O5 — the Angular client's skip/limit
-    that the server ignored, ``api/Handler.java:34``). Implemented with a
-    row_number window over the given total order; fine for page-depth offsets.
+    that the server ignored, ``api/Handler.java:34``). Uses Spark's native
+    ``offset``/``limit`` (3.4+): Catalyst plans sort+offset+limit as a
+    bounded global-limit — per-partition heaps of offset+limit rows, no
+    single-partition row_number window. Window fallback kept for pre-3.4.
     For deep offsets prefer keyset pagination on the order columns."""
+    if hasattr(df, "offset"):
+        return df.orderBy(*order).offset(offset).limit(limit)
     w = Window.orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

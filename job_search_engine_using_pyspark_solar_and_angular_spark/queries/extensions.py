@@ -200,6 +200,30 @@ def ext_lemmatize(spark, sf_dir):
     return textstats.lemmatize(d, LEMMA_MAP)
 
 
+POS_TAG_MAP = {
+    "spark": "NOUN",
+    "query": "NOUN",
+    "data": "NOUN",
+    "join": "VERB",
+    "run": "VERB",
+    "fast": "ADJ",
+    "large": "ADJ",
+    "distributed": "ADJ",
+    "very": "ADV",
+    "not": "ADV",
+}
+
+
+@query("ext_pos_tag")
+def ext_pos_tag(spark, sf_dir):
+    """N7 relational tail (notebook cell 14): token-level POS tag join +
+    ``isin`` tag-set filter — deterministic dictionary/suffix tagger in place
+    of the descoped pretrained model."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tagged = textstats.pos_tag(d, POS_TAG_MAP)
+    return tagged.filter(F.col("tag").isin("NOUN", "ADJ"))
+
+
 @query("ext_rollup")
 def ext_rollup(spark, sf_dir):
     """Grouping-sets capability (free Catalyst extension, SURVEY.md §2.5):
@@ -533,11 +557,12 @@ def ext_ann_lsh(spark, sf_dir):
 @query("ext_ann_ivf")
 def ext_ann_ivf(spark, sf_dir):
     """IVF approximate NN (rows-only: centroid assignment is float-order
-    sensitive). Recall vs the exact scorer is asserted in tests."""
+    sensitive). Recall vs the exact scorer is asserted in tests. The query
+    vector stays IN-PLAN (broadcast crossJoin, mirroring x2) — no driver-side
+    collect mid-query."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding")
-    qvec = [float(x) for x in qrow.first()["embedding"]]
-    return similarity.ivf_topk(emb, qvec, k=5, nprobe=4, exclude_ids=[0])
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return similarity.ivf_topk_df(emb, q, k=5, nprobe=4, exclude_ids=[0])
 
 
 @query("ext_embedding_near_dups")

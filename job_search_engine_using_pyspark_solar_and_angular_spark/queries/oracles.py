@@ -420,6 +420,27 @@ ORACLES["ext_lemmatize"] = (
     "FROM ex LEFT JOIN lm ON ex.token = lm.token ORDER BY doc_id, pos"
 )
 
+def _pos_tag_values_sql() -> str:
+    from .extensions import POS_TAG_MAP
+
+    return ", ".join(f"('{k}', '{v}')" for k, v in POS_TAG_MAP.items())
+
+
+ORACLES["ext_pos_tag"] = (
+    f"WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents WHERE doc_id < 50), "
+    "ex AS (SELECT doc_id, i - 1 AS pos, tk[i] AS token FROM "
+    "(SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks)), "
+    f"tm(token, dtag) AS (VALUES {_pos_tag_values_sql()}), "
+    "tagged AS (SELECT ex.doc_id, CAST(ex.pos AS BIGINT) AS pos, ex.token, "
+    "COALESCE(tm.dtag, CASE WHEN regexp_matches(ex.token, '^[0-9]+$') THEN 'NUM' "
+    "WHEN ex.token LIKE '%ly' THEN 'ADV' "
+    "WHEN ex.token LIKE '%ing' OR ex.token LIKE '%ed' THEN 'VERB' "
+    "ELSE 'NOUN' END) AS tag "
+    "FROM ex LEFT JOIN tm ON ex.token = tm.token) "
+    "SELECT doc_id, pos, token, tag FROM tagged "
+    "WHERE tag IN ('NOUN', 'ADJ') ORDER BY doc_id, pos"
+)
+
 ORACLES["ext_rollup"] = (
     "SELECT event_type, h, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "
     "FROM (SELECT event_type, strftime(date_trunc('hour', ts), "

@@ -183,3 +183,59 @@ def test_merge_latest_idempotent(spark):
     first = dedup.latest_wins(e, ["user_id"], "ts", ["event_id"])
     again = dedup.merge_latest(first, first, ["user_id"], "ts")
     assert again.count() == first.count()
+
+
+def test_ivf_topk_df_matches_list_variant(spark):
+    """ivf_topk_df (in-plan query vector) must return exactly what ivf_topk
+    (literal query vector) returns — same codebook, same probes, same scores."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    a = [
+        (r["vec_id"], r["sim"])
+        for r in similarity.ivf_topk(emb, qvec, k=5, nprobe=4, exclude_ids=[0]).collect()
+    ]
+    b = [
+        (r["vec_id"], r["sim"])
+        for r in similarity.ivf_topk_df(emb, q, k=5, nprobe=4, exclude_ids=[0]).collect()
+    ]
+    assert a == b
+
+
+def test_cosine_topk_np_matches_exact(spark):
+    """The vectorized (mapInPandas + numpy) rerank tier must agree with the
+    oracle-exact HOF tier: same ids in order, sims equal to 4 decimals."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = similarity.cosine_topk(emb, qvec, k=10, exclude_ids=[0]).collect()
+    vec = similarity.cosine_topk_np(emb, qvec, k=10, exclude_ids=[0]).collect()
+    assert [r["vec_id"] for r in exact] == [r["vec_id"] for r in vec]
+    for e, v in zip(exact, vec):
+        assert abs(e["sim"] - v["sim"]) <= 1e-9, (e, v)
+
+
+def test_embedding_near_dups_bucket_cap_bounds_skew(spark):
+    """Skewed fixture: 300 near-identical vectors collapse into ONE LSH bucket
+    (the quadratic-blowup case). With max_bucket_size the refined buckets must
+    all be under cap * 2, and truly-identical vectors must still pair up
+    (refinement cannot separate identical points)."""
+    import math
+
+    base = [math.sin(0.1 * d) for d in range(64)]
+    rows = []
+    for i in range(300):
+        # identical in pairs: (0,1), (2,3), ... -> guaranteed same sub-bucket
+        v = [x + 1e-6 * (i // 2) for x in base]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    buckets = similarity.lsh_bucket(emb, num_planes=8, dim=64)
+    top = buckets.groupBy("bucket").count().orderBy(F.col("count").desc()).first()
+    assert top["count"] == 300  # all in one bucket: the skew case is real
+
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.9999, num_planes=8, dim=64, max_bucket_size=64
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(0, 300, 2):
+        assert (i, i + 1) in got, f"identical pair ({i},{i+1}) lost by refinement"

@@ -138,3 +138,55 @@ def test_gap_fill_spine_stays_distributed(spark):
     p = plan_of(spark, "ext_gap_fill")
     assert "Generate explode(sequence" in p
     assert "CartesianProduct" not in p
+
+
+def test_ivf_centroids_no_corpus_wide_window(spark):
+    """IVF codebook pick must be TakeOrderedAndProject (per-partition heaps),
+    with the cent_id row_number window running AFTER the n-row limit — never a
+    global row_number over the full corpus (the round-1 scale-killer)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        similarity,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=16)
+    p = cents._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    # the Window node must sit above the limit, i.e. the plan string shows
+    # Window -> ... -> TakeOrderedAndProject (top-down printing)
+    assert p.index("Window") < p.index("TakeOrderedAndProject")
+
+
+def test_ann_operators_build_lazily(spark):
+    """No mid-plan driver collect: constructing the full IVF/LSH/near-dup
+    plans from loaded tables must launch ZERO Spark jobs (the round-1
+    ext_ann_ivf fetched the query vector with .first() during construction).
+    Tables are pre-loaded so the one legitimate job — parquet schema
+    inference in load_table — is outside the measured window."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        similarity,
+    )
+
+    sc = spark.sparkContext
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sc.setJobGroup("lazy-check", "ann construction")
+    try:
+        similarity.ivf_topk_df(emb, q, k=5, nprobe=4, exclude_ids=[0])
+        similarity.embedding_near_dups(emb, threshold=0.9)
+        similarity.lsh_bucket(emb)
+    finally:
+        sc.setJobGroup("default", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("lazy-check")
+    assert not jobs, f"ANN construction ran jobs: {jobs}"
+
+
+def test_paginate_no_single_partition_window(spark):
+    """ext_pagination compiles to native offset/limit (GlobalLimit), not a
+    row_number window over one partition."""
+    p = plan_of(spark, "ext_pagination")
+    assert "Window" not in p
