@@ -3,13 +3,30 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: sec, ...}, "sf": ...,
+   "preprocess_scaled": {"input_mb": ..., "sec": ..., "mb_per_sec": ...,
+                         "baseline_mb_per_sec": 1.11, "speedup_vs_baseline": ...}}
+
+Methodology:
+- each query is forced with ``df.write.format("noop")`` — full column
+  materialization on every plan (a bare count() lets Spark skip decoding
+  projected columns on some plans, flattering the numbers).
+- ``preprocess_scaled`` measures the END-TO-END reference batch job at the
+  reference's own measured volume (BASELINE.md Fig. 10: ~90 s / 100 MB of
+  raw tweet JSON => ~1.1 MB/s): read a >=100 MB JSON corpus from disk,
+  flatten/split/dedup/filter (plans/preprocess.py), write BOTH sinks
+  (typed parquet + stringified CSV) like the reference does. Corpus is
+  synthesized once (sources/synthetic.scaled_tweet_corpus) and cached under
+  .bench/; JSON Lines (splittable) rather than the reference's multiLine
+  arrays (one task per file) — the format choice itself is part of the
+  engine's 100 TB design.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -32,6 +49,7 @@ HEADLINE = [
     "q23_tumbling_window",
     "x1_dedup_stats",
     "x2_cosine_topk",
+    "ext_cosine_rerank_np",
     "ext_minhash_candidates",
     "ext_simhash",
     "ext_multimodal_features",
@@ -39,6 +57,60 @@ HEADLINE = [
     # nested flatten + 3-way split + latest-wins dedup + vocab regex filter
     "ext_preprocess_pipeline",
 ]
+
+# BASELINE.md Fig. 10: reference preprocess ≈ 90 s per 100 MB raw JSON.
+BASELINE_MB_PER_SEC = 100.0 / 90.0
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_DIR = os.path.join(REPO, ".bench")
+
+
+def force(df) -> None:
+    """Materialize every column of every row (noop sink — no driver transfer,
+    no output files, no column-decode shortcuts)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_preprocess_scaled(spark) -> dict:
+    from job_search_engine_using_pyspark_solar_and_angular_spark.plans.preprocess import (
+        preprocess,
+        write_outputs,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources.synthetic import (
+        scaled_tweet_corpus,
+        tweets_from_documents,
+    )
+
+    corpus_dir = os.path.join(BENCH_DIR, "tweets_json")
+    path, size_mb = scaled_tweet_corpus(
+        spark, "/root/testdata/sf0.1", corpus_dir, target_mb=120
+    )
+    # explicit schema: taken from the generator's plan, not inferred per-file
+    # (the reference re-infers per file — one of its measured costs; a fixed
+    # ingest schema is the engine's contract, SURVEY.md §1.2)
+    schema = tweets_from_documents(
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+            "doc_id", "text"
+        )
+    ).schema
+
+    out_parquet = os.path.join(BENCH_DIR, "out_parquet")
+    out_csv = os.path.join(BENCH_DIR, "out_csv")
+    t0 = time.perf_counter()
+    raw = spark.read.schema(schema).json(path)
+    result = preprocess(raw)
+    write_outputs(result, out_parquet, out_csv)
+    sec = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(out_parquet, ignore_errors=True)
+    shutil.rmtree(out_csv, ignore_errors=True)
+    mb_per_sec = round(size_mb / sec, 2)
+    return {
+        "input_mb": size_mb,
+        "sec": sec,
+        "mb_per_sec": mb_per_sec,
+        "baseline_mb_per_sec": round(BASELINE_MB_PER_SEC, 2),
+        "speedup_vs_baseline": round(mb_per_sec / BASELINE_MB_PER_SEC, 1),
+    }
 
 
 def main() -> None:
@@ -51,18 +123,17 @@ def main() -> None:
     # benchmark practice; warmup at tiny sf).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        QUERIES["q11_agg_tpch_q1"](spark, warm_dir).collect()
-        QUERIES["q20_bm25_search"](spark, warm_dir).collect()
+        force(QUERIES["q11_agg_tpch_q1"](spark, warm_dir))
+        force(QUERIES["q20_bm25_search"](spark, warm_dir))
         QUERIES["ext_multimodal_features"](spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        # count() forces full execution without driver-side result transfer
-        # for big outputs; top-k queries return tiny results anyway.
-        df.count()
+        force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    scaled = bench_preprocess_scaled(spark)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
@@ -74,6 +145,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "preprocess_scaled": scaled,
             }
         )
     )

@@ -244,30 +244,49 @@ def ivf_topk_df(
 
 def cosine_topk_np(
     embeddings: DataFrame,
-    query_vec: list[float],
+    query_vec: list[float] | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: list[int] | None = None,
+    query: DataFrame | None = None,
+    query_vec_col: str = "qv",
 ) -> DataFrame:
     """Vectorized exact cosine top-k: numpy dot over Arrow batches via
     mapInPandas — the throughput tier for reranking ANN candidates (the HOF
     tier in ``cosine_topk`` stays the oracle-exact baseline; this one is
     recall-tested against it).
 
+    The query vector comes either as a literal list (``query_vec`` — a served
+    query the driver already holds) or IN-PLAN as a one-row DataFrame
+    (``query``): the row is broadcast-crossJoined so every Arrow batch carries
+    it, and construction stays fully lazy — no driver collect.
+
     Scale shape: scoring is embarrassingly parallel per Arrow batch (no
     shuffle, no per-row Python); only (id, sim) pairs leave the workers, and
     the final cut is TakeOrderedAndProject. float64 math like the JVM tier."""
     import numpy as np
-    import pandas as pd  # noqa: F401  (mapInPandas contract)
 
-    q = np.asarray(query_vec, dtype="float64")
-    qn = float(np.linalg.norm(q))
+    if (query_vec is None) == (query is None):
+        raise ValueError("pass exactly one of query_vec / query")
+
+    src = embeddings.select(id_col, vec_col)
+    if query is not None:
+        src = src.crossJoin(F.broadcast(query.select(query_vec_col)))
+    lit_q = np.asarray(query_vec, dtype="float64") if query_vec is not None else None
 
     def score(batches):
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = (
+                lit_q
+                if lit_q is not None
+                else np.asarray(pdf[query_vec_col].iloc[0], dtype="float64")
+            )
+            qn = float(np.linalg.norm(q))
             m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype="float64")))
             dots = m @ q
             norms = np.linalg.norm(m, axis=1) * qn
@@ -275,9 +294,7 @@ def cosine_topk_np(
                 sims = np.where(norms > 0, dots / norms, 0.0)
             yield pd.DataFrame({id_col: pdf[id_col], "sim": np.round(sims, 4)})
 
-    out = embeddings.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{id_col} long, sim double"
-    )
+    out = src.mapInPandas(score, schema=f"{id_col} long, sim double")
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(exclude_ids))
     return out.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)

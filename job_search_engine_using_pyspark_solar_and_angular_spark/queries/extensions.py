@@ -572,4 +572,15 @@ def ext_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.9)
 
 
+@query("ext_cosine_rerank_np")
+def ext_cosine_rerank_np(spark, sf_dir):
+    """Vectorized (Arrow + numpy) exact cosine top-k — the throughput rerank
+    tier behind the same API as x2's oracle-exact HOF tier. Rows-only here;
+    tests/test_operators.py pins id-for-id agreement with the HOF tier.
+    Query vector in-plan (broadcast crossJoin) — construction is lazy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return similarity.cosine_topk_np(emb, query=q, k=5, exclude_ids=[0])
+
+
 __all__ = ["QUERIES"]

@@ -17,7 +17,9 @@ Construction (mirrored in queries/oracles.py ``ext_preprocess_pipeline``):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EPOCH_2022 = 1640995200  # 2022-01-01 00:00:00 UTC
@@ -134,3 +136,65 @@ def tweets_from_documents(docs: DataFrame) -> DataFrame:
             ),
         ).alias("quoted_status_permalink"),
     )
+
+
+def scaled_tweet_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    target_mb: int = 120,
+    files: int = 32,
+) -> tuple[str, float]:
+    """Materialize a >= ``target_mb`` raw-tweet corpus as JSON on disk, for
+    benchmarking the end-to-end preprocess pipeline at the reference's
+    measured volume (BASELINE.md Fig. 10: ~90 s per 100 MB).
+
+    The corpus replicates the ``documents`` fixture with doc_id offsets (every
+    replica gets distinct org/samp ids, so dedup/join cardinalities scale
+    linearly — no artificial hot keys). Written as JSON Lines across
+    ``files`` files: unlike the reference's multiLine JSON arrays (one
+    non-splittable task per file), JSONL splits by byte range — the format a
+    100 TB deployment would use.
+
+    Idempotent: returns the cached corpus if present (a _SIZE marker records
+    bytes). Returns (path, size_mb).
+    """
+    marker = os.path.join(out_dir, "_SIZE")
+    if os.path.exists(marker):
+        return out_dir, float(open(marker).read().strip())
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    # measure per-row JSON bytes on one replica, then scale replication
+    probe_dir = out_dir + "__probe"
+    probe = tweets_from_documents(docs)
+    probe.write.mode("overwrite").json(probe_dir)
+    probe_bytes = sum(
+        os.path.getsize(os.path.join(probe_dir, f))
+        for f in os.listdir(probe_dir)
+        if f.endswith(".json")
+    )
+    replicas = max(1, -(-target_mb * 1024 * 1024 // probe_bytes))  # ceil
+
+    replicated = docs.crossJoin(
+        spark.range(replicas).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "text",
+    )
+    tweets = tweets_from_documents(replicated)
+    tweets.repartition(files).write.mode("overwrite").json(out_dir)
+
+    import shutil
+
+    shutil.rmtree(probe_dir, ignore_errors=True)
+    size = sum(
+        os.path.getsize(os.path.join(out_dir, f))
+        for f in os.listdir(out_dir)
+        if f.endswith(".json")
+    )
+    size_mb = round(size / (1024 * 1024), 1)
+    with open(marker, "w") as fh:
+        fh.write(str(size_mb))
+    return out_dir, size_mb
