@@ -123,8 +123,10 @@ def session_counts(
     """Native session windows (``F.session_window``): merging event-time
     sessions per key, streaming-capable with watermark state eviction. The
     batch gap-sum formulation lives in operators/joins.py ``sessionize`` —
-    the two agree wherever no inter-event gap equals the boundary exactly
-    (session_window splits at gap >= g, gap-sum at gap > g)."""
+    the two agree EVERYWHERE, including a gap of exactly g: session_window
+    merges when next_start <= prev_end (inclusive bound, verified on this
+    build), gap-sum splits only when gap > g. Pinned by
+    tests/test_streaming.py::test_session_boundary_gap_exactly_g_agrees."""
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (

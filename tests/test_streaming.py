@@ -400,3 +400,64 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
         q.stop()
     ks = sorted(r["k"] for r in spark.table("dedup_out").collect())
     assert ks == [1, 2]
+
+
+def test_session_boundary_gap_exactly_g_agrees(spark):
+    """Boundary semantics: an inter-event gap of EXACTLY g stays ONE session
+    under BOTH sessionizers — F.session_window merges when next_start <=
+    prev_end (inclusive), the batch gap-sum starts a new session only when
+    gap > g. Pinned here so a Spark upgrade that flips session_window to an
+    exclusive bound fails loudly instead of silently disagreeing with the
+    batch operator."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        sessionize,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.jobs import (
+        session_counts,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:30:00"),  # gap == 1800 s exactly
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    native = sorted(
+        r["n_events"] for r in session_counts(df, gap="30 minutes").collect()
+    )
+    gapsum = sorted(
+        r["n_events"] for r in sessionize(df, gap_seconds=1800).collect()
+    )
+    assert native == [2]  # session_window merges at gap == g (inclusive end)
+    assert gapsum == [2]  # gap-sum keeps gap == g in-session too
+
+
+def test_session_counts_streaming_replay_parity(spark, events_dir, tmp_path):
+    """Streaming session_counts over a file replay == the same operator run
+    in batch over the full table (complete output mode: every session,
+    no watermark-finalization asymmetry)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.jobs import (
+        session_counts,
+    )
+
+    schema = _stream_schema(spark, events_dir)
+    stream = stream_parquet(spark, events_dir, schema)
+    q = (
+        session_counts(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_sessions"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    st = spark.table("sessions_stream")
+    got = canon_rows(st.columns, [tuple(r) for r in st.collect()])
+
+    batch = session_counts(load_table(spark, SF_DIR, "events"), gap="30 minutes")
+    want = canon_rows(batch.columns, [tuple(r) for r in batch.collect()])
+    assert got == want
