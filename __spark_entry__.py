@@ -58,6 +58,7 @@ _PRIORITY = [
     "ext_except",
     "ext_multimodal_features",
     "ext_pos_tag",
+    "ext_spell_correct",
     "ext_ann_lsh",
     "ext_ann_ivf",
     "ext_embedding_near_dups",
@@ -69,7 +70,6 @@ _PRIORITY = [
     "ext_minhash_candidates",
     "ext_ngram_jaccard",
     "ext_simhash_near_dups",
-    "ext_lemmatize",
     "ext_tpch_q3",
     "ext_percentile",
     "ext_search_e2e",

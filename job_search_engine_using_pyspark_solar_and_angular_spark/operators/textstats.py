@@ -180,6 +180,76 @@ def pos_tag(
     )
 
 
+def spell_correct(
+    df: DataFrame,
+    dictionary: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic dictionary spell correction (reference N6: the
+    ContextSpellCheckerModel stage of ``Spark/Word_cloud_evaluation.ipynb``
+    cell 9; the pretrained DL model is descoped per SURVEY §2.8 — this
+    reproduces the token-in/corrected-token-out contract with a SymSpell-style
+    symmetric-delete dictionary, public algorithm).
+
+    Candidate generation is an EQUI-join on delete-keys, never a cross join:
+    dictionary delete-neighborhood (distance <= 1) is precomputed driver-side
+    (dictionaries are config-sized); token delete-keys are generated in-plan.
+    Correction happens at VOCABULARY grain — distinct tokens, ~sqrt of corpus
+    by Heaps' law — then maps back onto token positions via a broadcast join,
+    so levenshtein runs once per distinct token, not once per occurrence.
+    Best candidate = min (edit_distance, word) — deterministic tie-break; an
+    exact dictionary hit has distance 0 and always wins. Unknown tokens pass
+    through unchanged (identity fallback, like the reference pipeline's
+    untouched tokens).
+
+    Returns (doc_id, pos, token, corrected), one row per token.
+    """
+    from ..io import ensure_parallelism
+
+    spark = df.sparkSession
+    pairs = set()
+    for w in dictionary:
+        pairs.add((w, w))
+        for i in range(len(w)):
+            pairs.add((w[:i] + w[i + 1 :], w))
+    dict_df = spark.createDataFrame(sorted(pairs), "dkey string, word string")
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+    )
+    exploded = toks.select("doc_id", F.posexplode("tk").alias("pos", "token"))
+    vocab = exploded.select("token").distinct()
+    keys = vocab.select(
+        "token",
+        F.explode(
+            F.array_union(
+                F.expr(
+                    "transform(sequence(1, length(token)), "
+                    "i -> concat(substring(token, 1, i-1), substring(token, i+1)))"
+                ),
+                F.array(F.col("token")),
+            )
+        ).alias("dkey"),
+    )
+    cands = (
+        keys.join(F.broadcast(dict_df), "dkey")
+        .select("token", "word")
+        .distinct()
+        .withColumn("dist", F.levenshtein("token", "word"))
+        .filter(F.col("dist") <= 1)
+    )
+    best = cands.groupBy("token").agg(
+        F.min_by("word", F.struct("dist", "word")).alias("corrected")
+    )
+    return exploded.join(F.broadcast(best), "token", "left").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "token",
+        F.coalesce("corrected", "token").alias("corrected"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """64-bit-ish document fingerprint: md5-prefix int64 of the normalized
     token stream (whitespace-insensitive, case-insensitive, punct-insensitive).

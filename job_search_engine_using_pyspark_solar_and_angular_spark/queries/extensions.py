@@ -214,6 +214,25 @@ POS_TAG_MAP = {
 }
 
 
+SPELL_DICT = [
+    "spark", "stream", "window", "filter", "query", "table", "batch",
+    "merge", "join", "sort", "group", "data", "hash", "scan", "key",
+    "order", "fast", "slow", "small", "value", "column", "customer",
+    "line", "part", "row", "agg", "the", "a", "dupe", "bigs",
+]
+
+
+@query("ext_spell_correct")
+def ext_spell_correct(spark, sf_dir):
+    """N6: deterministic SymSpell-style spell correction (delete-key equi-join
+    + vocabulary-grain levenshtein) in place of the descoped pretrained model.
+    The dictionary includes near-misses of fixture tokens ("dupe" for "dup",
+    "bigs" for "big") so real corrections occur, and exact hits ("row" beats
+    "rows") pin the distance-0-wins rule."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return textstats.spell_correct(d, SPELL_DICT)
+
+
 @query("ext_pos_tag")
 def ext_pos_tag(spark, sf_dir):
     """N7 relational tail (notebook cell 14): token-level POS tag join +

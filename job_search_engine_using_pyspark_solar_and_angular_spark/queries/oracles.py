@@ -420,6 +420,39 @@ ORACLES["ext_lemmatize"] = (
     "FROM ex LEFT JOIN lm ON ex.token = lm.token ORDER BY doc_id, pos"
 )
 
+def _spell_dict_values_sql() -> str:
+    from .extensions import SPELL_DICT
+
+    pairs = set()
+    for w in SPELL_DICT:
+        pairs.add((w, w))
+        for i in range(len(w)):
+            pairs.add((w[:i] + w[i + 1 :], w))
+    return ", ".join(f"('{k}', '{v}')" for k, v in sorted(pairs))
+
+
+ORACLES["ext_spell_correct"] = (
+    f"WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents WHERE doc_id < 50), "
+    "ex AS (SELECT doc_id, i - 1 AS pos, tk[i] AS token FROM "
+    "(SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks)), "
+    "vocab AS (SELECT DISTINCT token FROM ex), "
+    "keys AS (SELECT token, unnest(list_append(list_transform("
+    "generate_series(1, length(token)), "
+    "i -> substr(token, 1, i - 1) || substr(token, i + 1)), token)) AS dkey "
+    "FROM vocab), "
+    f"dict(dkey, word) AS (VALUES {_spell_dict_values_sql()}), "
+    "cands AS (SELECT DISTINCT token, word FROM keys JOIN dict USING (dkey)), "
+    "scored AS (SELECT token, word, levenshtein(token, word) AS dist "
+    "FROM cands WHERE levenshtein(token, word) <= 1), "
+    "best AS (SELECT token, word AS corrected FROM "
+    "(SELECT token, word, row_number() OVER "
+    "(PARTITION BY token ORDER BY dist, word) AS rn FROM scored) WHERE rn = 1) "
+    "SELECT ex.doc_id, CAST(ex.pos AS BIGINT) AS pos, ex.token, "
+    "COALESCE(best.corrected, ex.token) AS corrected "
+    "FROM ex LEFT JOIN best USING (token) ORDER BY doc_id, pos"
+)
+
+
 def _pos_tag_values_sql() -> str:
     from .extensions import POS_TAG_MAP
 

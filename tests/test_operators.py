@@ -239,3 +239,22 @@ def test_embedding_near_dups_bucket_cap_bounds_skew(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     for i in range(0, 300, 2):
         assert (i, i + 1) in got, f"identical pair ({i},{i+1}) lost by refinement"
+
+
+def test_spell_correct_semantics(spark):
+    """N6 contract: distance-1 misspellings correct to the dictionary word,
+    exact dictionary hits win at distance 0 (never 'corrected' to a
+    distance-1 neighbor also in the dictionary), unknown tokens pass through."""
+    df = spark.createDataFrame(
+        [(1, "dup row zebra bog")], "doc_id long, text string"
+    )
+    out = {
+        r["token"]: r["corrected"]
+        for r in textstats.spell_correct(
+            df, ["dupe", "row", "rows", "big", "bag", "bog"]
+        ).collect()
+    }
+    assert out["dup"] == "dupe"    # distance-1 correction
+    assert out["row"] == "row"     # exact hit beats neighbor "rows"
+    assert out["zebra"] == "zebra" # unknown passes through
+    assert out["bog"] == "bog"     # exact hit beats "big"/"bag" neighbors
