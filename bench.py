@@ -71,6 +71,37 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_bm25_served(spark, sf_dir: str) -> float:
+    """q20's served deployment shape: BM25 against the token-bucketed on-disk
+    index (write_index), where the per-request cost is posting-list reads —
+    the in-session index build that dominates headline q20 is paid once at
+    index time. Index cached under .bench/ per sf."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.bm25 import (
+        bm25_search,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+        build_index,
+        read_index,
+        write_index,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(BENCH_DIR, f"index_{sf_tag}")
+    table = f"jse_bench_postings_{sf_tag.replace('.', '_')}"
+    try:
+        idx = read_index(spark, base, table=table)
+        idx.postings.first()  # metastore + files both present?
+    except Exception:
+        built = build_index(load_table(spark, sf_dir, "documents"), cache=True)
+        write_index(built, base, table=table)
+        idx = read_index(spark, base, table=table)
+    force(bm25_search(spark, idx, ["spark", "join"], 10))  # warm scan
+    t0 = time.perf_counter()
+    force(bm25_search(spark, idx, ["spark", "join"], 10))
+    return round(time.perf_counter() - t0, 3)
+
+
 def bench_preprocess_scaled(spark) -> dict:
     from job_search_engine_using_pyspark_solar_and_angular_spark.plans.preprocess import (
         preprocess,
@@ -133,6 +164,7 @@ def main() -> None:
         force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    timings["q20_bm25_served"] = bench_bm25_served(spark, sf_dir)
     scaled = bench_preprocess_scaled(spark)
 
     total = round(sum(timings.values()), 3)

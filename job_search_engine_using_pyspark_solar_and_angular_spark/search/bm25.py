@@ -65,9 +65,17 @@ def bm25_search(
     q_stats = q_postings.groupBy("token").agg(F.count("*").alias("df"))
     stats = index.corpus_stats()  # 1 row
 
+    # doc_len: denormalized into the postings at build time (Lucene-norms
+    # analog) — the query touches ONLY its pruned posting lists, never the
+    # corpus-sized doc_stats table. Fallback join kept for indexes written
+    # before the doc_len column existed.
+    if "doc_len" in index.postings.columns:
+        with_len = q_postings
+    else:
+        with_len = q_postings.join(index.doc_stats, "doc_id")
+
     scored = (
-        q_postings.join(F.broadcast(q_stats), "token")
-        .join(index.doc_stats, "doc_id")
+        with_len.join(F.broadcast(q_stats), "token")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "partial",

@@ -33,9 +33,14 @@ class SearchIndex:
     postings: DataFrame
     doc_stats: DataFrame
     term_stats: DataFrame
+    # precomputed 1-row (n_docs, avg_dl), set by read_index: a served query
+    # must not re-aggregate the corpus-sized doc_stats table per request.
+    corpus: DataFrame | None = None
 
     def corpus_stats(self) -> DataFrame:
         """1-row DataFrame (n_docs, avg_dl) — kept in-plan, never collected."""
+        if self.corpus is not None:
+            return self.corpus
         return self.doc_stats.agg(
             F.count("*").alias("n_docs"),
             F.avg(F.col("doc_len").cast("double")).alias("avg_dl"),
@@ -66,16 +71,25 @@ def build_index(
         )
     else:
         text_expr = F.col(text_col)
-    toks = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize_normalized(text_expr)).alias("token"),
+    tokenized = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), tokenize_normalized(text_expr).alias("tk")
     )
-    postings = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    # doc_len rides along from size(tokens) BEFORE the explode — denormalized
+    # into every posting (the classic Lucene norms trick) for free: it is a
+    # function of doc_id, so adding it to the grouping key changes neither the
+    # shuffle key cardinality nor the row count. Query-time BM25 then needs NO
+    # join against the corpus-sized doc_stats table (see bm25_search).
+    toks = tokenized.select(
+        "doc_id", F.size("tk").alias("doc_len"), F.explode("tk").alias("token")
+    )
+    postings = toks.groupBy("token", "doc_id", "doc_len").agg(
+        F.count("*").alias("tf")
+    )
     if cache:
         postings = postings.persist()
     doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     if cache:
-        # doc_stats feeds both the per-doc join and corpus_stats (avg/count)
+        # doc_stats feeds corpus_stats (avg/count) and non-search consumers
         doc_stats = doc_stats.persist()
     term_stats = postings.groupBy("token").agg(F.count("*").alias("df"))
     return SearchIndex(postings=postings, doc_stats=doc_stats, term_stats=term_stats)
@@ -122,6 +136,9 @@ def write_index(
     )
     index.doc_stats.write.mode("overwrite").parquet(f"{base_path}/doc_stats")
     index.term_stats.write.mode("overwrite").parquet(f"{base_path}/term_stats")
+    # corpus constants frozen at index time: a served query reads 1 row
+    # instead of re-aggregating doc_stats per request
+    index.corpus_stats().write.mode("overwrite").parquet(f"{base_path}/corpus_stats")
 
 
 def read_index(
@@ -131,4 +148,5 @@ def read_index(
         postings=spark.table(table),
         doc_stats=spark.read.parquet(f"{base_path}/doc_stats"),
         term_stats=spark.read.parquet(f"{base_path}/term_stats"),
+        corpus=spark.read.parquet(f"{base_path}/corpus_stats"),
     )
