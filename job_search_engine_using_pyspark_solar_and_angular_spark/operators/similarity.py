@@ -143,6 +143,81 @@ def ivf_centroids(
     )
 
 
+def ivf_train_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means codebook: init from the ``n_centroids``
+    lowest-id vectors (same as :func:`ivf_centroids`), then ``iters`` rounds
+    of assign-to-nearest (cosine) + elementwise-mean recompute. The trained
+    codebook drops into ``ivf_assign``/``ivf_topk_df`` unchanged.
+
+    Scale shape per iteration: one broadcast crossJoin (centroids are tiny) +
+    argmax agg for the assignment, then ONE posexplode (dim-wise rows) + a
+    (cent_id, pos) mean agg + array re-pack via ``array_agg`` sorted by pos —
+    never a collect_list of whole vectors into one task. Empty clusters keep
+    their previous centroid (left-join + coalesce). ``checkpoint`` truncates
+    lineage each round with ``localCheckpoint`` — without it, iteration N
+    re-derives every earlier round under each broadcast (the classic
+    iterative-algorithm trap).
+
+    Float caveat: double means depend on partition merge order, so trained
+    centroids are run-stable only per layout — the operator is rows-only in
+    the correctness harness; tests assert clustering invariants instead.
+    """
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    if checkpoint:
+        cents = cents.localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = (
+            embeddings.crossJoin(F.broadcast(cents))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                "cent_id",
+                cosine(F.col(vec_col), F.col("centroid")).alias("csim"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    "cent_id", F.struct("csim", (-F.col("cent_id")).alias("t"))
+                ).alias("cent_id"),
+                F.first(vec_col).alias(vec_col),
+            )
+        )
+        dimwise = assigned.select(
+            "cent_id", F.posexplode(vec_col).alias("pos", "x")
+        )
+        means = (
+            dimwise.groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cent_id",
+                F.col("pm.m").alias("new_centroid"),
+            )
+        )
+        cents = (
+            cents.join(means, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce("new_centroid", "centroid").alias("centroid"),
+            )
+        )
+        if checkpoint:
+            cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -584,11 +584,39 @@ def ext_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk_df(emb, q, k=5, nprobe=4, exclude_ids=[0])
 
 
+@query("ext_ann_ivf_trained")
+def ext_ann_ivf_trained(spark, sf_dir):
+    """IVF top-k over a k-means-trained codebook (rows-only: float means are
+    partition-order sensitive; tests assert the Lloyd monotonicity invariant).
+    Same probe/scoring plan as ext_ann_ivf — only the codebook differs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train_kmeans(emb, n_centroids=16, iters=2)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return similarity.ivf_topk_df(
+        emb, q, k=5, nprobe=4, exclude_ids=[0], centroids=cents
+    )
+
+
 @query("ext_embedding_near_dups")
 def ext_embedding_near_dups(spark, sf_dir):
     """Embedding near-dup pairs within LSH buckets (rows-only check)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dups(emb, threshold=0.9)
+
+
+@query("ext_frame_sample")
+def ext_frame_sample(spark, sf_dir):
+    """Multimodal fan-out contract (S10/U5 family): 1 media row -> k frame
+    rows via mapInPandas. Deterministic payload slices over ASCII text bytes,
+    so byte arithmetic == char arithmetic and DuckDB can state the oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    frames = multimodal.frame_sample_stub(media, every_n=10)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.col("frame_payload").cast("string").alias("frame_text"),
+    )
 
 
 @query("ext_cosine_rerank_np")

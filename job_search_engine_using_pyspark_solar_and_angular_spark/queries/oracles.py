@@ -674,6 +674,20 @@ WHERE rn = 1 AND regexp_matches(lower(org_text), 'spark|join|window')
 ORDER BY org_id
 """
 
+ORACLES["ext_frame_sample"] = (
+    # mirror of operators/multimodal.frame_sample_stub(every_n=10): per doc,
+    # n_frames = min(max(len//10, 1), 8); frame f = bytes [f*10, (f+1)*10).
+    # Fixture text is ASCII, so byte slicing == substr on chars.
+    "WITH docs AS (SELECT doc_id, text, octet_length(encode(text)) AS n "
+    "FROM documents WHERE doc_id < 100), "
+    "f AS (SELECT doc_id, text, "
+    "unnest(generate_series(0, CAST(least(greatest(n // 10, 1), 8) AS INT) - 1)) AS fno "
+    "FROM docs) "
+    "SELECT doc_id AS media_id, CAST(fno AS BIGINT) AS frame_no, "
+    "substr(text, fno * 10 + 1, 10) AS frame_text "
+    "FROM f ORDER BY media_id, frame_no"
+)
+
 ORACLES["ext_multimodal_features"] = (
     "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
     "substr(sha256(text), 1, 16) AS sha256_16, "

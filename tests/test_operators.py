@@ -258,3 +258,53 @@ def test_spell_correct_semantics(spark):
     assert out["row"] == "row"     # exact hit beats neighbor "rows"
     assert out["zebra"] == "zebra" # unknown passes through
     assert out["bog"] == "bog"     # exact hit beats "big"/"bag" neighbors
+
+
+def test_resize_stub_contract(spark):
+    """Resize plumbing: payload passes through byte-identical, metadata
+    records the target dims, schema is the media schema (so a real resize
+    drops in without plan changes)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        multimodal,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 5)
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    out = multimodal.resize_stub(media, 224, 224)
+    assert out.schema == multimodal.MEDIA_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    orig = {r["media_id"]: r for r in media.collect()}
+    assert set(rows) == set(orig)
+    for mid, r in rows.items():
+        assert bytes(r["payload"]) == bytes(orig[mid]["payload"])
+        assert r["meta_json"] == '{"resized_to":[224,224]}'
+
+
+def test_ivf_kmeans_improves_clustering(spark):
+    """Lloyd invariants: codebook keeps n_centroids x dim shape, and the
+    mean objective (avg cosine of each vector to its assigned centroid) is
+    monotone non-decreasing vs the lowest-id init (cosine is scale-invariant,
+    so the unnormalized mean update is spherical k-means in disguise)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def avg_sim(cents):
+        from job_search_engine_using_pyspark_solar_and_angular_spark.functions.vectors import (
+            cosine,
+        )
+
+        best = (
+            emb.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", cosine(F.col("embedding"), F.col("centroid")).alias("s")
+            )
+            .groupBy("vec_id")
+            .agg(F.max("s").alias("best"))
+        )
+        return best.agg(F.avg("best")).collect()[0][0]
+
+    init = similarity.ivf_centroids(emb, n_centroids=8)
+    trained = similarity.ivf_train_kmeans(emb, n_centroids=8, iters=3)
+    assert trained.count() == 8
+    dims = trained.select(F.size("centroid").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [64]
+    assert avg_sim(trained) >= avg_sim(init) - 1e-9
