@@ -192,3 +192,14 @@ def test_paginate_no_single_partition_window(spark):
     row_number window over one partition."""
     p = plan_of(spark, "ext_pagination")
     assert "Window" not in p
+
+
+def test_preprocess_flatten_is_single_pass(spark):
+    """The three-way branch flatten must NOT scan the input once per branch:
+    the whole pipeline reads its source exactly twice (base + re-observation
+    union in the synthetic generator), not 3x that. Round-1 shape was three
+    filtered scans + union; a regression re-triples the corpus I/O."""
+    import re
+
+    p = plan_of(spark, "ext_preprocess_pipeline")
+    assert len(re.findall(r"Scan parquet", p)) <= 2, p.count("Scan parquet")
