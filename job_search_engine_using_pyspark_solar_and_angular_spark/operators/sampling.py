@@ -1,0 +1,82 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+``df.sample()``/``sampleBy()`` are seed-dependent AND partition-layout
+dependent — rerun the job with different file splits and the sample changes,
+which silently breaks train/test hygiene (a row can migrate between splits
+across runs). The pipeline-safe primitive is a HASH of a stable key: the
+same row lands in the same split on every run, on any cluster layout, in any
+engine — and because the engine's md5-prefix scheme (functions/hashing.py) is
+reproducible in ANSI SQL, the splits are exactly oracle-checkable too.
+
+All operators are stateless row-local filters: no shuffle, no sort, fully
+pushdown-friendly. The reference has no sampling surface (SURVEY.md §2);
+these are extension operators for the LLM-pipeline charter (stable corpus
+subsets, train/test splits, per-class rebalancing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+# basis points: fractions are expressed as parts per 10_000 so equality with
+# the SQL oracle is integer-exact (no float thresholds)
+BPS = 10_000
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """Stable bucket in [0, 10000): md5-prefix of (key string + salt)."""
+    return md5_long(F.concat(key.cast("string"), F.lit(salt))) % F.lit(BPS)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction_bps: int, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose key hashes into the first ``fraction_bps`` of 10,000
+    buckets — a deterministic ``fraction_bps/10000`` sample. ``salt`` makes
+    independent samples from the same keys (different salt, different rows)."""
+    return df.filter(_bucket(F.col(key_col), salt) < fraction_bps)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_bps: int = 2_000, salt: str = ""
+) -> DataFrame:
+    """Add a ``split`` column ('test' for ``test_bps``/10000 of keys, else
+    'train'). Keyed on the hash, so all rows of one key land in one split —
+    group-safe when ``key_col`` is a user/document id with multiple rows."""
+    return df.withColumn(
+        "split",
+        F.when(_bucket(F.col(key_col), salt) < test_bps, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions_bps: dict[str, int],
+    default_bps: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing): stratum s keeps
+    ``fractions_bps[s]``/10000 of its rows; strata absent from the dict keep
+    ``default_bps``. One row-local when-chain — no shuffle, no per-stratum
+    pass (``sampleBy`` semantics, reproducible)."""
+    threshold = None
+    for value, bps in sorted(fractions_bps.items()):
+        cond = F.col(strata_col) == value
+        threshold = (
+            F.when(cond, F.lit(bps))
+            if threshold is None
+            else threshold.when(cond, F.lit(bps))
+        )
+    threshold = (
+        threshold.otherwise(F.lit(default_bps))
+        if threshold is not None
+        else F.lit(default_bps)
+    )
+    return df.filter(_bucket(F.col(key_col), salt) < threshold)

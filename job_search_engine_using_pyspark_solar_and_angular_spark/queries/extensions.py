@@ -604,6 +604,34 @@ def ext_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.9)
 
 
+@query("ext_train_test_split")
+def ext_train_test_split(spark, sf_dir):
+    """Deterministic 80/20 train/test assignment keyed on md5(doc_id) —
+    layout- and run-stable (unlike df.sample), exactly oracle-checkable."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.train_test_split(d, "doc_id", test_bps=2_000).select(
+        "doc_id", "split"
+    )
+
+
+@query("ext_stratified_sample")
+def ext_stratified_sample(spark, sf_dir):
+    """Per-event-type deterministic downsampling (class rebalancing): views
+    at 10%, purchases kept whole — one row-local hash filter, no shuffle."""
+    from ..operators import sampling
+
+    e = load_table(spark, sf_dir, "events")
+    return sampling.stratified_hash_sample(
+        e,
+        "event_id",
+        "event_type",
+        {"view": 1_000, "click": 5_000, "purchase": 10_000},
+        default_bps=2_500,
+    ).select("event_id", "event_type")
+
+
 @query("ext_frame_sample")
 def ext_frame_sample(spark, sf_dir):
     """Multimodal fan-out contract (S10/U5 family): 1 media row -> k frame

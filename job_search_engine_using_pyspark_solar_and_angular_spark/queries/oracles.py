@@ -674,6 +674,20 @@ WHERE rn = 1 AND regexp_matches(lower(org_text), 'spark|join|window')
 ORDER BY org_id
 """
 
+ORACLES["ext_train_test_split"] = (
+    f"SELECT doc_id, CASE WHEN {md5long('CAST(doc_id AS VARCHAR)')} % 10000 < 2000 "
+    "THEN 'test' ELSE 'train' END AS split "
+    "FROM documents ORDER BY doc_id"
+)
+
+ORACLES["ext_stratified_sample"] = (
+    "SELECT event_id, event_type FROM events "
+    f"WHERE {md5long('CAST(event_id AS VARCHAR)')} % 10000 < "
+    "CASE event_type WHEN 'view' THEN 1000 WHEN 'click' THEN 5000 "
+    "WHEN 'purchase' THEN 10000 ELSE 2500 END "
+    "ORDER BY event_id"
+)
+
 ORACLES["ext_frame_sample"] = (
     # mirror of operators/multimodal.frame_sample_stub(every_n=10): per doc,
     # n_frames = min(max(len//10, 1), 8); frame f = bytes [f*10, (f+1)*10).

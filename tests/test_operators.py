@@ -308,3 +308,26 @@ def test_ivf_kmeans_improves_clustering(spark):
     dims = trained.select(F.size("centroid").alias("d")).distinct().collect()
     assert [r["d"] for r in dims] == [64]
     assert avg_sim(trained) >= avg_sim(init) - 1e-9
+
+
+def test_hash_sampling_is_layout_and_run_stable(spark):
+    """The reason hash sampling exists: identical assignment regardless of
+    partition layout (df.sample changes per layout/seed), and different salts
+    give (mostly) independent subsets."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        sampling,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    a = {r["doc_id"]: r["split"] for r in
+         sampling.train_test_split(d, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         sampling.train_test_split(d.repartition(7), "doc_id").collect()}
+    assert a == b  # layout-independent
+
+    s1 = {r["doc_id"] for r in sampling.hash_sample(d, "doc_id", 3_000).collect()}
+    s2 = {r["doc_id"] for r in
+          sampling.hash_sample(d, "doc_id", 3_000, salt="v2").collect()}
+    n = d.count()
+    assert 0.2 * n <= len(s1) <= 0.4 * n  # ~30% within tolerance
+    assert s1 != s2  # salted resample differs
