@@ -632,8 +632,8 @@ def ext_stratified_sample(spark, sf_dir):
     ).select("event_id", "event_type")
 
 
-@query("ext_frame_sample")
-def ext_frame_sample(spark, sf_dir):
+@query("ext_multimodal_frames")
+def ext_multimodal_frames(spark, sf_dir):
     """Multimodal fan-out contract (S10/U5 family): 1 media row -> k frame
     rows via mapInPandas. Deterministic payload slices over ASCII text bytes,
     so byte arithmetic == char arithmetic and DuckDB can state the oracle."""

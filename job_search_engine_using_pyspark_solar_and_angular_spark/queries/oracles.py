@@ -688,7 +688,7 @@ ORACLES["ext_stratified_sample"] = (
     "ORDER BY event_id"
 )
 
-ORACLES["ext_frame_sample"] = (
+ORACLES["ext_multimodal_frames"] = (
     # mirror of operators/multimodal.frame_sample_stub(every_n=10): per doc,
     # n_frames = min(max(len//10, 1), 8); frame f = bytes [f*10, (f+1)*10).
     # Fixture text is ASCII, so byte slicing == substr on chars.
