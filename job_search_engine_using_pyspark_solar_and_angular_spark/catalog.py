@@ -84,3 +84,26 @@ def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    keys: list[str],
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its join
+    keys. Two tables bucketed on the same keys with the same bucket count
+    join WITHOUT a shuffle (and without even a sort when both are
+    sort-bucketed) — the co-located-join layout for fact⋈fact joins too big
+    to broadcast. At 100 TB this turns the recurring shuffle of a daily
+    fact-to-fact join into a one-time layout cost at write.
+
+    Pinned by tests/test_plans.py::test_bucketed_join_has_no_shuffle.
+    """
+    writer = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.option("path", path).saveAsTable(name)

@@ -203,3 +203,36 @@ def test_preprocess_flatten_is_single_pass(spark):
 
     p = plan_of(spark, "ext_preprocess_pipeline")
     assert len(re.findall(r"Scan parquet", p)) <= 2, p.count("Scan parquet")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join layout: two tables bucketed on the join key join with
+    ZERO Exchange nodes (no shuffle on either side) — the bucketing contract
+    that makes recurring fact⋈fact joins shuffle-free at scale."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark import catalog
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    users = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    try:
+        catalog.write_bucketed(
+            ev.select("event_id", "user_id", "event_type"),
+            "t_events_b", str(tmp_path / "eb"), ["user_id"], buckets=8,
+        )
+        catalog.write_bucketed(
+            users, "t_users_b", str(tmp_path / "ub"), ["user_id"], buckets=8
+        )
+        # disable broadcast so the join strategy is the bucket-aware SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_events_b").join(spark.table("t_users_b"), "user_id")
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, p[:1200]
+        assert j.count() == ev.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_events_b")
+        spark.sql("DROP TABLE IF EXISTS t_users_b")
