@@ -52,6 +52,14 @@ def char_shingles(col: Column | str, k: int = 8) -> Column:
     """Character k-gram shingles of a string as array<string>.
 
     Built with sequence+transform (no UDF): positions 1..len-k+1, substring k.
+
+    PERF WARNING: UTF-8 ``substring`` is O(position) (byte scan to char i),
+    so this column is O(n²) in string length — fine for short strings, wrong
+    for whole documents. Document-scale shingling uses the exploded-chars +
+    ``lead`` window formulation in ``textstats.winnowing_fingerprints``
+    (any loop-invariant array bound here gets re-inlined into the per-element
+    lambda by projection collapse, so there is no O(n) array variant of this
+    column function).
     """
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c) - F.lit(k - 1)

@@ -265,31 +265,60 @@ def winnowing_fingerprints(
     window: int = 4,
 ) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints: hash every k-char gram of the
-    normalized text, keep the min hash in each sliding window of ``window``
-    consecutive grams (classic MOSS scheme; public algorithm). Returns
-    (doc_id, fp) exploded — one row per selected fingerprint, distinct."""
+    normalized text, keep the min hash in each SLIDING window of ``window``
+    consecutive grams (the true MOSS scheme — round 1 shipped a tumbling-
+    block approximation; this is the real sliding-window min, still pure
+    higher-order functions). Documents shorter than one window yield one
+    fingerprint (min of all grams), per the winnowing guarantee. Returns
+    (doc_id, fp), one row per selected fingerprint, distinct.
+
+    Scale shape: per-row array math (no explode before the dedup), one
+    distinct shuffle on (doc_id, fp) — fingerprints per doc ≈ n/w expected
+    density, so output rows ≈ grams/window, not grams."""
     from ..functions.hashing import char_shingles
     from ..functions.text import clean_text
     from ..io import ensure_parallelism
 
-    # two-step projection: bind the cleaned text to a column first, otherwise
-    # the regex clean chain re-evaluates inside char_shingles' per-position
-    # lambda — O(n^2) regex work per document.
+    # two-step projection: bind the cleaned text, then the hash array, to
+    # columns — inlined, the regex clean chain / md5 transform re-evaluate
+    # inside every per-position lambda (O(n^2) work per document).
+    from pyspark.sql import Window
+
+    # Formulation note (both hot-path traps measured at sf0.1):
+    # - array shingling per position re-evaluates its loop-invariant inputs
+    #   inside the HOF lambda after projection collapse (O(n²) regex/split/
+    #   substring per doc, 50-60x slower);
+    # - UTF-8 ``substring(c, i, k)`` is O(i) per call — quadratic again.
+    # So: explode the char stream ONCE, build each gram from ``lead`` offsets
+    # over a (doc_id, pos) window, hash per row, and take the winnow min over
+    # the SAME window spec — Catalyst reuses one sort for both, the only wide
+    # edges are the doc_id shuffle and the output distinct. At 100 TB the
+    # char explosion is the textbook trade: n rows of 1 char, all narrow.
     cleaned = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), clean_text(text_col).alias("ct")
     )
-    grams = cleaned.select(
+    chars = cleaned.select(
         "doc_id",
-        F.posexplode(
-            F.transform(char_shingles(F.col("ct"), k), md5_long)
-        ).alias("pos", "h"),
+        F.length("ct").alias("n"),
+        F.posexplode(F.split("ct", "")).alias("pos", "ch"),
+    ).filter(F.col("pos") < F.col("n"))  # split('') emits a trailing ""
+    w_order = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat(
+        F.col("ch"), *[F.lead("ch", i).over(w_order) for i in range(1, k)]
     )
-    w_spec = (
-        F.col("pos") - F.col("pos") % F.lit(window)
-    )  # tumbling window approximation of winnowing: min per block
+    # concat(null) => null past the doc end; grams exist only for docs with
+    # n >= k (docs shorter than one gram yield no fingerprints, matching the
+    # array formulation's empty shingle set)
+    grams = chars.select(
+        "doc_id", "n", "pos", md5_long(gram).alias("h")
+    ).filter(F.col("pos") <= F.col("n") - k)
+    w_min = w_order.rowsBetween(0, window - 1)
+    n_grams = F.col("n") - F.lit(k - 1)  # >= 1 on every surviving row
+    full_window = F.col("pos") <= n_grams - window  # 0-based start pos
+    short_doc = (n_grams < window) & (F.col("pos") == 0)
     return (
-        grams.groupBy("doc_id", w_spec.alias("blk"))
-        .agg(F.min("h").alias("fp"))
+        grams.withColumn("fp", F.min("h").over(w_min))
+        .filter(full_window | short_doc)
         .select("doc_id", "fp")
         .distinct()
     )

@@ -318,9 +318,15 @@ grams AS (
   SELECT doc_id, i - 1 AS pos, {md5long('substr(c, i, 8)')} AS h FROM (
     SELECT doc_id, c, unnest(generate_series(1, length(c) - 7)) AS i FROM ct)
 )
-SELECT DISTINCT doc_id, CAST(MIN(h) AS BIGINT) AS fp
-FROM (SELECT doc_id, pos - pos % 4 AS blk, h FROM grams)
-GROUP BY doc_id, blk ORDER BY doc_id, fp
+, garr AS (
+  SELECT doc_id, list(h ORDER BY pos) AS hs FROM grams GROUP BY doc_id
+)
+SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(hs) - 3, 1)),
+    i -> list_min(hs[i:i+3]))) AS fp
+  FROM garr WHERE len(hs) > 0)
+ORDER BY doc_id, fp
 """
 
 ORACLES["ext_simhash"] = f"""
