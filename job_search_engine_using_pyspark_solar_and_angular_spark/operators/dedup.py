@@ -243,9 +243,14 @@ def simhash(
     representable in int64 for the oracle).
 
     Returns (doc_id, simhash: long). Plan shape: explode tokens -> tf agg ->
-    explode bit positions (x``bits``) -> signed tf sum per (doc, bit) ->
-    reassemble. Two shuffles, both on doc_id-derived keys.
+    ONE groupBy(doc_id) carrying ``bits`` conditional-sum aggregate columns
+    (partial+final hash agg). Round 1 exploded a row per (token, bit) —
+    a ``bits``x row blowup and a second shuffle for zero extra information;
+    the per-bit signed sums are just ``bits`` independent aggregates of the
+    same tf rows.
     """
+    from functools import reduce
+
     from ..io import ensure_parallelism
 
     tf = (
@@ -258,25 +263,27 @@ def simhash(
         .agg(F.count("*").alias("tf"))
         .withColumn("h", md5_long(F.col("token")))
     )
-    bits_df = tf.select(
-        "doc_id",
-        "tf",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("h"),
-    ).withColumn(
-        # column-valued shift amounts need the SQL form (the Python shiftright
-        # wrapper only accepts int literals)
-        "contrib",
-        F.when(F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
+    per_doc = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"shiftright(h, {i}) & 1") == 1, F.col("tf")
+                ).otherwise(-F.col("tf"))
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
     )
-    per_bit = bits_df.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    fingerprint = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(1, bits),
+        F.when(F.col("s0") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_near_dups(
