@@ -1,0 +1,255 @@
+"""Training-data pipeline operators: decontamination, PII redaction,
+repetition-quality signals, deterministic corpus shuffling, and sequence
+packing.
+
+These extend the LLM-pipeline charter beyond dedup/similarity (operators/
+dedup.py, operators/similarity.py): the steps a corpus goes through between
+"deduplicated documents" and "token stream on a trainer". None exist in the
+reference (its corpus is served, not trained on); all follow the engine's
+oracle-exact discipline — md5-prefix hashes (functions/hashing.py) and
+integer/window math reproducible in ANSI SQL.
+
+Scale notes (see SCALE.md for the full argument):
+- decontaminate: the benchmark side is distilled to DISTINCT shingle hashes
+  before the join — a benchmark suite is MBs, so it broadcasts; the corpus
+  side streams through map-side. Both aggs are keyed on doc_id.
+- repetition_stats: ONE union of unigram/bigram streams -> ONE (doc_id, n,
+  gram) count -> ONE doc_id rollup with conditional aggregates (the SimHash
+  round-2 reshape applied here from the start — no per-n join).
+- corpus_shuffle / pack_sequences: partitioned by the hash-derived shard, so
+  the window sort is per-shard (shards ~ O(cluster parallelism)), never a
+  global single-task order. Position/packing math is integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, token_ngrams
+from ..functions.text import tokenize_normalized
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs. \b and \d are common to both.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, h): distinct md5-prefix hashes of token n-gram shingles.
+
+    Two-step projection (bind the token array before the n-gram transform) —
+    inlined, the tokenizer tree is re-evaluated per shingle (see
+    dedup.minhash_signatures for the measurement)."""
+    from ..io import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+    )
+    return (
+        toks.select(
+            "doc_id", F.explode(token_ngrams(F.col("tk"), n)).alias("sh")
+        )
+        .select("doc_id", md5_long(F.col("sh")).alias("h"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination report: for every corpus document sharing at
+    least one token ``shingle_n``-gram with the benchmark set, return
+    (doc_id, n_hit, n_grams, contamination) where contamination =
+    n_hit / n_grams over the document's DISTINCT shingles.
+
+    The benchmark side is reduced to a distinct shingle-hash set and
+    broadcast — eval suites are small relative to a training corpus, so the
+    100 TB corpus never shuffles for the membership test; the only wide edge
+    is the per-document rollup keyed on doc_id. Filtering (rather than
+    reporting) is `.join(..., "left_anti")` on the same hit set.
+    """
+    doc_sh = _shingle_hashes(df, id_col, text_col, shingle_n)
+    bench_sh = (
+        _shingle_hashes(benchmark, id_col, text_col, shingle_n)
+        .select("h")
+        .distinct()
+    )
+    per_doc = doc_sh.join(
+        F.broadcast(bench_sh).withColumn("__hit", F.lit(1)), "h", "left"
+    ).groupBy("doc_id").agg(
+        F.sum("__hit").alias("n_hit"),
+        F.count("*").alias("n_grams"),
+    )
+    return per_doc.filter(F.col("n_hit").isNotNull()).select(
+        "doc_id",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        "n_grams",
+        F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("contamination"),
+    )
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / NANP-style phone numbers / IPv4 addresses and count
+    each: (doc_id, redacted, n_emails, n_phones, n_ips).
+
+    Row-local regexp_replace/regexp_count chain — no shuffle, fully
+    codegen'd, pushdown-transparent. Counts are taken on the ORIGINAL text
+    (order-independent); replacements run email -> phone -> ip (the
+    placeholder tokens contain no digits, so later patterns cannot match
+    inside an earlier redaction)."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        redacted.alias("redacted"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_token_max: float = 0.20,
+    top_bigram_max: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: token count, distinct
+    count, the fraction of tokens taken by the most frequent token and by the
+    most frequent bigram, and a keep/drop ``repetitive`` flag.
+
+    Plan: unigram and bigram streams UNION into one (doc_id, n, gram) count,
+    then ONE doc_id rollup with conditional aggregates — two shuffles total,
+    no self-join, no window. Documents with zero tokens produce no row (they
+    have no repetition signal; quality_score already flags empties)."""
+    from ..io import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+    )
+    unigrams = toks.select(
+        "doc_id", F.lit(1).alias("n"), F.explode("tk").alias("gram")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.lit(2).alias("n"),
+        F.explode(token_ngrams(F.col("tk"), 2)).alias("gram"),
+    )
+    counts = (
+        unigrams.unionByName(bigrams)
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    uni = F.col("n") == 1
+    bi = F.col("n") == 2
+    stats = counts.groupBy("doc_id").agg(
+        F.sum(F.when(uni, F.col("c"))).alias("n_tokens"),
+        F.count(F.when(uni, F.lit(1))).alias("n_distinct"),
+        F.max(F.when(uni, F.col("c"))).alias("top_cnt"),
+        F.sum(F.when(bi, F.col("c"))).alias("n_bigrams"),
+        F.max(F.when(bi, F.col("c"))).alias("top_bg_cnt"),
+    )
+    top_token_frac = F.round(F.col("top_cnt") / F.col("n_tokens"), 4)
+    top_bigram_frac = F.coalesce(
+        F.round(F.col("top_bg_cnt") / F.col("n_bigrams"), 4), F.lit(0.0)
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        top_token_frac.alias("top_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        (
+            (top_token_frac > top_token_max) | (top_bigram_frac > top_bigram_max)
+        ).alias("repetitive"),
+    )
+
+
+def _shard_hash(id_col: str, salt: str) -> Column:
+    return md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shards: int = 16,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle for training: (doc_id, shard, pos).
+
+    The md5-prefix hash of (id, salt) is effectively a random permutation,
+    but stable across runs, partition layouts, and engines — re-running the
+    job yields byte-identical epoch order (``df.sample``/``orderBy(rand())``
+    do not). Each shard is sorted independently (row_number partitioned by
+    shard), so the sort is shard-parallel: at 100 TB pick shards ~ O(10^3-4)
+    so one shard fits an executor's spill budget; there is NO global
+    single-task order anywhere. A different ``salt`` is a fresh epoch."""
+    h = _shard_hash(id_col, salt)
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .withColumn("shard", (F.col("h") % F.lit(shards)).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    shards: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: lay documents end-to-end in
+    deterministic shuffled order (per shard) and cut the token stream every
+    ``budget`` tokens. Returns (doc_id, shard, seq_id, tok_start, n_tokens,
+    n_seqs): the document starts in context window ``seq_id`` at offset
+    ``tok_start`` and spans ``n_seqs`` windows.
+
+    This is the standard LLM packing semantics (no padding, documents may
+    straddle window boundaries). All math is integer/window arithmetic over a
+    per-shard running sum — one shuffle on shard, exact in any engine.
+    Zero-token documents are excluded (nothing to pack)."""
+    h = _shard_hash(id_col, salt)
+    n_tok = F.size(tokenize_normalized(text_col))
+    base = (
+        df.select(F.col(id_col), h.alias("h"), n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("shard", (F.col("h") % F.lit(shards)).cast("long"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    out = base.withColumn("cum", cum).withColumn("start", F.col("cum") - F.col("n_tokens"))
+    seq_id = F.floor(F.col("start") / F.lit(budget)).cast("long")
+    last_seq = F.floor((F.col("cum") - 1) / F.lit(budget)).cast("long")
+    return out.select(
+        id_col,
+        "shard",
+        seq_id.alias("seq_id"),
+        (F.col("start") % F.lit(budget)).cast("long").alias("tok_start"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (last_seq - seq_id + F.lit(1)).cast("long").alias("n_seqs"),
+    )

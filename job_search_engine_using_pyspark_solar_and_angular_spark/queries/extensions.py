@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..functions.vectors import cosine
-from ..operators import dedup, multimodal, similarity, textstats
+from ..operators import dedup, multimodal, pipeline, similarity, textstats
 from .declared import QUERIES, query
 
 # N5 lemma dictionary (tiny deterministic sample; production swaps in a full
@@ -656,6 +656,82 @@ def ext_cosine_rerank_np(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return similarity.cosine_topk_np(emb, query=q, k=5, exclude_ids=[0])
+
+
+@query("ext_decontaminate")
+def ext_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any 3-gram shingle with
+    the (deterministic doc_id%50==0) benchmark subset, with overlap ratio.
+    Benchmark shingle set broadcasts; the corpus never shuffles for the
+    membership test."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return pipeline.decontaminate(corpus, bench)
+
+
+@query("ext_pii_redact")
+def ext_pii_redact(spark, sf_dir):
+    """PII redaction + counts over a corpus with deterministically planted
+    emails/phones/IPv4s (the synthetic corpus has none): row-local
+    regexp_replace/regexp_count chain, no shuffle, Java-regex/RE2-portable
+    patterns so the oracle is exact."""
+    doc_id = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                doc_id.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(
+                F.lit(" call 555-010-"),
+                F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (doc_id % 256).cast("string"),
+                F.lit("."),
+                ((doc_id * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", planted.alias("text")
+    )
+    return pipeline.redact_pii(d)
+
+
+@query("ext_repetition")
+def ext_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (top-token / top-bigram fractions +
+    keep/drop flag): one unigram∪bigram count, one conditional-agg rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    return pipeline.repetition_stats(d)
+
+
+@query("ext_corpus_shuffle")
+def ext_corpus_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle: (doc_id, shard, pos) — stable across
+    runs/layouts/engines; per-shard sort only, no global order."""
+    d = load_table(spark, sf_dir, "documents")
+    return pipeline.corpus_shuffle(d)
+
+
+@query("ext_pack_sequences")
+def ext_pack_sequences(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing into 512-token context windows
+    over the deterministic shuffled order; integer window math, exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return pipeline.pack_sequences(d, budget=512)
 
 
 __all__ = ["QUERIES"]

@@ -715,3 +715,121 @@ ORACLES["ext_multimodal_features"] = (
     "CAST(64 + CAST(CONCAT('0x', substr(sha256(text), 3, 2)) AS INT) % 192 AS BIGINT) AS fake_height "
     "FROM documents ORDER BY media_id"
 )
+
+
+# ---- training-data pipeline oracles (operators/pipeline.py) ---------------
+
+
+def _shingle_ctes(prefix: str, where: str) -> str:
+    """3-gram shingle-hash CTEs over a filtered documents subset (mirror of
+    operators.pipeline._shingle_hashes)."""
+    return f"""{prefix}toks AS (SELECT doc_id, {TOKS} AS tk FROM documents WHERE {where}),
+{prefix}grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM {prefix}toks)
+),
+{prefix}hashes AS (SELECT DISTINCT doc_id, {md5long('sh')} AS h FROM {prefix}grams)"""
+
+
+ORACLES["ext_decontaminate"] = f"""
+WITH {_shingle_ctes('c_', 'doc_id % 50 <> 0')},
+{_shingle_ctes('b_', 'doc_id % 50 = 0')},
+bset AS (SELECT DISTINCT h FROM b_hashes),
+per AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit,
+         CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM c_hashes c LEFT JOIN bset b ON c.h = b.h
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_hit, n_grams, ROUND(n_hit / n_grams, 4) AS contamination
+FROM per WHERE n_hit IS NOT NULL ORDER BY doc_id
+"""
+
+# mirror of queries/extensions.ext_pii_redact's planted-PII expression
+_PII_TEXT = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END"
+)
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+ORACLES["ext_pii_redact"] = f"""
+WITH pii AS (SELECT doc_id, {_PII_TEXT} AS t FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g'),
+    '{_IPV4_RE}', '<IP>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '{_IPV4_RE}')) AS BIGINT) AS n_ips
+FROM pii ORDER BY doc_id
+"""
+
+ORACLES["ext_repetition"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+uni AS (SELECT doc_id, 1 AS n, unnest(tk) AS gram FROM toks),
+bi AS (
+  SELECT doc_id, 2 AS n, tk[i] || ' ' || tk[i+1] AS gram FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)
+),
+counts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY doc_id, n, gram
+),
+stats AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN n = 1 THEN c END) AS BIGINT) AS n_tokens,
+    CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_distinct,
+    MAX(CASE WHEN n = 1 THEN c END) AS top_cnt,
+    SUM(CASE WHEN n = 2 THEN c END) AS n_bigrams,
+    MAX(CASE WHEN n = 2 THEN c END) AS top_bg_cnt
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+  ROUND(top_cnt / n_tokens, 4) AS top_token_frac,
+  COALESCE(ROUND(top_bg_cnt / n_bigrams, 4), 0.0) AS top_bigram_frac,
+  (ROUND(top_cnt / n_tokens, 4) > 0.2
+   OR COALESCE(ROUND(top_bg_cnt / n_bigrams, 4), 0.0) > 0.18) AS repetitive
+FROM stats ORDER BY doc_id
+"""
+
+ORACLES["ext_corpus_shuffle"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         {md5long("CAST(doc_id AS VARCHAR) || 'shuffle'")} AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 16 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM h ORDER BY doc_id
+"""
+
+ORACLES["ext_pack_sequences"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         {md5long("CAST(doc_id AS VARCHAR) || 'pack'")} AS h,
+         CAST(len({TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+f AS (SELECT *, CAST(h % 16 AS BIGINT) AS shard FROM base WHERE n_tokens > 0),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (
+    PARTITION BY shard ORDER BY h, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM f
+)
+SELECT doc_id, shard,
+  CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS seq_id,
+  CAST((cum - n_tokens) % 512 AS BIGINT) AS tok_start,
+  n_tokens,
+  CAST(FLOOR((cum - 1) / 512) - FLOOR((cum - n_tokens) / 512) + 1 AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id
+"""

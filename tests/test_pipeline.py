@@ -1,0 +1,148 @@
+"""Invariant tests for the training-data pipeline operators
+(operators/pipeline.py) — the properties the DuckDB oracles can't state:
+plan shape (broadcast), partition-layout stability, packing tiling.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+from job_search_engine_using_pyspark_solar_and_angular_spark.operators import pipeline
+
+from .conftest import SF_DIR
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+# ---- decontaminate --------------------------------------------------------
+
+
+def test_decontaminate_self_overlap_is_total(spark):
+    """A document used verbatim as its own benchmark is 100% contaminated."""
+    d = _docs(spark).filter(F.col("doc_id") < 20)
+    out = pipeline.decontaminate(d, d).collect()
+    assert len(out) > 0
+    assert all(r.contamination == 1.0 and r.n_hit == r.n_grams for r in out)
+
+
+def test_decontaminate_disjoint_is_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(2, "one two three four five six")], ["doc_id", "text"]
+    )
+    assert pipeline.decontaminate(docs, bench).count() == 0
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast — the 100 TB corpus side
+    never shuffles for the membership probe."""
+    d = _docs(spark)
+    plan = pipeline.decontaminate(
+        d.filter(F.col("doc_id") % 50 != 0), d.filter(F.col("doc_id") % 50 == 0)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---- redact_pii -----------------------------------------------------------
+
+
+def test_redact_pii_examples(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith@corp.example.org now"),
+            (2, "call 555-123-4567 or 555-987-6543"),
+            (3, "host 192.168.1.10 is up"),
+            (4, "clean text without identifiers"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in pipeline.redact_pii(df).collect()}
+    assert rows[1].redacted == "mail <EMAIL> now" and rows[1].n_emails == 1
+    assert rows[2].redacted == "call <PHONE> or <PHONE>" and rows[2].n_phones == 2
+    assert rows[3].redacted == "host <IP> is up" and rows[3].n_ips == 1
+    assert rows[4].redacted == rows[4].redacted == "clean text without identifiers"
+    assert (rows[4].n_emails, rows[4].n_phones, rows[4].n_ips) == (0, 0, 0)
+
+
+# ---- repetition_stats -----------------------------------------------------
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "a genuinely varied sentence with many distinct words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in pipeline.repetition_stats(df).collect()}
+    assert rows[1].repetitive is True and rows[1].top_token_frac == 1.0
+    assert rows[2].repetitive is False
+    assert rows[2].n_distinct == rows[2].n_tokens  # all unique
+
+
+# ---- corpus_shuffle -------------------------------------------------------
+
+
+def test_corpus_shuffle_dense_positions(spark):
+    out = pipeline.corpus_shuffle(_docs(spark), shards=8)
+    per_shard = (
+        out.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+        .collect()
+    )
+    assert len(per_shard) == 8
+    for r in per_shard:
+        assert (r.lo, r.hi) == (1, r.n)  # dense 1..n within each shard
+    assert out.select("doc_id").distinct().count() == out.count()
+
+
+def test_corpus_shuffle_layout_stable(spark):
+    """Same assignment regardless of input partitioning — the property
+    rand()/sample() shuffles do not have."""
+    d = _docs(spark)
+    a = {(r.doc_id): (r.shard, r.pos) for r in pipeline.corpus_shuffle(d).collect()}
+    b = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in pipeline.corpus_shuffle(d.repartition(3)).collect()
+    }
+    assert a == b
+
+
+# ---- pack_sequences -------------------------------------------------------
+
+
+def test_pack_sequences_tiles_exactly(spark):
+    """Within each shard the token stream is contiguous: doc k+1 starts where
+    doc k ended (tok_start/seq_id arithmetic consistent with the running
+    sum), every offset < budget, every span >= 1."""
+    budget = 128
+    out = pipeline.pack_sequences(_docs(spark), budget=budget, shards=4)
+    rows = out.collect()
+    assert all(0 <= r.tok_start < budget for r in rows)
+    assert all(r.n_seqs >= 1 for r in rows)
+    # reconstruct the stream per shard: positions must be a contiguous tiling
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.seq_id, r.tok_start))
+        start = 0
+        for r in rs:
+            assert r.seq_id * budget + r.tok_start == start, (shard, r)
+            start += r.n_tokens
+
+
+def test_pack_sequences_span_math(spark):
+    out = pipeline.pack_sequences(_docs(spark), budget=64, shards=4)
+    bad = out.filter(
+        F.col("n_seqs")
+        != F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / 64) + 1
+    )
+    assert bad.count() == 0
