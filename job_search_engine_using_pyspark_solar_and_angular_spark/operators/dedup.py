@@ -186,6 +186,83 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph by
+    hash-min label propagation: every node's label converges to the MINIMUM
+    node id in its component. Returns (node, cluster_id) for every node that
+    appears in at least one pair.
+
+    This is the step between "LSH candidate pairs" and "duplicate groups" in
+    a near-dedup pipeline: pairs are not transitive, clusters are. Iterative
+    (the one algorithm family Catalyst cannot express in a single plan):
+    each round is one join + one min-agg, both keyed on node, with
+    ``localCheckpoint`` cutting the lineage so round k's plan does not embed
+    rounds 1..k-1. Rounds needed = component diameter; near-dup clusters are
+    shallow (dup groups share most shingles, so LSH connects them densely),
+    so convergence is typically 2-4 rounds. For adversarially long chain
+    graphs at 100 TB, swap in the large-star/small-star variant (O(log n)
+    rounds, same per-round shape) — the convergence loop is identical.
+
+    Deterministic: min over int64 ids — exactly reproducible, and the whole
+    pipeline (LSH pairs -> closure) is oracle-checked against a DuckDB
+    recursive CTE (queries/oracles.py ext_dedup_clusters).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()  # both the node seed and every round's join read this
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges["b"] == labels["node"]
+        ).select(F.col("a").alias("node"), "cluster_id")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical near-dedup: drop every clustered document except its
+    cluster's minimum id. Documents in no candidate pair survive untouched —
+    one left_anti join against the non-canonical cluster members."""
+    removed = connected_components(pairs).filter(
+        F.col("node") != F.col("cluster_id")
+    )
+    return df.join(
+        removed.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -726,6 +726,27 @@ def ext_corpus_shuffle(spark, sf_dir):
     return pipeline.corpus_shuffle(d)
 
 
+@query("ext_dedup_clusters")
+def ext_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: MinHash-LSH candidate pairs -> connected components
+    (hash-min label propagation; the iterative step pairs alone can't give —
+    pair relations aren't transitive, clusters are). (doc_id, cluster_id =
+    min id in component) for every clustered doc; oracle is a DuckDB
+    recursive CTE over the same LSH pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    cc = dedup.connected_components(dedup.minhash_lsh_candidates(d))
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query("ext_near_dedup")
+def ext_near_dedup(spark, sf_dir):
+    """Canonical near-dedup of the corpus: every LSH cluster keeps only its
+    minimum doc_id; unclustered docs survive. One left_anti join."""
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.near_dedup_survivors(d, dedup.minhash_lsh_candidates(d))
+    return out.select("doc_id")
+
+
 @query("ext_pack_sequences")
 def ext_pack_sequences(spark, sf_dir):
     """Concatenate-and-chunk sequence packing into 512-token context windows

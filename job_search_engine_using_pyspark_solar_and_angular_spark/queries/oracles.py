@@ -833,3 +833,29 @@ SELECT doc_id, shard,
   CAST(FLOOR((cum - 1) / 512) - FLOOR((cum - n_tokens) / 512) + 1 AS BIGINT) AS n_seqs
 FROM c ORDER BY doc_id
 """
+
+# transitive closure over the symmetric LSH pair graph: cluster_id = MIN
+# reachable node (every edge endpoint reaches itself through any neighbor
+# round-trip, so MIN(b) includes the node's own id's component minimum)
+_CLUSTER_SQL_TAIL = (
+    "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach AS (SELECT a, b FROM edges "
+    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+)
+
+ORACLES["ext_dedup_clusters"] = (
+    f"WITH RECURSIVE {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, "
+    f"{_PAIRS_CTE}, {_CLUSTER_SQL_TAIL}"
+    "SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a "
+    "ORDER BY doc_id"
+)
+
+ORACLES["ext_near_dedup"] = (
+    f"WITH RECURSIVE {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, "
+    f"{_PAIRS_CTE}, {_CLUSTER_SQL_TAIL}"
+    ", removed AS (SELECT a AS doc_id FROM reach GROUP BY a "
+    "HAVING MIN(b) <> a) "
+    "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+    "(SELECT doc_id FROM removed) ORDER BY doc_id"
+)

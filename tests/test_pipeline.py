@@ -146,3 +146,45 @@ def test_pack_sequences_span_math(spark):
         != F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / 64) + 1
     )
     assert bad.count() == 0
+
+
+# ---- connected_components / near_dedup ------------------------------------
+
+
+def _cc_dict(spark, edges):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import dedup
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    return {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+
+
+def test_cc_chain_converges_to_min(spark):
+    """A length-5 chain (worst diameter per node count) collapses to one
+    component labeled by its minimum id."""
+    got = _cc_dict(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    assert got == {n: 1 for n in range(1, 7)}
+
+
+def test_cc_disjoint_components(spark):
+    got = _cc_dict(spark, [(10, 11), (11, 12), (20, 21), (30, 31)])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_cc_cycle_and_direction_insensitive(spark):
+    """Cycles terminate; edge direction never matters."""
+    got = _cc_dict(spark, [(3, 2), (2, 1), (1, 3), (5, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_near_dedup_keeps_min_per_cluster(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import dedup
+
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["doc_a", "doc_b"])
+    kept = sorted(
+        r.doc_id for r in dedup.near_dedup_survivors(df, pairs).collect()
+    )
+    assert kept == [0, 1, 4, 5, 6, 7, 9]
