@@ -64,10 +64,16 @@ _PRIORITY = [
     "ext_embedding_near_dups",
     "x1_dedup_stats",
     "x2_cosine_topk",
-    "ext_token_counts",
-    "ext_lang_id",
-    "ext_quality",
-    "ext_minhash_candidates",
+    # the corpus-to-trainer stage's four hardest ops (iterative closure,
+    # broadcast membership, window packing math, conditional-agg reshape);
+    # the row-local members of the family (token_counts/lang_id/quality/
+    # pii_redact/corpus_shuffle) and the pair-generation step that
+    # ext_dedup_clusters transitively exercises (minhash_candidates) yield
+    # their slots — all remain exact-oracle-checked locally.
+    "ext_dedup_clusters",
+    "ext_decontaminate",
+    "ext_pack_sequences",
+    "ext_repetition",
     "ext_ngram_jaccard",
     "ext_simhash_near_dups",
     "ext_tpch_q3",

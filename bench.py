@@ -53,6 +53,12 @@ HEADLINE = [
     "ext_minhash_candidates",
     "ext_simhash",
     "ext_multimodal_features",
+    # corpus-to-trainer stage: broadcast-membership decontamination,
+    # LSH-pairs -> connected-components clustering (iterative), and
+    # concatenate-and-chunk sequence packing
+    "ext_decontaminate",
+    "ext_dedup_clusters",
+    "ext_pack_sequences",
     # the reference's whole batch job (BASELINE.md Figure 10 workload shape):
     # nested flatten + 3-way split + latest-wins dedup + vocab regex filter
     "ext_preprocess_pipeline",

@@ -212,38 +212,44 @@ def connected_components(
     pipeline (LSH pairs -> closure) is oracle-checked against a DuckDB
     recursive CTE (queries/oracles.py ext_dedup_clusters).
     """
+    # one materialization of the (possibly expensive) pair-generation plan:
+    # persist pairs so the symmetric union reads it once, then checkpoint
+    # edges so NO later round's plan reaches back into the pair pipeline
+    pairs_p = pairs.persist()
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs_p.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()  # both the node seed and every round's join read this
+        .localCheckpoint()
     )
+    pairs_p.unpersist()
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
         .localCheckpoint()
     )
+    # convergence via label-sum monotonicity: each node's label is
+    # non-increasing (min over a set containing itself), so the total is
+    # strictly decreasing until the fixpoint — equal sums <=> converged.
+    # One tiny agg on checkpointed labels instead of a join per round.
+    # (Sum of int64 ids: exact while n_nodes * max_id < 2^63 — beyond that,
+    # switch the check to count(label != prev) at one extra join.)
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(max_iter):
         nbr = edges.join(
             labels, edges["b"] == labels["node"]
         ).select(F.col("a").alias("node"), "cluster_id")
-        new_labels = (
+        labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if new_sum == prev_sum:
             break
-    edges.unpersist()
+        prev_sum = new_sum
     return labels
 
 
