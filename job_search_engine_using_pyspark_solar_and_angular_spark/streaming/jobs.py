@@ -20,9 +20,10 @@ Scale notes:
   so the container stays dependency-free. The merge itself is the batch D2
   operator, so replaying a batch is a no-op (idempotent sink = exactly-once
   results over at-least-once delivery).
-- streaming_dedup: ``dropDuplicates`` after ``withWatermark`` bounds the
-  dedup state store — keys older than the horizon are evicted (the unbounded
-  -state pitfall in SURVEY.md §7.5).
+- streaming_dedup: ``dropDuplicatesWithinWatermark`` bounds the dedup state
+  store — keys older than the horizon are evicted (the unbounded-state
+  pitfall in SURVEY.md §7.5; plain ``dropDuplicates`` on business keys
+  never evicts).
 """
 
 from __future__ import annotations
@@ -145,9 +146,20 @@ def streaming_dedup(
     df: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermark-bounded streaming dedup: first-seen wins within the horizon
-    (exact-once event processing). State store holds only keys newer than the
-    watermark."""
-    return df.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    (exact-once event processing).
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): duplicates are
+    collapsed even when retries carry jittered event times, and — the part
+    that matters at 100 TB — per-key state is EVICTED once the key's event
+    time passes the watermark. Plain ``dropDuplicates(keys)`` after a
+    watermark only evicts state when the event-time column is IN the key
+    subset; with bare business keys its state store grows without bound.
+    Fallback for older builds: include ``ts_col`` in the subset (bounded
+    state, but only exact (key, ts) replays dedup)."""
+    wm = df.withWatermark(ts_col, watermark)
+    if hasattr(wm, "dropDuplicatesWithinWatermark"):
+        return wm.dropDuplicatesWithinWatermark(key_cols)
+    return wm.dropDuplicates([*key_cols, ts_col])
 
 
 def latest_wins_merge_sink(

@@ -367,8 +367,9 @@ def test_stateful_running_profile(spark, events_dir, tmp_path):
 
 
 def test_streaming_dedup_bounded_state(spark, tmp_path):
-    """dropDuplicates after withWatermark: duplicate keys within the horizon
-    are emitted once."""
+    """dropDuplicatesWithinWatermark: duplicate keys within the horizon are
+    emitted once even with jittered event times (k=1 arrives at :00 and :30),
+    and per-key state is evictable past the watermark."""
     rows = [
         {"ts": "2024-01-01 10:00:00", "k": 1},
         {"ts": "2024-01-01 10:00:30", "k": 1},
