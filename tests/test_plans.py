@@ -236,3 +236,24 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS t_events_b")
         spark.sql("DROP TABLE IF EXISTS t_users_b")
+
+
+def test_shard_ops_one_exchange_no_global_sort(spark):
+    """corpus_shuffle / pack_sequences: exactly ONE shuffle (keyed on shard)
+    and no rangepartitioning / single-partition stage — the per-shard window
+    sort must never become a global order."""
+    for name in ("ext_corpus_shuffle", "ext_pack_sequences"):
+        p = plan_of(spark, name)
+        assert p.count("Exchange hashpartitioning") == 1, name
+        assert "rangepartitioning" not in p, name
+        assert "SinglePartition" not in p, name
+
+
+def test_repetition_two_shuffles_partial_agg(spark):
+    """repetition_stats: gram-count shuffle + doc rollup shuffle, nothing
+    more (the unigram/bigram union must NOT add a per-n aggregate + join),
+    with map-side partial aggregation."""
+    p = plan_of(spark, "ext_repetition")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "partial_" in p
+    assert "Join" not in p
