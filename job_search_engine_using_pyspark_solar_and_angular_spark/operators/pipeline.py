@@ -182,6 +182,48 @@ def repetition_stats(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC between two keyed snapshots: one row per differing key with
+    ``change`` in {'added', 'removed', 'changed'} — the incremental-refresh
+    primitive (re-embed / re-index only what moved, instead of the full
+    corpus).
+
+    Rows are compared via an md5 fingerprint of the compared columns (with a
+    null sentinel so (x, NULL) never collides with (NULL, x)), so the full
+    outer join carries a fixed-width digest per side instead of every column
+    — at 100 TB the shuffle moves keys + 32-byte hashes, not documents. One
+    shuffle per side keyed on the join keys; on snapshots written with
+    ``catalog.write_bucketed`` on the same keys the join is shuffle-free.
+    Unchanged keys drop out in the post-join filter.
+    """
+    compare = compare_cols or [c for c in new.columns if c not in key_cols]
+    sentinel = "\x00null"
+    fingerprint = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit(sentinel)) for c in compare],
+        )
+    )
+    o = old.select(*key_cols, fingerprint.alias("__fp_old"))
+    n = new.select(*key_cols, fingerprint.alias("__fp_new"))
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )
+
+
 def _shard_hash(id_col: str, salt: str) -> Column:
     return md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
 

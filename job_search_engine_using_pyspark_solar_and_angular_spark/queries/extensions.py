@@ -747,6 +747,27 @@ def ext_near_dedup(spark, sf_dir):
     return out.select("doc_id")
 
 
+@query("ext_snapshot_diff")
+def ext_snapshot_diff(spark, sf_dir):
+    """CDC between two deterministic snapshots of events (drop %3 keys,
+    double %7 values): (event_id, change) for added/removed/changed keys —
+    the incremental-refresh primitive. Values compared as integer cents so
+    the digest is engine-portable."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    old = e.filter(F.col("event_id") % 5 != 0)
+    new = e.filter(F.col("event_id") % 3 != 0).withColumn(
+        "cents",
+        F.when(F.col("event_id") % 7 == 0, F.col("cents") * 2).otherwise(
+            F.col("cents")
+        ),
+    )
+    return pipeline.snapshot_diff(old, new, ["event_id"])
+
+
 @query("ext_pack_sequences")
 def ext_pack_sequences(spark, sf_dir):
     """Concatenate-and-chunk sequence packing into 512-token context windows

@@ -859,3 +859,30 @@ ORACLES["ext_near_dedup"] = (
     "SELECT doc_id FROM documents WHERE doc_id NOT IN "
     "(SELECT doc_id FROM removed) ORDER BY doc_id"
 )
+
+ORACLES["ext_snapshot_diff"] = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+old AS (
+  SELECT event_id,
+         md5(event_type || chr(31) || CAST(cents AS VARCHAR)) AS fp
+  FROM e WHERE event_id % 5 <> 0
+),
+new AS (
+  SELECT event_id,
+         md5(event_type || chr(31) || CAST(
+           CASE WHEN event_id % 7 = 0 THEN cents * 2 ELSE cents END
+           AS VARCHAR)) AS fp
+  FROM e WHERE event_id % 3 <> 0
+)
+SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+WHERE (o.fp IS NULL OR n.fp IS NULL OR o.fp <> n.fp)
+ORDER BY event_id
+"""

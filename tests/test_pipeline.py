@@ -188,3 +188,29 @@ def test_near_dedup_keeps_min_per_cluster(spark):
         r.doc_id for r in dedup.near_dedup_survivors(df, pairs).collect()
     )
     assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
+# ---- snapshot_diff --------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_three(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, None), (5, "e")], ["k", "v"]
+    )
+    got = {
+        r.k: r.change
+        for r in pipeline.snapshot_diff(old, new, ["k"]).collect()
+    }
+    # 1 removed, 3 changed, 5 added; 2 and 4 (null-identical) unchanged
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_snapshot_diff_null_vs_empty_not_conflated(spark):
+    """(NULL) and ('') rows must differ — the null sentinel guarantees it."""
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, "")], "k long, v string")
+    got = pipeline.snapshot_diff(old, new, ["k"]).collect()
+    assert [(r.k, r.change) for r in got] == [(1, "changed")]
