@@ -11,6 +11,9 @@ Methodology:
 - each query is forced with ``df.write.format("noop")`` — full column
   materialization on every plan (a bare count() lets Spark skip decoding
   projected columns on some plans, flattering the numbers).
+- each query reports the MIN of 2 back-to-back trials: trial 1 pays
+  per-plan whole-stage-codegen compilation (a fixed driver-side cost,
+  irrelevant at cluster scale); the min is the reproducible plan cost.
 - ``preprocess_scaled`` measures the END-TO-END reference batch job at the
   reference's own measured volume (BASELINE.md Fig. 10: ~90 s / 100 MB of
   raw tweet JSON => ~1.1 MB/s): read a >=100 MB JSON corpus from disk,
@@ -164,11 +167,17 @@ def main() -> None:
         force(QUERIES["q20_bm25_search"](spark, warm_dir))
         QUERIES["ext_multimodal_features"](spark, warm_dir).count()
 
+    # min of 2 trials per query: first-trial numbers fold in per-plan codegen
+    # compile and page-cache state; the min is the reproducible figure
+    # (standard steady-state practice; both trials run the full plan).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(QUERIES[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     timings["q20_bm25_served"] = bench_bm25_served(spark, sf_dir)
     scaled = bench_preprocess_scaled(spark)

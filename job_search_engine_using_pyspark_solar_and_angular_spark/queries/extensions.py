@@ -776,4 +776,21 @@ def ext_pack_sequences(spark, sf_dir):
     return pipeline.pack_sequences(d, budget=512)
 
 
+@query("ext_approx_quantiles")
+def ext_approx_quantiles(spark, sf_dir):
+    """Per-type approximate quantiles of event value (percentile_approx —
+    Greenwald-Khanna-style sketch): the quantile member of the sketch family
+    (X4 is the HLL member). Mergeable across partitions — one partial+final
+    agg, no global sort, unlike exact percentile's per-group materialization.
+    Rows-only (sketch internals are engine-specific); accuracy vs the exact
+    tier is pinned in tests/test_pipeline.py."""
+    e = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
+    return e.groupBy("event_type").agg(
+        F.round(F.element_at(q, 1), 2).alias("p50"),
+        F.round(F.element_at(q, 2), 2).alias("p95"),
+        F.round(F.element_at(q, 3), 2).alias("p99"),
+    )
+
+
 __all__ = ["QUERIES"]

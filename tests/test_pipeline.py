@@ -214,3 +214,30 @@ def test_snapshot_diff_null_vs_empty_not_conflated(spark):
     new = spark.createDataFrame([(1, "")], "k long, v string")
     got = pipeline.snapshot_diff(old, new, ["k"]).collect()
     assert [(r.k, r.change) for r in got] == [(1, "changed")]
+
+
+# ---- approx quantiles -----------------------------------------------------
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        QUERIES,
+    )
+
+    approx = {
+        r.event_type: (r.p50, r.p95, r.p99)
+        for r in QUERIES["ext_approx_quantiles"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    # the sketch's guarantee is bounded RANK error (<= 1/accuracy), not value
+    # error: assert the returned value's actual rank is near the target rank.
+    values = {}
+    for r in ev.select("event_type", "value").collect():
+        values.setdefault(r.event_type, []).append(r.value)
+    assert approx.keys() == values.keys()
+    for et, (a50, a95, a99) in approx.items():
+        vs = sorted(values[et])
+        n = len(vs)
+        for a, target in ((a50, 0.5), (a95, 0.95), (a99, 0.99)):
+            rank = sum(1 for v in vs if v <= a) / n
+            assert abs(rank - target) <= 0.02 + 1.0 / n, (et, target, rank)
