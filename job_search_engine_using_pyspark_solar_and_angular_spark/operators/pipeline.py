@@ -182,6 +182,43 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks (RAG/embedding
+    prep): (doc_id, chunk_id, chunk_text, n_chunk_tokens). Chunk k starts at
+    token k*(chunk_tokens-overlap); the last chunk may be short. Documents
+    with zero tokens produce no chunks.
+
+    Entirely row-local higher-order functions (sequence -> slice ->
+    posexplode) — no shuffle at all; the 1->k fan-out happens inside the
+    scan stage, so at 100 TB chunking is free to pipeline into the
+    embedding/indexing step that follows it."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+    ).filter(F.size("tk") > 0)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("tk") - F.lit(overlap), F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(F.col("tk"), s, chunk_tokens))
+    return (
+        toks.select("doc_id", F.posexplode(chunks).alias("chunk_id", "ck"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.col("ck")).alias("chunk_text"),
+            F.size("ck").cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

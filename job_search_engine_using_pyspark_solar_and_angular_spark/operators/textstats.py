@@ -100,6 +100,46 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram-LM surprisal per document: avg(-ln p(token)) with p estimated
+    from the corpus's own token frequencies — the deterministic stand-in for
+    perplexity-based quality filtering (a KenLM/neural scorer slots into the
+    same two-pass shape via pandas_udf without changing the plan).
+
+    Low surprisal = boilerplate/common-word text, high = rare-token noise;
+    filters cut both tails. Two passes over the token stream: (1) corpus
+    token counts — partial+final agg, (2) token->freq equi-join + per-doc
+    avg. The frequency table is vocabulary-sized (Zipf: ~sqrt corpus), keyed
+    on token, and the join inherits AQE skew splitting for stop-word-grade
+    hot keys."""
+    from ..io import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize_normalized(text_col)).alias("token"),
+        )
+        .persist()  # both passes read the same exploded stream
+    )
+    freqs = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = freqs.agg(F.sum("c").alias("total"))
+    scored = (
+        toks.join(freqs, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("total"))), 4
+            ).alias("avg_surprisal"),
+        )
+    )
+    return scored
+
+
 def lemmatize(
     df: DataFrame,
     lemma_map: dict[str, str],

@@ -776,6 +776,22 @@ def ext_pack_sequences(spark, sf_dir):
     return pipeline.pack_sequences(d, budget=512)
 
 
+@query("ext_chunk_documents")
+def ext_chunk_documents(spark, sf_dir):
+    """RAG-prep chunking: overlapping 64-token windows (8-token overlap),
+    row-local HOF fan-out — zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return pipeline.chunk_documents(d, chunk_tokens=64, overlap=8)
+
+
+@query("ext_unigram_logprob")
+def ext_unigram_logprob(spark, sf_dir):
+    """Unigram-LM surprisal (perplexity-filter stand-in): corpus-frequency
+    log-probs, two token-stream passes."""
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.unigram_logprob(d)
+
+
 @query("ext_approx_quantiles")
 def ext_approx_quantiles(spark, sf_dir):
     """Per-type approximate quantiles of event value (percentile_approx —

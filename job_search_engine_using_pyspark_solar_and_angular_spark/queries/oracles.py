@@ -886,3 +886,30 @@ FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
 WHERE (o.fp IS NULL OR n.fp IS NULL OR o.fp <> n.fp)
 ORDER BY event_id
 """
+
+ORACLES["ext_chunk_documents"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+starts AS (
+  SELECT doc_id, tk, s, row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_id
+  FROM (SELECT doc_id, tk,
+        unnest(generate_series(1, greatest(n - 8, 1), 56)) AS s FROM nz)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(tk[s:s+63], ' ') AS chunk_text,
+       CAST(len(tk[s:s+63]) AS BIGINT) AS n_chunk_tokens
+FROM starts ORDER BY doc_id, chunk_id
+"""
+
+ORACLES["ext_unigram_logprob"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+),
+freqs AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM freqs)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-ln(f.c / tt.total)), 4) AS avg_surprisal
+FROM toks t JOIN freqs f ON t.token = f.token CROSS JOIN total tt
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""

@@ -241,3 +241,62 @@ def test_approx_quantiles_close_to_exact(spark):
         for a, target in ((a50, 0.5), (a95, 0.95), (a99, 0.99)):
             rank = sum(1 for v in vs if v <= a) / n
             assert abs(rank - target) <= 0.02 + 1.0 / n, (et, target, rank)
+
+
+# ---- chunk_documents / unigram_logprob ------------------------------------
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Consecutive chunks overlap by exactly `overlap`; the union of chunks
+    reconstructs the token stream."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.functions.text import (
+        tokenize_normalized,
+    )
+
+    chunk, overlap = 16, 4
+    d = _docs(spark).filter(F.col("doc_id") < 50)
+    toks = {
+        r.doc_id: r.tk
+        for r in d.select("doc_id", tokenize_normalized("text").alias("tk")).collect()
+    }
+    out = pipeline.chunk_documents(d, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        rebuilt: list[str] = []
+        for i, r in enumerate(rs):
+            words = r.chunk_text.split(" ")
+            assert len(words) == r.n_chunk_tokens
+            assert len(words) <= chunk
+            rebuilt.extend(words if i == 0 else words[overlap:])
+        assert rebuilt == toks[doc_id], doc_id
+    # every non-empty doc chunked
+    assert set(by_doc) == {k for k, v in toks.items() if v}
+
+
+def test_chunk_documents_no_shuffle(spark):
+    p = (
+        pipeline.chunk_documents(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p
+
+
+def test_unigram_logprob_rare_scores_higher(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        textstats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common common common"),
+            (2, "rareword otherrare thirdrare fourthrare"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.avg_surprisal for r in textstats.unigram_logprob(df).collect()}
+    assert got[2] > got[1]
