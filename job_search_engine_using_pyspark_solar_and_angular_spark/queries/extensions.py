@@ -776,6 +776,31 @@ def ext_pack_sequences(spark, sf_dir):
     return pipeline.pack_sequences(d, budget=512)
 
 
+@query("ext_interval_join")
+def ext_interval_join(spark, sf_dir):
+    """Interval-overlap join: view events whose 30-minute window intersects a
+    purchase's 30-minute window for the same user — grid-cell equi-join, not
+    an inequality cross-join."""
+    from ..operators.joins import interval_overlap_join
+
+    e = load_table(spark, sf_dir, "events")
+    half = F.expr("INTERVAL 30 MINUTES")
+    l = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_start"),
+        (F.col("ts") + half).alias("l_end"),
+    )
+    r = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_start"),
+        (F.col("ts") + half).alias("r_end"),
+    )
+    out = interval_overlap_join(l, r, "user_id")
+    return out.select("user_id", "l_event", "r_event")
+
+
 @query("ext_chunk_documents")
 def ext_chunk_documents(spark, sf_dir):
     """RAG-prep chunking: overlapping 64-token windows (8-token overlap),

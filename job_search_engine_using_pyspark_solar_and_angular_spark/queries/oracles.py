@@ -913,3 +913,19 @@ SELECT t.doc_id,
 FROM toks t JOIN freqs f ON t.token = f.token CROSS JOIN total tt
 GROUP BY t.doc_id ORDER BY t.doc_id
 """
+
+ORACLES["ext_interval_join"] = """
+WITH l AS (
+  SELECT user_id, event_id AS l_event, ts AS ls,
+         ts + INTERVAL 30 MINUTE AS le
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, event_id AS r_event, ts AS rs,
+         ts + INTERVAL 30 MINUTE AS re
+  FROM events WHERE event_type = 'view'
+)
+SELECT l.user_id, l_event, r_event
+FROM l JOIN r ON l.user_id = r.user_id AND ls < re AND rs < le
+ORDER BY l.user_id, l_event, r_event
+"""

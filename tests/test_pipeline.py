@@ -300,3 +300,40 @@ def test_unigram_logprob_rare_scores_higher(spark):
     )
     got = {r.doc_id: r.avg_surprisal for r in textstats.unigram_logprob(df).collect()}
     assert got[2] > got[1]
+
+
+# ---- interval_overlap_join ------------------------------------------------
+
+
+def test_interval_join_matches_bruteforce_and_boundaries(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    mk = lambda rows, a, b: spark.createDataFrame(
+        [(k, i, f"2024-01-01 {s}", f"2024-01-01 {e}") for k, i, s, e in rows],
+        f"user_id long, {a} long, {b}_start string, {b}_end string",
+    ).select(
+        "user_id", a,
+        F.to_timestamp(f"{b}_start").alias(f"{b}_start"),
+        F.to_timestamp(f"{b}_end").alias(f"{b}_end"),
+    )
+    # l1 overlaps r1 (same cell) and r2 (crosses an hour-grid boundary);
+    # l2 touches r3 end-to-start exactly -> NOT an overlap (half-open);
+    # l3 is another user -> never joins.
+    left = mk(
+        [(1, 10, "10:15:00", "11:30:00"), (1, 11, "13:00:00", "13:30:00"),
+         (2, 12, "10:15:00", "11:30:00")],
+        "l_event", "l",
+    )
+    right = mk(
+        [(1, 20, "10:00:00", "10:20:00"), (1, 21, "11:25:00", "12:00:00"),
+         (1, 22, "13:30:00", "14:00:00")],
+        "r_event", "r",
+    )
+    out = interval_overlap_join(left, right, "user_id")
+    got = sorted((r.l_event, r.r_event) for r in out.collect())
+    assert got == [(10, 20), (10, 21)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
