@@ -116,3 +116,82 @@ def test_ivf_assignment_partitions_corpus(spark):
     assert assigned.count() == emb.count()
     n_lists = assigned.select("cent_id").distinct().count()
     assert 1 < n_lists <= 8
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 40)),  # (id, n_tokens)
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(2, 64),
+)
+@_SET
+def test_pack_sequences_python_reference(spark, docs, budget):
+    """pack_sequences == the sequential concatenate-and-chunk reference
+    computed in Python over the same md5 order, for arbitrary corpora."""
+    import hashlib
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.pipeline import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in docs],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.shard, r.seq_id, r.tok_start, r.n_tokens, r.n_seqs)
+        for r in pack_sequences(df, budget=budget, shards=4).collect()
+    }
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"{i}pack".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    streams: dict[int, int] = {}
+    for i, n in sorted(((i, n) for i, n in docs if n > 0), key=lambda t: (h(t[0]) % 4, h(t[0]), t[0])):
+        shard = h(i) % 4
+        start = streams.get(shard, 0)
+        end = start + n
+        want[i] = (
+            shard,
+            start // budget,
+            start % budget,
+            n,
+            (end - 1) // budget - start // budget + 1,
+        )
+        streams[shard] = end
+    assert got == want
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=30, unique=True),
+    shards=st.integers(1, 8),
+)
+@_SET
+def test_corpus_shuffle_is_permutation(spark, ids, shards):
+    """Every id appears exactly once; positions are dense per shard; the
+    assignment equals the Python md5 reference."""
+    import hashlib
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.pipeline import (
+        corpus_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: (r.shard, r.pos) for r in corpus_shuffle(df, shards=shards).collect()}
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"{i}shuffle".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    by_shard: dict[int, list[int]] = {}
+    for i in ids:
+        by_shard.setdefault(h(i) % shards, []).append(i)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda i: (h(i), i))
+        for pos, i in enumerate(members, start=1):
+            want[i] = (shard, pos)
+    assert got == want
