@@ -257,3 +257,43 @@ def test_repetition_two_shuffles_partial_agg(spark):
     assert p.count("Exchange hashpartitioning") == 2
     assert "partial_" in p
     assert "Join" not in p
+
+
+def test_snapshot_diff_on_bucketed_snapshots_no_shuffle(spark, tmp_path):
+    """SCALE.md claim: snapshot_diff between two write_bucketed snapshots
+    (same keys, same bucket count) runs its full-outer join with ZERO
+    Exchange — delta detection without reshuffling either snapshot."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark import catalog
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.pipeline import (
+        snapshot_diff,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("v")
+    )
+    try:
+        catalog.write_bucketed(
+            ev.filter(F.col("event_id") % 5 != 0),
+            "t_snap_old", str(tmp_path / "so"), ["event_id"], buckets=8,
+        )
+        catalog.write_bucketed(
+            ev.filter(F.col("event_id") % 3 != 0),
+            "t_snap_new", str(tmp_path / "sn"), ["event_id"], buckets=8,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        d = snapshot_diff(
+            spark.table("t_snap_old"), spark.table("t_snap_new"), ["event_id"]
+        )
+        p = d._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, p[:1200]
+        assert d.filter(F.col("change") == "added").count() > 0
+        assert d.filter(F.col("change") == "removed").count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_snap_old")
+        spark.sql("DROP TABLE IF EXISTS t_snap_new")
