@@ -182,6 +182,65 @@ def repetition_stats(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Inter-document line-level dedup (the CCNet/RefinedWeb boilerplate
+    step): drop every line that occurs in more than ``max_doc_freq``
+    documents (nav menus, copyright footers, cookie banners), keep the rest
+    in original order. Returns (doc_id, cleaned, n_lines, n_dropped).
+
+    Plan: posexplode lines -> line doc-frequency on md5(line) (16-byte
+    shuffle keys, never line bodies) -> broadcast-join the SMALL dropped-line
+    set back -> ordered reassembly via array_sort(collect_list(struct(pos,
+    line))) — deterministic, no window. The frequent-line set is tiny by
+    construction (only lines shared by > max_doc_freq docs), so at 100 TB
+    the corpus-sized edges are one explode shuffle and one doc_id rollup;
+    the df computation never materializes per-line rows to the driver."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.col("line")))
+    freq = (
+        lines.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("h")
+    )
+    marked = lines.join(
+        F.broadcast(freq).withColumn("__drop", F.lit(1)), "h", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__drop").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("cleaned"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.coalesce(F.col("__drop"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

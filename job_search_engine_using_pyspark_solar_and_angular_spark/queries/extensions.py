@@ -776,6 +776,26 @@ def ext_pack_sequences(spark, sf_dir):
     return pipeline.pack_sequences(d, budget=512)
 
 
+@query("ext_dedup_lines")
+def ext_dedup_lines(spark, sf_dir):
+    """Inter-document line dedup (boilerplate removal) over a corpus with
+    deterministically planted boilerplate lines (copyright header on %4
+    docs, newsletter footer on %6): shared lines dropped, per-doc order
+    preserved. concat_ws skips the null branches in both engines."""
+    boiler_top = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit("copyright acme corp - all rights reserved"),
+    )
+    boiler_bot = F.when(
+        F.col("doc_id") % 6 == 0, F.lit("subscribe to our newsletter")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n", boiler_top, F.col("text"), boiler_bot).alias("text"),
+    )
+    return pipeline.dedup_lines(d, max_doc_freq=2)
+
+
 @query("ext_interval_join")
 def ext_interval_join(spark, sf_dir):
     """Interval-overlap join: view events whose 30-minute window intersects a

@@ -929,3 +929,28 @@ SELECT l.user_id, l_event, r_event
 FROM l JOIN r ON l.user_id = r.user_id AND ls < re AND rs < le
 ORDER BY l.user_id, l_event, r_event
 """
+
+ORACLES["ext_dedup_lines"] = """
+WITH src AS (
+  SELECT doc_id, concat_ws(chr(10),
+    CASE WHEN doc_id % 4 = 0 THEN 'copyright acme corp - all rights reserved' END,
+    text,
+    CASE WHEN doc_id % 6 = 0 THEN 'subscribe to our newsletter' END) AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS ln FROM (
+    SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+    unnest(generate_series(1, len(ls))) AS u(i)
+),
+freq AS (
+  SELECT ln FROM (SELECT ln, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY ln)
+  WHERE df > 2
+)
+SELECT l.doc_id,
+  COALESCE(string_agg(CASE WHEN f.ln IS NULL THEN l.ln END, chr(10) ORDER BY l.pos), '') AS cleaned,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN f.ln IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM lines l LEFT JOIN freq f ON l.ln = f.ln
+GROUP BY l.doc_id ORDER BY l.doc_id
+"""

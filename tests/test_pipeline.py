@@ -337,3 +337,32 @@ def test_interval_join_matches_bruteforce_and_boundaries(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- dedup_lines ----------------------------------------------------------
+
+
+def test_dedup_lines_drops_boilerplate_keeps_order(spark):
+    boiler = "all rights reserved"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique one\nmiddle line\n{boiler}"),
+            (2, f"{boiler}\nunique two"),
+            (3, f"{boiler}\nunique three"),
+            (4, "no boilerplate here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in pipeline.dedup_lines(df, max_doc_freq=2).collect()}
+    assert rows[1].cleaned == "unique one\nmiddle line"
+    assert rows[1].n_dropped == 2 and rows[1].n_lines == 4
+    assert rows[2].cleaned == "unique two"
+    assert rows[4].cleaned == "no boilerplate here" and rows[4].n_dropped == 0
+
+
+def test_dedup_lines_all_dropped_yields_empty(spark):
+    df = spark.createDataFrame(
+        [(i, "same line") for i in range(5)], ["doc_id", "text"]
+    )
+    rows = pipeline.dedup_lines(df, max_doc_freq=2).collect()
+    assert all(r.cleaned == "" and r.n_dropped == 1 for r in rows)
