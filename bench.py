@@ -136,13 +136,16 @@ def bench_preprocess_scaled(spark) -> dict:
 
     out_parquet = os.path.join(BENCH_DIR, "out_parquet")
     out_csv = os.path.join(BENCH_DIR, "out_csv")
-    t0 = time.perf_counter()
-    raw = spark.read.schema(schema).json(path)
-    result = preprocess(raw)
-    write_outputs(result, out_parquet, out_csv)
-    sec = round(time.perf_counter() - t0, 3)
-    shutil.rmtree(out_parquet, ignore_errors=True)
-    shutil.rmtree(out_csv, ignore_errors=True)
+    sec = float("inf")
+    for _ in range(2):  # min of 2, same policy as the per-query timings
+        t0 = time.perf_counter()
+        raw = spark.read.schema(schema).json(path)
+        result = preprocess(raw)
+        write_outputs(result, out_parquet, out_csv)
+        sec = min(sec, time.perf_counter() - t0)
+        shutil.rmtree(out_parquet, ignore_errors=True)
+        shutil.rmtree(out_csv, ignore_errors=True)
+    sec = round(sec, 3)
     mb_per_sec = round(size_mb / sec, 2)
     return {
         "input_mb": size_mb,
