@@ -837,6 +837,43 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_curation_verdict")
+def ext_curation_verdict(spark, sf_dir):
+    """End-to-end corpus curation: every document labeled with its FIRST
+    failing stage — lang -> quality -> repetition -> duplicate (LSH cluster
+    non-canonical) -> contaminated -> keep. Composes the independently
+    oracle-verified operators into the funnel a real training-data pass
+    runs; the oracle composes the same verified SQL fragments."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    lang = QUERIES["ext_lang_id"](spark, sf_dir)
+    qual = QUERIES["ext_quality"](spark, sf_dir).select("doc_id", "quality")
+    rep = QUERIES["ext_repetition"](spark, sf_dir).select("doc_id", "repetitive")
+    removed = (
+        QUERIES["ext_dedup_clusters"](spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    cont = QUERIES["ext_decontaminate"](spark, sf_dir).select(
+        "doc_id", "contamination"
+    )
+    joined = (
+        d.join(lang, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("lang_pred") != "en", F.lit("lang"))
+        .when(F.col("quality") < 0.55, F.lit("quality"))
+        .when(F.col("repetitive"), F.lit("repetition"))
+        .when(F.col("is_dup"), F.lit("duplicate"))
+        .when(F.col("contamination") > 0.2, F.lit("contaminated"))
+        .otherwise(F.lit("keep"))
+    )
+    return joined.select("doc_id", verdict.alias("verdict"))
+
+
 @query("ext_approx_quantiles")
 def ext_approx_quantiles(spark, sf_dir):
     """Per-type approximate quantiles of event value (percentile_approx —

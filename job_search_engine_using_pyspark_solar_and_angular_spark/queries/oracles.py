@@ -954,3 +954,24 @@ SELECT l.doc_id,
 FROM lines l LEFT JOIN freq f ON l.ln = f.ln
 GROUP BY l.doc_id ORDER BY l.doc_id
 """
+
+# the curation funnel composes the already-verified stage oracles as derived
+# tables (each keeps its own WITH/ORDER BY — legal in a subquery) and applies
+# the same first-failing-stage CASE as the Spark side.
+ORACLES["ext_curation_verdict"] = f"""
+SELECT d.doc_id,
+  CASE WHEN l.lang_pred <> 'en' THEN 'lang'
+       WHEN q.quality < 0.55 THEN 'quality'
+       WHEN r.repetitive THEN 'repetition'
+       WHEN c.doc_id IS NOT NULL THEN 'duplicate'
+       WHEN x.contamination > 0.2 THEN 'contaminated'
+       ELSE 'keep' END AS verdict
+FROM documents d
+LEFT JOIN ({ORACLES['ext_lang_id']}) l ON d.doc_id = l.doc_id
+LEFT JOIN ({ORACLES['ext_quality']}) q ON d.doc_id = q.doc_id
+LEFT JOIN ({ORACLES['ext_repetition']}) r ON d.doc_id = r.doc_id
+LEFT JOIN (SELECT doc_id FROM ({ORACLES['ext_dedup_clusters']})
+           WHERE doc_id <> cluster_id) c ON d.doc_id = c.doc_id
+LEFT JOIN ({ORACLES['ext_decontaminate']}) x ON d.doc_id = x.doc_id
+ORDER BY d.doc_id
+"""

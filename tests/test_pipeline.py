@@ -366,3 +366,22 @@ def test_dedup_lines_all_dropped_yields_empty(spark):
     )
     rows = pipeline.dedup_lines(df, max_doc_freq=2).collect()
     assert all(r.cleaned == "" and r.n_dropped == 1 for r in rows)
+
+
+# ---- curation funnel ------------------------------------------------------
+
+
+def test_curation_verdict_covers_corpus_and_stages(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        QUERIES,
+    )
+
+    out = QUERIES["ext_curation_verdict"](spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == _docs(spark).count()  # exactly one verdict per doc
+    by = {}
+    for r in rows:
+        by[r.verdict] = by.get(r.verdict, 0) + 1
+    assert set(by) <= {"lang", "quality", "repetition", "duplicate",
+                       "contaminated", "keep"}
+    assert by.get("keep", 0) > 0 and by.get("duplicate", 0) > 0
