@@ -62,7 +62,11 @@ _PRIORITY = [
     "ext_ann_lsh",
     "ext_ann_ivf",
     "ext_embedding_near_dups",
-    "x1_dedup_stats",
+    # the curation capstone composes lang/quality/repetition/cluster/
+    # decontamination into one verdict hash — highest-coverage single row in
+    # the window; x1_dedup_stats (1-row corpus stat) yields its slot and
+    # stays exact-oracle-checked locally.
+    "ext_curation_verdict",
     "x2_cosine_topk",
     # the corpus-to-trainer stage's four hardest ops (iterative closure,
     # broadcast membership, window packing math, conditional-agg reshape);
