@@ -11,6 +11,7 @@ package replaces all three with Structured Streaming primitives.
 from .jobs import (
     latest_wins_merge_sink,
     stream_parquet,
+    stream_stream_join,
     streaming_dedup,
     trending_topk,
     windowed_counts,
@@ -19,6 +20,7 @@ from .jobs import (
 __all__ = [
     "latest_wins_merge_sink",
     "stream_parquet",
+    "stream_stream_join",
     "streaming_dedup",
     "trending_topk",
     "windowed_counts",

@@ -162,6 +162,43 @@ def streaming_dedup(
     return wm.dropDuplicates([*key_cols, ts_col])
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_ts: str = "l_ts",
+    r_ts: str = "r_ts",
+    watermark: str = "2 hours",
+    bound_seconds: int = 1800,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: left and right events with the
+    same ``key`` whose event times lie within ±``bound_seconds`` of each
+    other. Works identically on batch DataFrames (watermarks skipped) —
+    which is how the replay-parity test pins the semantics.
+
+    The two-sided time bound is what makes the state store finite: each
+    side buffers only rows younger than watermark + bound, so state is
+    O(rate × horizon) per key range, not unbounded. Without a time bound
+    Spark must keep EVERY past row of both streams — the stream-stream
+    analog of the unbounded-dedup pitfall."""
+    if left.isStreaming:
+        left = left.withWatermark(l_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(r_ts, watermark)
+    lk, rk = f"__l_{key}", f"__r_{key}"
+    l = left.withColumnRenamed(key, lk)
+    r = right.withColumnRenamed(key, rk)
+    bound = F.expr(
+        f"{r_ts} >= {l_ts} - INTERVAL {bound_seconds} SECONDS AND "
+        f"{r_ts} <= {l_ts} + INTERVAL {bound_seconds} SECONDS"
+    )
+    return (
+        l.join(r, (F.col(lk) == F.col(rk)) & bound, "inner")
+        .withColumnRenamed(lk, key)
+        .drop(rk)
+    )
+
+
 def latest_wins_merge_sink(
     stream_df: DataFrame,
     spark: SparkSession,

@@ -462,3 +462,71 @@ def test_session_counts_streaming_replay_parity(spark, events_dir, tmp_path):
     batch = session_counts(load_table(spark, SF_DIR, "events"), gap="30 minutes")
     want = canon_rows(batch.columns, [tuple(r) for r in batch.collect()])
     assert got == want
+
+
+def test_stream_stream_join_replay_parity(spark, tmp_path):
+    """Watermarked time-bounded stream-stream join over a replayed file
+    source == the identical batch join (same operator, batch inputs)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming import (
+        stream_stream_join,
+    )
+
+    lrows = [
+        {"l_ts": "2024-01-01 10:00:00", "k": 1, "l_id": 100},
+        {"l_ts": "2024-01-01 12:00:00", "k": 1, "l_id": 101},
+        {"l_ts": "2024-01-01 10:05:00", "k": 2, "l_id": 102},
+    ]
+    rrows = [
+        {"r_ts": "2024-01-01 10:20:00", "k": 1, "r_id": 200},  # joins 100
+        {"r_ts": "2024-01-01 11:00:00", "k": 1, "r_id": 201},  # bound miss
+        {"r_ts": "2024-01-01 10:05:00", "k": 3, "r_id": 202},  # key miss
+        {"r_ts": "2024-01-01 10:35:00", "k": 2, "r_id": 203},  # joins 102
+    ]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    import os
+
+    for d, rows in ((ldir, lrows), (rdir, rrows)):
+        os.makedirs(d)
+        with open(os.path.join(d, "b.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def src(d, ts):
+        other = "l_id" if ts == "l_ts" else "r_id"
+        return (
+            spark.readStream.schema(f"{ts} string, k long, {other} long")
+            .json(d)
+            .withColumn(ts, F.to_timestamp(ts))
+        )
+
+    joined = stream_stream_join(
+        src(ldir, "l_ts"), src(rdir, "r_ts"), "k", bound_seconds=1800
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["k"], r["l_id"], r["r_id"]) for r in spark.table("ssj_out").collect()
+    )
+
+    lb = spark.createDataFrame(
+        [(r["l_ts"], r["k"], r["l_id"]) for r in lrows],
+        "l_ts string, k long, l_id long",
+    ).withColumn("l_ts", F.to_timestamp("l_ts"))
+    rb = spark.createDataFrame(
+        [(r["r_ts"], r["k"], r["r_id"]) for r in rrows],
+        "r_ts string, k long, r_id long",
+    ).withColumn("r_ts", F.to_timestamp("r_ts"))
+    want = sorted(
+        (r["k"], r["l_id"], r["r_id"])
+        for r in stream_stream_join(lb, rb, "k", bound_seconds=1800).collect()
+    )
+    assert got == want == [(1, 100, 200), (2, 102, 203)]
