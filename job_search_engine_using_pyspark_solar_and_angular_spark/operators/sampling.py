@@ -54,6 +54,59 @@ def train_test_split(
     )
 
 
+def domain_mix(
+    df: DataFrame,
+    strata_col: str,
+    shares_bps: dict[str, int],
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Target-mixture downsampling: given desired OUTPUT shares per domain
+    (basis points, summing to 10000) and a total token budget, derive each
+    domain's keep-rate from its measured token mass and apply the
+    deterministic hash filter — the data-mixing step of a training run
+    (upweight code, downweight boilerplate web) expressed as one plan.
+
+    rate_bps(s) = min(10000, share_bps(s) * budget / tokens(s)) — integer
+    arithmetic end-to-end, so the oracle reproduces it exactly. Domains too
+    small for their share keep everything (rate capped at 100%); no
+    upsampling/replication here (layout-stable repetition belongs to the
+    epoch shuffle, operators/pipeline.corpus_shuffle, via salted epochs).
+
+    Plan: one stats agg per domain (tiny — #domains rows) broadcast back
+    onto the corpus, then a row-local bucket filter. The corpus is scanned
+    twice (stats + filter) but never shuffled."""
+    from .textstats import token_count
+
+    share_expr = None
+    for value, bps in sorted(shares_bps.items()):
+        cond = F.col(strata_col) == value
+        share_expr = (
+            F.when(cond, F.lit(bps))
+            if share_expr is None
+            else share_expr.when(cond, F.lit(bps))
+        )
+    share_expr = share_expr.otherwise(F.lit(0))
+    stats = (
+        df.groupBy(strata_col)
+        .agg(F.sum(token_count(text_col)).alias("__tok"))
+        .withColumn(
+            "__rate_bps",
+            F.least(
+                F.lit(BPS).cast("long"),
+                F.floor(share_expr.cast("long") * F.lit(budget_tokens) / F.col("__tok")),
+            ),
+        )
+    )
+    return (
+        df.join(F.broadcast(stats.select(strata_col, "__rate_bps")), strata_col)
+        .filter(_bucket(F.col(id_col), salt) < F.col("__rate_bps"))
+        .drop("__rate_bps")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

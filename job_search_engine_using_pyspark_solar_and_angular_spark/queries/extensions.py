@@ -837,6 +837,19 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_domain_mix")
+def ext_domain_mix(spark, sf_dir):
+    """Target-mixture downsampling to a 5000-token budget: even-numbered
+    sources get 800 bps of the mix, odd 200 bps — keep-rates derived from
+    measured per-source token mass, integer-exact."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    shares = {f"src{i}": (800 if i % 2 == 0 else 200) for i in range(20)}
+    out = sampling.domain_mix(d, "source", shares, budget_tokens=5_000)
+    return out.select("doc_id", "source")
+
+
 @query("ext_curation_verdict")
 def ext_curation_verdict(spark, sf_dir):
     """End-to-end corpus curation: every document labeled with its FIRST

@@ -975,3 +975,22 @@ LEFT JOIN (SELECT doc_id FROM ({ORACLES['ext_dedup_clusters']})
 LEFT JOIN ({ORACLES['ext_decontaminate']}) x ON d.doc_id = x.doc_id
 ORDER BY d.doc_id
 """
+
+# mirror of operators/sampling.domain_mix over the ext_domain_mix share rule
+ORACLES["ext_domain_mix"] = f"""
+WITH stats AS (
+  SELECT source, SUM(len(string_split(text, ' '))) AS tok FROM documents
+  GROUP BY source
+),
+rates AS (
+  SELECT source,
+    LEAST(10000, CAST(FLOOR(
+      (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 800 ELSE 200 END)
+      * 5000 / tok) AS BIGINT)) AS rate_bps
+  FROM stats
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {md5long("CAST(d.doc_id AS VARCHAR) || ''")} % 10000 < r.rate_bps
+ORDER BY d.doc_id
+"""

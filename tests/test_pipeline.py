@@ -385,3 +385,38 @@ def test_curation_verdict_covers_corpus_and_stages(spark):
     assert set(by) <= {"lang", "quality", "repetition", "duplicate",
                        "contaminated", "keep"}
     assert by.get("keep", 0) > 0 and by.get("duplicate", 0) > 0
+
+
+# ---- domain_mix -----------------------------------------------------------
+
+
+def test_domain_mix_tracks_target_shares(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        sampling,
+        textstats,
+    )
+
+    d = _docs(spark)
+    shares = {f"src{i}": (800 if i % 2 == 0 else 200) for i in range(20)}
+    out = sampling.domain_mix(d, "source", shares, budget_tokens=5_000)
+    toks = (
+        out.withColumn("n", textstats.token_count("text"))
+        .withColumn(
+            "grp",
+            (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 2 == 0),
+        )
+        .groupBy("grp")
+        .agg(F.sum("n").alias("tok"))
+        .collect()
+    )
+    by = {r.grp: r.tok for r in toks}
+    # even sources carry 4x the share of odd; realized token mass must lean
+    # heavily even (hash sampling is exact only in expectation)
+    assert by[True] > 2 * by[False], by
+    # deterministic: same rows on a different input layout
+    again = sampling.domain_mix(
+        d.repartition(3), "source", shares, budget_tokens=5_000
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
