@@ -349,6 +349,50 @@ def corpus_shuffle(
     )
 
 
+def ring_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 2,
+    shards: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each anchor
+    gets ``k`` negatives at fixed ring offsets within its shard of the
+    deterministic epoch shuffle — (anchor, neg_rank, negative).
+
+    Because the shuffle order is an md5 permutation, ring neighbors are an
+    unbiased pseudo-random draw, yet fully reproducible (rerun, any layout,
+    any engine) and collision-free by construction: offset i*floor(n/(k+1))
+    never wraps onto the anchor while n > k. No cross join anywhere — one
+    shuffle for positions, a tiny per-shard size broadcast, and a self-join
+    on (shard, position): the same cost profile at 100 TB as one extra
+    epoch-shuffle pass. A new salt draws a fresh negative set."""
+    pos = corpus_shuffle(df, id_col, shards, salt)
+    sizes = pos.groupBy("shard").agg(F.max("pos").alias("__n"))
+    stride = F.greatest(F.expr(f"__n div {k + 1}"), F.lit(1))
+    cand = (
+        pos.join(F.broadcast(sizes), "shard")
+        .select(
+            F.col(id_col).alias("anchor"),
+            "shard",
+            "pos",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+            "__n",
+        )
+        .withColumn(
+            "neg_pos",
+            (F.col("pos") - 1 + F.col("neg_rank") * stride) % F.col("__n") + 1,
+        )
+        .filter(F.col("neg_pos") != F.col("pos"))
+    )
+    other = pos.select(
+        "shard", F.col("pos").alias("neg_pos"), F.col(id_col).alias("negative")
+    )
+    return cand.join(other, ["shard", "neg_pos"]).select(
+        "anchor", F.col("neg_rank").cast("long").alias("neg_rank"), "negative"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -837,6 +837,14 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_ring_negatives")
+def ext_ring_negatives(spark, sf_dir):
+    """Deterministic contrastive negatives: 2 ring-offset negatives per doc
+    within its epoch-shuffle shard."""
+    d = load_table(spark, sf_dir, "documents")
+    return pipeline.ring_negatives(d, k=2, shards=4)
+
+
 @query("ext_domain_mix")
 def ext_domain_mix(spark, sf_dir):
     """Target-mixture downsampling to a 5000-token budget: even-numbered

@@ -994,3 +994,25 @@ FROM documents d JOIN rates r ON d.source = r.source
 WHERE {md5long("CAST(d.doc_id AS VARCHAR) || ''")} % 10000 < r.rate_bps
 ORDER BY d.doc_id
 """
+
+ORACLES["ext_ring_negatives"] = f"""
+WITH h AS (
+  SELECT doc_id, {md5long("CAST(doc_id AS VARCHAR) || 'neg'")} AS h
+  FROM documents
+),
+p AS (
+  SELECT doc_id, CAST(h % 4 AS BIGINT) AS shard,
+         CAST(row_number() OVER (PARTITION BY h % 4 ORDER BY h, doc_id) AS BIGINT) AS pos
+  FROM h
+),
+s AS (SELECT shard, MAX(pos) AS n FROM p GROUP BY shard),
+c AS (
+  SELECT p.doc_id AS anchor, p.shard, p.pos, CAST(u.i AS BIGINT) AS neg_rank,
+         ((p.pos - 1 + u.i * GREATEST(s.n // 3, 1)) % s.n) + 1 AS neg_pos
+  FROM p JOIN s USING (shard), unnest(generate_series(1, 2)) AS u(i)
+)
+SELECT c.anchor, c.neg_rank, p2.doc_id AS negative
+FROM c JOIN p p2 ON p2.shard = c.shard AND p2.pos = c.neg_pos
+WHERE c.neg_pos <> c.pos
+ORDER BY anchor, neg_rank
+"""

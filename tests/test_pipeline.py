@@ -420,3 +420,32 @@ def test_domain_mix_tracks_target_shares(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+# ---- ring_negatives -------------------------------------------------------
+
+
+def test_ring_negatives_k_per_anchor_no_self(spark):
+    out = pipeline.ring_negatives(_docs(spark), k=2, shards=4).collect()
+    per_anchor: dict[int, list] = {}
+    for r in out:
+        assert r.negative != r.anchor
+        per_anchor.setdefault(r.anchor, []).append(r.negative)
+    n_docs = _docs(spark).count()
+    assert len(per_anchor) == n_docs  # every doc gets negatives
+    assert all(len(v) == 2 for v in per_anchor.values())
+    # distinct negatives per anchor (ring strides differ)
+    assert all(len(set(v)) == 2 for v in per_anchor.values())
+
+
+def test_ring_negatives_fresh_salt_fresh_draw(spark):
+    d = _docs(spark)
+    a = {(r.anchor, r.neg_rank): r.negative
+         for r in pipeline.ring_negatives(d, salt="e1").collect()}
+    b = {(r.anchor, r.neg_rank): r.negative
+         for r in pipeline.ring_negatives(d, salt="e2").collect()}
+    assert a.keys() == b.keys()
+    assert any(a[key] != b[key] for key in a)  # different epochs differ
+    c = {(r.anchor, r.neg_rank): r.negative
+         for r in pipeline.ring_negatives(d.repartition(5), salt="e1").collect()}
+    assert a == c  # same salt is layout-stable
