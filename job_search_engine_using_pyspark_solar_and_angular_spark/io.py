@@ -56,6 +56,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (a long-lived ingest adds columns over time): ``mergeSchema``
+    unions all file schemas; rows from older files surface the new columns
+    as nulls.
+
+    100 TB note: mergeSchema reads every file footer at planning time —
+    fine for a partition's worth of files, wasteful across a whole lake.
+    For recurring reads, resolve the merged schema ONCE and pin it
+    (``spark.read.schema(pinned).parquet(path)``): same union semantics,
+    no footer sweep, and the ingest contract becomes explicit. Filter
+    pushdown works either way, including on late-added columns (absent
+    columns are all-null, so stats-based skipping drops old files whole).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the input has fewer partitions than
     the cluster has slots.

@@ -101,3 +101,29 @@ def test_salted_two_phase_agg_matches_direct(spark):
     a = sorted(tuple(r) for r in final.collect())
     b = sorted(tuple(r) for r in direct.collect())
     assert a == b
+
+
+def test_load_evolving_schema_union(spark, tmp_path):
+    """Files written under an evolving schema read as one table: old rows
+    null-fill late-added columns; predicates on the new column still prune
+    (old files are all-null for it)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import (
+        load_evolving,
+    )
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.mode("overwrite").parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.9)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+
+    df = load_evolving(spark, p)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[4] == 0.9
+    assert df.filter(F.col("score") > 0.7).count() == 1
+    # pinned-schema re-read (the recurring-read path) sees identical data
+    pinned = spark.read.schema(df.schema).parquet(p)
+    assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, df.collect()))
