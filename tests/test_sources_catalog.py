@@ -127,3 +127,24 @@ def test_load_evolving_schema_union(spark, tmp_path):
     # pinned-schema re-read (the recurring-read path) sees identical data
     pinned = spark.read.schema(df.schema).parquet(p)
     assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_tweet_ingest_tolerates_malformed_lines(spark, tmp_path):
+    """PERMISSIVE ingest (Spark's default): malformed JSON lines null-fill
+    instead of failing the 100 TB job; well-formed rows are unaffected.
+    The explicit-schema contract is what keeps this deterministic."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources.tweets import (
+        read_tweets,
+    )
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    with open(p / "b.json", "w") as f:
+        f.write('{"id": 1, "text": "good tweet"}\n')
+        f.write("{this is not json at all\n")
+        f.write('{"id": 2, "text": "another good one"}\n')
+    df = read_tweets(spark, str(p), multiline=False)
+    rows = df.select("id", "text").collect()
+    good = {r.id: r.text for r in rows if r.id is not None}
+    assert good == {1: "good tweet", 2: "another good one"}
+    assert len(rows) == 3  # malformed line surfaces as a null-filled row

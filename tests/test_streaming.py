@@ -530,3 +530,41 @@ def test_stream_stream_join_replay_parity(spark, tmp_path):
         for r in stream_stream_join(lb, rb, "k", bound_seconds=1800).collect()
     )
     assert got == want == [(1, 100, 200), (2, 102, 203)]
+
+
+def test_stream_static_dimension_join_parity(spark, events_dir, tmp_path):
+    """Streaming fact enriched by a static (broadcastable) dimension == the
+    batch join — the live form of the reference's search-result → user-dim
+    composition. No watermark needed: the static side is bounded state."""
+    schema = _stream_schema(spark, events_dir)
+    dim = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+    )
+    stream = stream_parquet(spark, events_dir, schema).select("event_id", "user_id")
+    joined = stream.join(F.broadcast(dim), "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssdim")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        tuple(r) for r in spark.table("ssdim")
+        .select("event_id", "user_total").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id")
+        .join(dim, "user_id")
+        .select("event_id", "user_total")
+        .collect()
+    )
+    assert got == want
