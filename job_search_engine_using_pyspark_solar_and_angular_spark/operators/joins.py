@@ -117,7 +117,12 @@ def interval_overlap_join(
     def cells(df: DataFrame, s: str, e: str) -> DataFrame:
         epoch_s = F.col(s).cast("timestamp").cast("long")
         epoch_e = F.col(e).cast("timestamp").cast("long")
-        # half-open [s, e): last touched cell is the one containing e-1
+        # Empty/negative intervals ([t, t) and worse) touch no cells and
+        # overlap nothing under half-open semantics — drop them BEFORE the
+        # span build: the classic overlap predicate below wrongly admits
+        # them, and Spark's sequence() would generate a DESCENDING cell
+        # range for them. Half-open [s, e): last touched cell contains e-1.
+        df = df.filter(epoch_e > epoch_s)
         span = F.sequence(
             F.floor(epoch_s / grid_seconds),
             F.floor((epoch_e - 1) / grid_seconds),

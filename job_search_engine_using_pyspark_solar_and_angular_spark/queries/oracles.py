@@ -927,6 +927,7 @@ r AS (
 )
 SELECT l.user_id, l_event, r_event
 FROM l JOIN r ON l.user_id = r.user_id AND ls < re AND rs < le
+             AND ls < le AND rs < re
 ORDER BY l.user_id, l_event, r_event
 """
 

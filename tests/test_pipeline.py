@@ -449,3 +449,26 @@ def test_ring_negatives_fresh_salt_fresh_draw(spark):
     c = {(r.anchor, r.neg_rank): r.negative
          for r in pipeline.ring_negatives(d.repartition(5), salt="e1").collect()}
     assert a == c  # same salt is layout-stable
+
+
+def test_interval_join_empty_intervals_never_overlap(spark):
+    """[t, t) is empty under half-open semantics: it must join nothing, even
+    when the naive overlap predicate would admit it."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00", "2024-01-01 10:00:00"),   # empty
+         (1, 11, "2024-01-01 10:00:00", "2024-01-01 09:00:00")],  # negative
+        "user_id long, l_event long, l_start string, l_end string",
+    ).select("user_id", "l_event",
+             F.to_timestamp("l_start").alias("l_start"),
+             F.to_timestamp("l_end").alias("l_end"))
+    right = spark.createDataFrame(
+        [(1, 20, "2024-01-01 09:00:00", "2024-01-01 11:00:00")],
+        "user_id long, r_event long, r_start string, r_end string",
+    ).select("user_id", "r_event",
+             F.to_timestamp("r_start").alias("r_start"),
+             F.to_timestamp("r_end").alias("r_end"))
+    assert interval_overlap_join(left, right, "user_id").count() == 0
