@@ -118,6 +118,43 @@ def refresh_index(
     return SearchIndex(postings=postings, doc_stats=doc_stats, term_stats=term_stats)
 
 
+def delta_refresh(
+    index: SearchIndex,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> SearchIndex:
+    """CDC-driven index maintenance: diff the two corpus snapshots
+    (operators.pipeline.snapshot_diff) and touch ONLY the delta — added and
+    changed documents re-index, removed documents' postings are dropped
+    (the case ``refresh_index`` alone cannot express), unchanged documents'
+    postings pass through untouched.
+
+    At 100 TB this turns a nightly full index rebuild into a job sized by
+    the day's churn: the diff ships (key, digest) pairs, the drop set
+    broadcasts, and only changed text is re-tokenized."""
+    from ..operators.pipeline import snapshot_diff
+
+    diff = snapshot_diff(
+        old_docs.select(id_col, text_col),
+        new_docs.select(id_col, text_col),
+        [id_col],
+    ).persist()  # feeds both the drop set and the rebuild set
+    to_drop = diff.select(F.col(id_col).alias("doc_id"))
+    rebuild = new_docs.join(
+        diff.filter(F.col("change") != "removed").select(id_col), id_col, "left_semi"
+    )
+    fresh = build_index(rebuild, id_col, text_col)
+    kept = index.postings.join(F.broadcast(to_drop), "doc_id", "left_anti")
+    postings = kept.unionByName(fresh.postings).select(
+        *fresh.postings.columns  # canonical (token, doc_id, ...) order
+    )
+    doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    term_stats = postings.groupBy("token").agg(F.count("*").alias("df"))
+    return SearchIndex(postings=postings, doc_stats=doc_stats, term_stats=term_stats)
+
+
 def write_index(
     index: SearchIndex, base_path: str, buckets: int = 64,
     table: str = "jse_postings",

@@ -179,3 +179,31 @@ def test_bm25_scores_positive_and_tie_broken(spark, index):
     for a, b in zip(res, res[1:]):
         if a["score"] == b["score"]:
             assert a["doc_id"] < b["doc_id"]
+
+
+def test_delta_refresh_handles_adds_changes_and_removes(spark, docs):
+    """delta_refresh(index(old), old, new) == build_index(new), postings-
+    for-postings — including REMOVED docs, which refresh_index can't drop."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+        delta_refresh,
+    )
+
+    old = docs.filter(F.col("doc_id") % 7 != 0)  # %7==0 will be "added"
+    new = (
+        docs.filter(F.col("doc_id") % 5 != 0)    # %5==0 & %7!=0 -> "removed"
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,        # some docs "changed"
+                F.concat(F.col("text"), F.lit(" deltaedit spark")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    refreshed = delta_refresh(build_index(old), old, new)
+    rebuilt = build_index(new)
+    a = sorted(tuple(r) for r in refreshed.postings.collect())
+    b = sorted(tuple(r) for r in rebuilt.postings.collect())
+    assert a == b
+    x = bm25_search(spark, refreshed, ["spark", "join"], k=10).collect()
+    y = bm25_search(spark, rebuilt, ["spark", "join"], k=10).collect()
+    assert [tuple(r) for r in x] == [tuple(r) for r in y]
