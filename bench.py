@@ -57,11 +57,15 @@ HEADLINE = [
     "ext_simhash",
     "ext_multimodal_features",
     # corpus-to-trainer stage: broadcast-membership decontamination,
-    # LSH-pairs -> connected-components clustering (iterative), and
-    # concatenate-and-chunk sequence packing
+    # LSH-pairs -> connected-components clustering (iterative),
+    # concatenate-and-chunk sequence packing, inter-doc line dedup,
+    # unigram-LM surprisal, RAG chunking
     "ext_decontaminate",
     "ext_dedup_clusters",
     "ext_pack_sequences",
+    "ext_dedup_lines",
+    "ext_unigram_logprob",
+    "ext_chunk_documents",
     # the reference's whole batch job (BASELINE.md Figure 10 workload shape):
     # nested flatten + 3-way split + latest-wins dedup + vocab regex filter
     "ext_preprocess_pipeline",

@@ -16,7 +16,7 @@ subsets, train/test splits, per-class rebalancing).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
@@ -51,6 +51,29 @@ def train_test_split(
         F.when(_bucket(F.col(key_col), salt) < test_bps, F.lit("test")).otherwise(
             F.lit("train")
         ),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by md5 order — the CCNet
+    'cap documents per domain' step. Unlike ``LIMIT``-per-group over an
+    arbitrary order, the hash order makes the kept set a uniform,
+    run/layout/engine-stable sample of each group. One shuffle on the
+    group key; the per-group sort is bounded by group size (hot groups are
+    exactly what the cap truncates)."""
+    w = Window.partitionBy(group_col).orderBy(
+        md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt))), id_col
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

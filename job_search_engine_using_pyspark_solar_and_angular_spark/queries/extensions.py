@@ -837,6 +837,16 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_cap_per_group")
+def ext_cap_per_group(spark, sf_dir):
+    """Per-domain document cap (CCNet step): at most 8 docs per source,
+    chosen by md5 order — a uniform, layout-stable per-group sample."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.cap_per_group(d, "source", k=8).select("doc_id", "source")
+
+
 @query("ext_ring_negatives")
 def ext_ring_negatives(spark, sf_dir):
     """Deterministic contrastive negatives: 2 ring-offset negatives per doc

@@ -1017,3 +1017,12 @@ FROM c JOIN p p2 ON p2.shard = c.shard AND p2.pos = c.neg_pos
 WHERE c.neg_pos <> c.pos
 ORDER BY anchor, neg_rank
 """
+
+ORACLES["ext_cap_per_group"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY {md5long("CAST(doc_id AS VARCHAR) || ''")}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 8 ORDER BY doc_id
+"""

@@ -472,3 +472,20 @@ def test_interval_join_empty_intervals_never_overlap(spark):
              F.to_timestamp("r_start").alias("r_start"),
              F.to_timestamp("r_end").alias("r_end"))
     assert interval_overlap_join(left, right, "user_id").count() == 0
+
+
+def test_cap_per_group_bounds_and_stability(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        sampling,
+    )
+
+    d = _docs(spark)
+    out = sampling.cap_per_group(d, "source", k=8)
+    sizes = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 8 for r in sizes)
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in sampling.cap_per_group(d.repartition(5), "source", k=8).collect()
+    )
+    assert a == b  # layout-stable kept set
