@@ -489,3 +489,47 @@ def test_cap_per_group_bounds_and_stability(spark):
         for r in sampling.cap_per_group(d.repartition(5), "source", k=8).collect()
     )
     assert a == b  # layout-stable kept set
+
+
+# ---- export_training_shards -----------------------------------------------
+
+
+def test_export_training_shards_end_to_end(spark, tmp_path):
+    """The full corpus-to-trainer export: only verdict=keep docs land, each
+    exactly once, per-shard token tiling holds on the re-read data, and the
+    on-disk layout is partitioned by shard."""
+    import os
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.plans.curate import (
+        export_training_shards,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        QUERIES,
+    )
+
+    out = str(tmp_path / "shards")
+    manifest = export_training_shards(spark, SF_DIR, out, budget=128, shards=4)
+    rows = manifest.collect()
+
+    keep_ids = {
+        r.doc_id
+        for r in QUERIES["ext_curation_verdict"](spark, SF_DIR)
+        .filter(F.col("verdict") == "keep")
+        .collect()
+    }
+    exported = [r.doc_id for r in rows]
+    # every kept doc with >0 tokens exported exactly once, nothing else
+    assert set(exported) <= keep_ids
+    assert len(exported) == len(set(exported))
+    assert len(keep_ids) - len(exported) <= 1  # only empty docs may drop
+
+    assert any(e.startswith("shard=") for e in os.listdir(out))
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.seq_id, r.tok_start))
+        start = 0
+        for r in rs:
+            assert r.seq_id * 128 + r.tok_start == start, (shard, r.doc_id)
+            start += r.n_tokens
