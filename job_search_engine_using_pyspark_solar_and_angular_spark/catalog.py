@@ -13,6 +13,8 @@ All functions are metadata-only or lazy — nothing scans data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -107,3 +109,39 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(*keys)
     writer.option("path", path).saveAsTable(name)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> tuple[int, int]:
+    """Small-files compaction (lake maintenance): rewrite a parquet
+    directory into ceil(bytes / target_mb) files via an atomic
+    staging-directory swap. Returns (files_before, files_after).
+
+    Streaming sinks and frequent small appends accumulate KB-scale files;
+    at 100 TB the resulting task-per-file scheduling and footer overhead
+    dominate scan time. Compaction is a full rewrite of ONE directory —
+    run it per partition (e.g. per day), not per lake; the write itself is
+    a round-robin repartition, no shuffle key needed. On a real deployment
+    the swap is a transactional-table operation (same plan, safe commit).
+    """
+    import math
+    import shutil
+
+    before = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    size_b = sum(os.path.getsize(os.path.join(path, f)) for f in before)
+    n_out = max(1, math.ceil(size_b / (target_mb * 1024 * 1024)))
+    staging = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(
+        staging
+    )
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    after = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    return len(before), len(after)

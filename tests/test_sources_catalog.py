@@ -148,3 +148,18 @@ def test_tweet_ingest_tolerates_malformed_lines(spark, tmp_path):
     good = {r.id: r.text for r in rows if r.id is not None}
     assert good == {1: "good tweet", 2: "another good one"}
     assert len(rows) == 3  # malformed line surfaces as a null-filled row
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.catalog import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "frag")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(40).write.mode("overwrite").parquet(p)  # 40 tiny files
+    want = sorted(r.event_id for r in spark.read.parquet(p).collect())
+    before, after = compact_parquet(spark, p, target_mb=128)
+    assert before >= 40 and after == 1  # sf0.001 events << 128 MB
+    got = sorted(r.event_id for r in spark.read.parquet(p).collect())
+    assert got == want
