@@ -837,6 +837,20 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_zorder_key")
+def ext_zorder_key(spark, sf_dir):
+    """Morton z-key over (user_id % 256, value-bucket % 256) — the write-time
+    clustering key for multi-predicate pruning; pure bit arithmetic."""
+    from ..catalog import zorder_key
+
+    e = load_table(spark, sf_dir, "events")
+    z = zorder_key(
+        [F.col("user_id") % 256, F.floor(F.col("value")).cast("long") % 256],
+        bits=8,
+    )
+    return e.select("event_id", z.alias("z"))
+
+
 @query("ext_cap_per_group")
 def ext_cap_per_group(spark, sf_dir):
     """Per-domain document cap (CCNet step): at most 8 docs per source,

@@ -1026,3 +1026,8 @@ SELECT doc_id, source FROM (
   FROM documents
 ) WHERE rn <= 8 ORDER BY doc_id
 """
+
+ORACLES["ext_zorder_key"] = (
+    "SELECT event_id, CAST(((((user_id % 256) >> 0) & 1) << 0) + ((((user_id % 256) >> 1) & 1) << 2) + ((((user_id % 256) >> 2) & 1) << 4) + ((((user_id % 256) >> 3) & 1) << 6) + ((((user_id % 256) >> 4) & 1) << 8) + ((((user_id % 256) >> 5) & 1) << 10) + ((((user_id % 256) >> 6) & 1) << 12) + ((((user_id % 256) >> 7) & 1) << 14) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 0) & 1) << 1) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 1) & 1) << 3) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 2) & 1) << 5) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 3) & 1) << 7) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 4) & 1) << 9) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 5) & 1) << 11) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 6) & 1) << 13) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 7) & 1) << 15) AS BIGINT) AS z "
+    "FROM events ORDER BY event_id"
+)

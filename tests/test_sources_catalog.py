@@ -163,3 +163,42 @@ def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
     assert before >= 40 and after == 1  # sf0.001 events << 128 MB
     got = sorted(r.event_id for r in spark.read.parquet(p).collect())
     assert got == want
+
+
+def test_zorder_layout_concentrates_box_queries(spark, tmp_path):
+    """A 2-D box predicate over a z-ordered layout finds its rows in FEW
+    files; over a random layout the same rows smear across ~all files.
+    This locality is exactly what row-group min/max skipping converts into
+    less IO at scale."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.catalog import (
+        write_zordered,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    dims = [F.col("user_id") % 256, F.floor(F.col("value")).cast("long") % 256]
+    write_zordered(ev, zpath, dims, bits=8, n_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(rpath)  # random layout
+
+    box = (
+        (F.col("user_id") % 256 < 32)
+        & (F.floor(F.col("value")).cast("long") % 256 < 32)
+    )
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(box)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    z_files, r_files = files_touched(zpath), files_touched(rpath)
+    # identical rows either way
+    assert (
+        spark.read.parquet(zpath).filter(box).count()
+        == spark.read.parquet(rpath).filter(box).count()
+    )
+    assert z_files < r_files, (z_files, r_files)
+    assert z_files <= r_files // 2, (z_files, r_files)
