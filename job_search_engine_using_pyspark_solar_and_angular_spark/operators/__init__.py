@@ -1,1 +1,10 @@
-from . import dedup, multimodal, similarity, textstats, topk  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    joins,
+    multimodal,
+    pipeline,
+    sampling,
+    similarity,
+    textstats,
+    topk,
+)
