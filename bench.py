@@ -66,6 +66,9 @@ HEADLINE = [
     "ext_dedup_lines",
     "ext_unigram_logprob",
     "ext_chunk_documents",
+    # the composed curation funnel (lang/quality/repetition/LSH-dup/
+    # decontamination -> one verdict per doc) — the flagship composition
+    "ext_curation_verdict",
     # the reference's whole batch job (BASELINE.md Figure 10 workload shape):
     # nested flatten + 3-way split + latest-wins dedup + vocab regex filter
     "ext_preprocess_pipeline",
