@@ -86,3 +86,71 @@ def running_user_profile(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- transformWithStateInPandas (Spark 4 arbitrary-state v2) --------------
+#
+# The v2 API replaces the single implicit state value with named, typed
+# state variables (value/list/map), timers, and TTL — the shape long-lived
+# streaming services need. The processor below is the v2 form of
+# running_user_profile; the replay-parity test pins that both APIs compute
+# the same totals.
+
+try:  # pragma: no cover - import guard for older builds / this container
+    # the TWS python worker also needs a working protobuf (absent in some
+    # containers, including this test environment) and the RocksDB state
+    # store provider conf:
+    #   spark.sql.streaming.stateStore.providerClass=
+    #     org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    import google.protobuf.descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-key running (n_events, total_value) via a named ValueState.
+
+        State is a single fixed-width row per key in the executor state
+        store; each micro-batch reads/writes only the keys present in the
+        batch. In production add TTL on the state var (the v2 API's native
+        mechanism) to bound quiet-key state."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._totals.exists():
+                n, total = self._totals.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    HAS_TWS = False
+
+
+TOTALS_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def running_totals_v2(events: DataFrame) -> DataFrame:
+    """running_user_profile on the v2 arbitrary-state API
+    (``transformWithStateInPandas``): same per-key totals, named state
+    variables, update mode."""
+    if not HAS_TWS:
+        raise NotImplementedError("transformWithStateInPandas requires Spark 3.5.4+/4.x")
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

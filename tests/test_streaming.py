@@ -568,3 +568,61 @@ def test_stream_static_dimension_join_parity(spark, events_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_transform_with_state_v2_accumulates_across_batches(spark, tmp_path):
+    """The Spark-4 arbitrary-state API (transformWithStateInPandas): per-key
+    totals accumulate across micro-batches and match the batch aggregate —
+    the v2 form of the running-profile operator. Skips where the TWS python
+    worker's protobuf dependency is unavailable (this container) — the
+    operator is import-gated the same way."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming import (
+        stateful,
+    )
+
+    if not stateful.HAS_TWS:
+        pytest.skip("transformWithStateInPandas deps unavailable in this environment")
+    running_totals_v2 = stateful.running_totals_v2
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    src = str(tmp_path / "ev")
+    import os
+
+    os.makedirs(src)
+    b1 = [{"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 5.0},
+          {"user_id": 2, "value": 7.0}]
+    b2 = [{"user_id": 1, "value": 2.5}, {"user_id": 3, "value": 1.0}]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in b1:
+            f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema("user_id long, value double").json(src)
+    q = (
+        running_totals_v2(stream)
+        .writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b2.json"), "w") as f:
+            for r in b2:
+                f.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # update mode: last emitted row per key is the running total
+    rows = spark.table("tws_out").collect()
+    latest = {}
+    for i, r in enumerate(rows):
+        latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest[1] == (3, 17.5)
+    assert latest[2] == (1, 7.0)
+    assert latest[3] == (1, 1.0)
