@@ -189,3 +189,50 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def audit(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
+    """Data-quality audit: evaluate every rule (name -> boolean Column that
+    should hold) in ONE pass and return per-rule violation counts —
+    (rule, n_rows, n_violations, violation_rate).
+
+    All rules compile into a single partial+final aggregate over one scan
+    (the conditional-aggregate reshape): auditing 50 rules costs one pass
+    at 100 TB, not 50. Row-local rules only — aggregate expectations
+    (uniqueness, referential) are joins/aggs the caller expresses directly."""
+    aggs = []
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(f"__v_{name}")
+        )
+    counts = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    per_rule = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col(f"__v_{name}").alias("n_violations"),
+            F.round(F.col(f"__v_{name}") / F.col("__n"), 4).alias("violation_rate"),
+        )
+        for name in rules
+    ]
+    return counts.select(
+        F.explode(F.array(*per_rule)).alias("r")
+    ).select("r.rule", "r.n_rows", "r.n_violations", "r.violation_rate")
+
+
+def quarantine(
+    df: DataFrame, rules: dict[str, F.Column], tag_col: str = "failed_rules"
+) -> DataFrame:
+    """Tag every row with the array of rule names it violates (empty = clean).
+    Row-local; callers split clean/quarantined with one filter on
+    ``size(failed_rules)`` and route the quarantine to a dead-letter sink
+    instead of failing the 100 TB job."""
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules.items()
+            ]
+        )
+    )
+    return df.withColumn(tag_col, tags)

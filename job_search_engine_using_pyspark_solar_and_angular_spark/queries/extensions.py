@@ -837,6 +837,24 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_dq_audit")
+def ext_dq_audit(spark, sf_dir):
+    """Data-quality audit over events: every rule as a conditional aggregate
+    in ONE pass — (rule, n_rows, n_violations, violation_rate)."""
+    from ..catalog import audit
+
+    e = load_table(spark, sf_dir, "events")
+    rules = {
+        "value_nonneg": F.col("value") >= 0,
+        "value_under_500": F.col("value") < 500,
+        "known_type": F.col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"
+        ),
+        "user_positive": F.col("user_id") > 0,
+    }
+    return audit(e, rules)
+
+
 @query("ext_zorder_key")
 def ext_zorder_key(spark, sf_dir):
     """Morton z-key over (user_id % 256, value-bucket % 256) — the write-time

@@ -1031,3 +1031,23 @@ ORACLES["ext_zorder_key"] = (
     "SELECT event_id, CAST(((((user_id % 256) >> 0) & 1) << 0) + ((((user_id % 256) >> 1) & 1) << 2) + ((((user_id % 256) >> 2) & 1) << 4) + ((((user_id % 256) >> 3) & 1) << 6) + ((((user_id % 256) >> 4) & 1) << 8) + ((((user_id % 256) >> 5) & 1) << 10) + ((((user_id % 256) >> 6) & 1) << 12) + ((((user_id % 256) >> 7) & 1) << 14) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 0) & 1) << 1) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 1) & 1) << 3) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 2) & 1) << 5) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 3) & 1) << 7) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 4) & 1) << 9) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 5) & 1) << 11) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 6) & 1) << 13) + ((((CAST(FLOOR(value) AS BIGINT) % 256) >> 7) & 1) << 15) AS BIGINT) AS z "
     "FROM events ORDER BY event_id"
 )
+
+ORACLES["ext_dq_audit"] = """
+WITH c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN NOT (value < 500) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(SUM(CASE WHEN NOT (event_type IN ('view','click','purchase','signup','error')) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+    CAST(SUM(CASE WHEN NOT (user_id > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v4
+  FROM events
+)
+SELECT r.rule, c.n AS n_rows, r.v AS n_violations,
+       ROUND(r.v / c.n, 4) AS violation_rate
+FROM c, (
+  SELECT 'value_nonneg' AS rule, v1 AS v FROM c UNION ALL
+  SELECT 'value_under_500', v2 FROM c UNION ALL
+  SELECT 'known_type', v3 FROM c UNION ALL
+  SELECT 'user_positive', v4 FROM c
+) r
+ORDER BY rule
+"""

@@ -202,3 +202,39 @@ def test_zorder_layout_concentrates_box_queries(spark, tmp_path):
     )
     assert z_files < r_files, (z_files, r_files)
     assert z_files <= r_files // 2, (z_files, r_files)
+
+
+def test_quarantine_tags_and_splits(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.catalog import (
+        quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "view"), (2, -5.0, "view"), (3, 700.0, "bogus")],
+        "id long, value double, t string",
+    )
+    rules = {
+        "nonneg": F.col("value") >= 0,
+        "under_500": F.col("value") < 500,
+        "known": F.col("t").isin("view", "click"),
+    }
+    out = {r.id: sorted(r.failed_rules) for r in quarantine(df, rules).collect()}
+    assert out == {1: [], 2: ["nonneg"], 3: ["known", "under_500"]}
+    tagged = quarantine(df, rules)
+    assert tagged.filter(F.size("failed_rules") == 0).count() == 1
+    assert tagged.filter(F.size("failed_rules") > 0).count() == 2
+
+
+def test_audit_single_pass_plan(spark):
+    """All rules must land in ONE aggregate over one scan (conditional
+    aggregates), not a pass per rule."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.catalog import audit
+
+    e = load_table(spark, SF_DIR, "events")
+    p = (
+        audit(e, {"a": F.col("value") >= 0, "b": F.col("user_id") > 0})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Scan parquet") == 1
