@@ -64,6 +64,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    broadcast_limit_rows: int = 10_000_000,
 ) -> DataFrame:
     """Benchmark decontamination report: for every corpus document sharing at
     least one token ``shingle_n``-gram with the benchmark set, return
@@ -75,6 +76,12 @@ def decontaminate(
     100 TB corpus never shuffles for the membership test; the only wide edge
     is the per-document rollup keyed on doc_id. Filtering (rather than
     reporting) is `.join(..., "left_anti")` on the same hit set.
+
+    Guardrail: a benchmark above ``broadcast_limit_rows`` distinct shingles
+    (an int64 each — the default caps the build side near 100 MB) would OOM
+    the broadcast, so the hint is dropped and the membership test becomes a
+    plain hash-key shuffle join. The one count() spent deciding is a tiny
+    agg over the (small by contract) benchmark side, never the corpus.
     """
     doc_sh = _shingle_hashes(df, id_col, text_col, shingle_n)
     bench_sh = (
@@ -82,8 +89,10 @@ def decontaminate(
         .select("h")
         .distinct()
     )
+    if bench_sh.count() <= broadcast_limit_rows:
+        bench_sh = F.broadcast(bench_sh)
     per_doc = doc_sh.join(
-        F.broadcast(bench_sh).withColumn("__hit", F.lit(1)), "h", "left"
+        bench_sh.withColumn("__hit", F.lit(1)), "h", "left"
     ).groupBy("doc_id").agg(
         F.sum("__hit").alias("n_hit"),
         F.count("*").alias("n_grams"),

@@ -533,3 +533,19 @@ def test_export_training_shards_end_to_end(spark, tmp_path):
         for r in rs:
             assert r.seq_id * 128 + r.tok_start == start, (shard, r.doc_id)
             start += r.n_tokens
+
+
+def test_decontaminate_falls_back_off_broadcast_above_limit(spark):
+    """With the broadcast guardrail tripped, the membership test becomes a
+    plain shuffle join — same rows, no broadcast of an oversized set."""
+    d = _docs(spark)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    normal = pipeline.decontaminate(corpus, bench)
+    # AQE may still pick broadcast on its own for a genuinely small side —
+    # the guardrail's contract is that the HINT is dropped and results are
+    # identical, not that the planner is forbidden from broadcasting.
+    guarded = pipeline.decontaminate(corpus, bench, broadcast_limit_rows=1)
+    a = sorted(tuple(r) for r in normal.collect())
+    b = sorted(tuple(r) for r in guarded.collect())
+    assert a == b
