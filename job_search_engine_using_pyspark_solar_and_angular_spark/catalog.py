@@ -236,3 +236,28 @@ def quarantine(
         )
     )
     return df.withColumn(tag_col, tags)
+
+
+def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten every struct column into top-level columns named
+    by their full path (``user.location.city`` -> ``user_location_city``).
+    Arrays stay opaque (explode is a row-multiplying decision the caller
+    owns — see plans/preprocess.py for the domain-aware version).
+
+    Pure projection: collapses into the scan, no shuffle, and column
+    pruning still reaches parquet for any subset of the flattened output
+    (nested schema pruning). The generic exploration tool next to the
+    schema'd preprocess flatten."""
+    def leaves(schema: T.StructType, path: tuple[str, ...] = ()):
+        for f in schema.fields:
+            p = path + (f.name,)
+            if isinstance(f.dataType, T.StructType):
+                yield from leaves(f.dataType, p)
+            else:
+                yield p
+
+    cols = [
+        F.col(".".join(f"`{part}`" for part in p)).alias(sep.join(p))
+        for p in leaves(df.schema)
+    ]
+    return df.select(*cols)

@@ -238,3 +238,46 @@ def test_audit_single_pass_plan(spark):
         .toString()
     )
     assert p.count("Scan parquet") == 1
+
+
+def test_flatten_struct_recursive_paths(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.catalog import (
+        flatten_struct,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ("bob", ("nyc", "us")), [1, 2])],
+        "id long, user struct<name string, loc struct<city string, cc string>>, xs array<int>",
+    )
+    out = flatten_struct(df)
+    assert out.columns == ["id", "user_name", "user_loc_city", "user_loc_cc", "xs"]
+    r = out.collect()[0]
+    assert (r.user_name, r.user_loc_city, r.user_loc_cc, r.xs) == ("bob", "nyc", "us", [1, 2])
+
+
+def test_flatten_struct_on_tweet_schema(spark, tmp_path):
+    """The generic flattener handles the reference's nested tweet schema:
+    every leaf becomes a pathed top-level column, none lost."""
+    import json as _json
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.catalog import (
+        flatten_struct,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources.tweets import (
+        read_tweets,
+    )
+
+    from .test_preprocess import _fixture_tweets
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    with open(p / "b.json", "w") as f:
+        for t in _fixture_tweets()[:3]:
+            f.write(_json.dumps(t) + "\n")
+    raw = read_tweets(spark, str(p), multiline=False)
+    flat = flatten_struct(raw)
+    assert all("." not in c for c in flat.columns)
+    assert not any(
+        f.dataType.typeName() == "struct" for f in flat.schema.fields
+    )
+    assert flat.count() == 3
