@@ -88,6 +88,7 @@ def decontaminate(
         _shingle_hashes(benchmark, id_col, text_col, shingle_n)
         .select("h")
         .distinct()
+        .persist()  # the guardrail count() materializes the cache the join reuses
     )
     if bench_sh.count() <= broadcast_limit_rows:
         bench_sh = F.broadcast(bench_sh)
