@@ -362,3 +362,31 @@ def winnowing_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def hll_sketch_rollup(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group mergeable distinct-count sketches: (group, sketch: binary,
+    exact-free estimate). The sketch column survives a parquet round-trip,
+    so a daily job writes one sketch row per partition ONCE and any later
+    range query answers approx-distinct by ``hll_union_agg`` over the
+    sketch rows — no raw-data re-scan, the incremental-rollup pattern HLL
+    exists for. Rows-only correctness (sketch bytes are engine-specific);
+    accuracy and the persist-merge path are pinned in tests."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col).alias("sketch"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(value_col)).cast("long").alias(
+            "est_distinct"
+        ),
+    )
+
+
+def hll_merge(sketches: DataFrame, sketch_col: str = "sketch") -> DataFrame:
+    """Merge persisted per-partition sketches into one distinct estimate —
+    a tiny agg over #partitions rows."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).cast("long").alias(
+            "est_distinct"
+        )
+    )

@@ -549,3 +549,32 @@ def test_decontaminate_falls_back_off_broadcast_above_limit(spark):
     a = sorted(tuple(r) for r in normal.collect())
     b = sorted(tuple(r) for r in guarded.collect())
     assert a == b
+
+
+# ---- HLL sketch rollup ----------------------------------------------------
+
+
+def test_hll_rollup_persists_and_merges(spark, tmp_path):
+    """Per-day sketches survive parquet and their union estimates the
+    full-range distinct within HLL error — the no-rescan rollup pattern."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        textstats,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    sketches = textstats.hll_sketch_rollup(ev, "day", "user_id")
+    p = str(tmp_path / "sk")
+    sketches.write.mode("overwrite").parquet(p)
+    merged = textstats.hll_merge(spark.read.parquet(p)).collect()[0].est_distinct
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) <= max(1, int(0.05 * exact)), (merged, exact)
+    # per-day estimates accurate too
+    daily = {r.day: r.est_distinct for r in sketches.collect()}
+    exact_daily = {
+        r.day: r.n
+        for r in ev.groupBy("day").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    for day, est in daily.items():
+        assert abs(est - exact_daily[day]) <= max(1, int(0.05 * exact_daily[day]))
