@@ -110,6 +110,7 @@ def minhash_signatures(
     text_col: str = "text",
     shingle_n: int = 3,
     num_perm: int = 16,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures over token n-gram shingles.
 
@@ -117,6 +118,11 @@ def minhash_signatures(
     (oracle-reproducible); permutation i = (a_i * h + b_i) mod 2^61-1.
     Computed per-row with higher-order functions after one explode+agg to
     collect distinct shingle hashes — a single shuffle on doc_id.
+
+    ``shingle_hashes``: optionally pass a precomputed DISTINCT (doc_id, h)
+    table (operators.pipeline._shingle_hashes) — a pipeline that also runs
+    decontamination shares ONE corpus tokenize+md5 pass instead of two
+    (values are identical; same oracle either way).
     """
     # two-step projection: bind the token array to a column BEFORE the n-gram
     # transform. Inlined, the regex-tokenize tree sits inside the per-position
@@ -124,12 +130,15 @@ def minhash_signatures(
     # regex work per document (measured 13x slower at sf0.1).
     from ..io import ensure_parallelism
 
-    toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
-    )
-    shingles = toks.select(
-        "doc_id", F.explode(token_ngrams(F.col("tk"), shingle_n)).alias("sh")
-    ).select("doc_id", md5_long(F.col("sh")).alias("h")).distinct()
+    if shingle_hashes is not None:
+        shingles = shingle_hashes
+    else:
+        toks = ensure_parallelism(df).select(
+            F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+        )
+        shingles = toks.select(
+            "doc_id", F.explode(token_ngrams(F.col("tk"), shingle_n)).alias("sh")
+        ).select("doc_id", md5_long(F.col("sh")).alias("h")).distinct()
 
     mins = [
         F.min((F.lit(a) * (F.col("h") % F.lit(2147483647)) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"m{i}")
@@ -146,6 +155,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_perm: int = 16,
     bands: int = 4,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of their MinHash signature.
 
@@ -158,7 +168,9 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
     # persist: the banded table feeds BOTH sides of the self-join below;
     # without it the full shingle->minhash pipeline runs twice per action.
-    sig = minhash_signatures(df, id_col, text_col, shingle_n, num_perm).persist()
+    sig = minhash_signatures(
+        df, id_col, text_col, shingle_n, num_perm, shingle_hashes=shingle_hashes
+    ).persist()
     band_keys = F.array(
         *[
             F.concat_ws(

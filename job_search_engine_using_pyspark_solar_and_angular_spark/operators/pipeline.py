@@ -65,6 +65,8 @@ def decontaminate(
     text_col: str = "text",
     shingle_n: int = 3,
     broadcast_limit_rows: int = 10_000_000,
+    doc_shingles: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination report: for every corpus document sharing at
     least one token ``shingle_n``-gram with the benchmark set, return
@@ -83,9 +85,17 @@ def decontaminate(
     plain hash-key shuffle join. The one count() spent deciding is a tiny
     agg over the (small by contract) benchmark side, never the corpus.
     """
-    doc_sh = _shingle_hashes(df, id_col, text_col, shingle_n)
+    doc_sh = (
+        doc_shingles
+        if doc_shingles is not None
+        else _shingle_hashes(df, id_col, text_col, shingle_n)
+    )
     bench_sh = (
-        _shingle_hashes(benchmark, id_col, text_col, shingle_n)
+        (
+            bench_shingles
+            if bench_shingles is not None
+            else _shingle_hashes(benchmark, id_col, text_col, shingle_n)
+        )
         .select("h")
         .distinct()
         .persist()  # the guardrail count() materializes the cache the join reuses

@@ -907,18 +907,29 @@ def ext_curation_verdict(spark, sf_dir):
     non-canonical) -> contaminated -> keep. Composes the independently
     oracle-verified operators into the funnel a real training-data pass
     runs; the oracle composes the same verified SQL fragments."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id")
     lang = QUERIES["ext_lang_id"](spark, sf_dir)
     qual = QUERIES["ext_quality"](spark, sf_dir).select("doc_id", "quality")
     rep = QUERIES["ext_repetition"](spark, sf_dir).select("doc_id", "repetitive")
+    # ONE corpus tokenize+shingle+md5 pass feeds BOTH the LSH clustering and
+    # both sides of decontamination (values identical to computing each
+    # independently — same oracle; at 100 TB this removes a full extra scan)
+    sh = pipeline._shingle_hashes(docs, "doc_id", "text", 3).persist()
+    cc = dedup.connected_components(
+        dedup.minhash_lsh_candidates(docs, shingle_hashes=sh)
+    )
     removed = (
-        QUERIES["ext_dedup_clusters"](spark, sf_dir)
+        cc.withColumnRenamed("node", "doc_id")
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id", F.lit(True).alias("is_dup"))
     )
-    cont = QUERIES["ext_decontaminate"](spark, sf_dir).select(
-        "doc_id", "contamination"
-    )
+    cont = pipeline.decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        doc_shingles=sh.filter(F.col("doc_id") % 50 != 0),
+        bench_shingles=sh.filter(F.col("doc_id") % 50 == 0),
+    ).select("doc_id", "contamination")
     joined = (
         d.join(lang, "doc_id", "left")
         .join(qual, "doc_id", "left")
