@@ -837,6 +837,20 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_tfidf_keywords")
+def ext_tfidf_keywords(spark, sf_dir):
+    """Per-doc TF-IDF top-3 keywords (per-document word cloud): postings ⋈
+    broadcast term/corpus stats, doc-partitioned top-k window, ordered
+    collect. Keywords joined to a string for a portable oracle hash."""
+    from ..search.bm25 import tfidf_keywords
+
+    d = load_table(spark, sf_dir, "documents")
+    out = tfidf_keywords(d, k=3)
+    return out.select(
+        "doc_id", F.concat_ws(" ", F.col("keywords")).alias("keywords")
+    )
+
+
 @query("ext_dq_audit")
 def ext_dq_audit(spark, sf_dir):
     """Data-quality audit over events: every rule as a conditional aggregate

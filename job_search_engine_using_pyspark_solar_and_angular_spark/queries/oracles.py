@@ -1051,3 +1051,24 @@ FROM c, (
 ) r
 ORDER BY rule
 """
+
+ORACLES["ext_tfidf_keywords"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+postings AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df_t AS (SELECT token, COUNT(*) AS df FROM postings GROUP BY token),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM postings),
+scored AS (
+  SELECT p.doc_id, p.token,
+         ROUND(p.tf * ln(nd.n / d.df), 6) AS score
+  FROM postings p JOIN df_t d ON p.token = d.token CROSS JOIN nd
+),
+topk AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, string_agg(token, ' ' ORDER BY rn) AS keywords
+FROM topk WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
+"""

@@ -96,3 +96,48 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def tfidf_keywords(
+    docs, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document TF-IDF top-``k`` keywords: (doc_id, keywords
+    array<string> sorted by score desc, term asc) — the per-document form
+    of the reference's corpus-level word-cloud analysis
+    (``Spark/Word_cloud_evaluation.ipynb``), used for labeling/faceting.
+
+    Reuses the index build (postings carry tf and doc-count df): idf =
+    ln(n_docs / df), score = tf * idf; top-k per doc via a doc-partitioned
+    window over postings (bounded by per-doc vocabulary, never a global
+    sort), then ordered collect. Deterministic: ties break on the term."""
+    from pyspark.sql import Window
+
+    from .index import build_index
+
+    idx = build_index(docs, id_col=id_col, text_col=text_col, cache=True)
+    n_docs = idx.doc_stats.agg(F.count("*").alias("n"))
+    scored = (
+        idx.postings.join(F.broadcast(idx.term_stats), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    topk = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return (
+        topk.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__rn"), F.col("token")))
+                ),
+                lambda s: s["token"],
+            ).alias("keywords")
+        )
+    )

@@ -207,3 +207,22 @@ def test_delta_refresh_handles_adds_changes_and_removes(spark, docs):
     x = bm25_search(spark, refreshed, ["spark", "join"], k=10).collect()
     y = bm25_search(spark, rebuilt, ["spark", "join"], k=10).collect()
     assert [tuple(r) for r in x] == [tuple(r) for r in y]
+
+
+def test_tfidf_keywords_surface_rare_terms(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.bm25 import (
+        tfidf_keywords,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zyzzyva common common"),
+            (2, "common words only common words"),
+            (3, "common qwyjibo qwyjibo common"),
+        ],
+        ["doc_id", "text"],
+    )
+    kw = {r.doc_id: r.keywords for r in tfidf_keywords(df, k=2).collect()}
+    assert kw[1][0] == "zyzzyva"  # unique rare term dominates tf*idf
+    assert kw[3][0] == "qwyjibo"
+    assert all(len(v) <= 2 for v in kw.values())
