@@ -364,6 +364,69 @@ def winnowing_fingerprints(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) over adjacent token pairs, with a
+    ``min_count`` support floor so rare coincidences don't dominate.
+
+    The corpus-level association analysis next to the word-cloud counts
+    (q17/q18): unigram and bigram totals come from the same token stream
+    (two aggs over one explode), the probability join is against a
+    broadcast 1-row totals table, and the final cut is a
+    TakeOrderedAndProject top-k. Deterministic: ties break on the pair."""
+    from ..io import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+    ).persist()
+    from ..functions.hashing import token_ngrams
+
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    ).persist()
+    bi = (
+        toks.select(F.explode(token_ngrams(F.col("tk"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= min_count)
+        .withColumn("a", F.split("pair", " ")[0])
+        .withColumn("b", F.split("pair", " ")[1])
+    )
+    totals = uni.agg(
+        F.sum("cw").alias("nw")
+    ).crossJoin(
+        bi.agg(F.sum("cab").alias("nb"))
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
+    scored = (
+        bi.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            F.col("cab").cast("long").alias("cab"),
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("nb"))
+                    / ((F.col("ca") / F.col("nw")) * (F.col("cb") / F.col("nw")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(k)
+
+
 def hll_sketch_rollup(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

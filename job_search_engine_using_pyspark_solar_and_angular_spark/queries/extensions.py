@@ -837,6 +837,14 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_pmi_collocations")
+def ext_pmi_collocations(spark, sf_dir):
+    """Top-20 adjacent-word collocations by PMI (support >= 5) — corpus
+    association analysis from one token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.pmi_collocations(d, min_count=5, k=20)
+
+
 @query("ext_tfidf_keywords")
 def ext_tfidf_keywords(spark, sf_dir):
     """Per-doc TF-IDF top-3 keywords (per-document word cloud): postings ⋈

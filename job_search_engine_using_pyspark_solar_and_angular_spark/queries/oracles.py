@@ -1072,3 +1072,22 @@ topk AS (
 SELECT doc_id, string_agg(token, ' ' ORDER BY rn) AS keywords
 FROM topk WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
 """
+
+ORACLES["ext_pmi_collocations"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+uni AS (
+  SELECT w, COUNT(*) AS cw FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
+),
+bi AS (
+  SELECT tk[i] AS a, tk[i+1] AS b, COUNT(*) AS cab FROM (
+    SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)
+  GROUP BY tk[i], tk[i+1] HAVING COUNT(*) >= 5
+),
+tot AS (
+  SELECT (SELECT SUM(cw) FROM uni) AS nw, (SELECT SUM(cab) FROM bi) AS nb
+)
+SELECT bi.a, bi.b, CAST(bi.cab AS BIGINT) AS cab,
+  ROUND(ln((bi.cab / tot.nb) / ((ua.cw / tot.nw) * (ub.cw / tot.nw))), 4) AS pmi
+FROM bi JOIN uni ua ON bi.a = ua.w JOIN uni ub ON bi.b = ub.w CROSS JOIN tot
+ORDER BY pmi DESC, bi.a, bi.b LIMIT 20
+"""
