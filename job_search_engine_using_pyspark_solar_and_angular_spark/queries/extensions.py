@@ -837,6 +837,26 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_suggest_next")
+def ext_suggest_next(spark, sf_dir):
+    """Bigram query completion: top-5 tokens following 'hash' with
+    conditional probabilities."""
+    from ..search.api import suggest_next_token
+
+    d = load_table(spark, sf_dir, "documents")
+    return suggest_next_token(d, "hash", k=5)
+
+
+@query("ext_autocomplete")
+def ext_autocomplete(spark, sf_dir):
+    """Prefix autocomplete: top-10 corpus tokens starting with 's' (the
+    richest prefix in the fixture vocabulary — 6 completions)."""
+    from ..search.api import autocomplete
+
+    d = load_table(spark, sf_dir, "documents")
+    return autocomplete(d, "s", k=10)
+
+
 @query("ext_pmi_collocations")
 def ext_pmi_collocations(spark, sf_dir):
     """Top-20 adjacent-word collocations by PMI (support >= 5) — corpus

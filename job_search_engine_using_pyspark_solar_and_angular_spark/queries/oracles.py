@@ -1091,3 +1091,23 @@ SELECT bi.a, bi.b, CAST(bi.cab AS BIGINT) AS cab,
 FROM bi JOIN uni ua ON bi.a = ua.w JOIN uni ub ON bi.b = ub.w CROSS JOIN tot
 ORDER BY pmi DESC, bi.a, bi.b LIMIT 20
 """
+
+ORACLES["ext_suggest_next"] = f"""
+WITH toks AS (SELECT {TOKS} AS tk FROM documents),
+bi AS (
+  SELECT tk[i+1] AS next_token, COUNT(*) AS c FROM (
+    SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)
+  WHERE tk[i] = 'hash' GROUP BY tk[i+1]
+),
+tot AS (SELECT SUM(c) AS n FROM bi)
+SELECT next_token, CAST(c AS BIGINT) AS c, ROUND(c / tot.n, 4) AS p
+FROM bi CROSS JOIN tot
+ORDER BY c DESC, next_token LIMIT 5
+"""
+
+ORACLES["ext_autocomplete"] = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+  SELECT unnest({TOKS}) AS token FROM documents)
+WHERE token LIKE 's%'
+GROUP BY token ORDER BY c DESC, token LIMIT 10
+"""

@@ -94,3 +94,64 @@ def tokenize_query(query: str) -> list[str]:
     import re
 
     return [t for t in (re.sub(r"[^a-z0-9]", "", w) for w in query.lower().split(" ")) if t]
+
+
+def suggest_next_token(
+    docs, prev: str, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Query-completion by bigram conditional probability: the top-``k``
+    tokens following ``prev`` in the corpus, with P(next|prev) =
+    c(prev next) / c(prev ·). One token-stream pass (bigram counts filtered
+    to the prev token — the filter pushes into the aggregation), top-k via
+    TakeOrderedAndProject. Deterministic ties on the token."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import token_ngrams
+    from ..functions.text import tokenize_normalized
+    from ..io import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(
+        tokenize_normalized(text_col).alias("tk")
+    )
+    bi = (
+        toks.select(F.explode(token_ngrams(F.col("tk"), 2)).alias("pair"))
+        .filter(F.col("pair").startswith(prev + " "))
+        .groupBy("pair")
+        .agg(F.count("*").alias("c"))
+    )
+    total = bi.agg(F.sum("c").alias("n"))
+    return (
+        bi.crossJoin(F.broadcast(total))
+        .select(
+            F.split("pair", " ")[1].alias("next_token"),
+            F.col("c").cast("long").alias("c"),
+            F.round(F.col("c") / F.col("n"), 4).alias("p"),
+        )
+        .orderBy(F.col("c").desc(), "next_token")
+        .limit(k)
+    )
+
+
+def autocomplete(
+    docs, prefix: str, k: int = 10, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Prefix autocomplete over the corpus vocabulary: top-``k`` tokens
+    starting with ``prefix`` by frequency. On a served deployment this
+    reads the bucketed postings/term table instead of re-tokenizing —
+    same shape as the BM25 served path."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokenize_normalized
+    from ..io import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(
+        F.explode(tokenize_normalized(text_col)).alias("token")
+    )
+    return (
+        toks.filter(F.col("token").startswith(prefix))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .select("token", F.col("c").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(k)
+    )
