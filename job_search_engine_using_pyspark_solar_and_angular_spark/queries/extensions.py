@@ -837,6 +837,31 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_facet_counts")
+def ext_facet_counts(spark, sf_dir):
+    """Search-UI facet counts: top-3 values per facet dimension in ONE pass —
+    explode a facet map (one row per (facet, value)), count, per-facet
+    top-k window. The Solr-facet analog without per-facet passes."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    pairs = d.select(
+        F.explode(
+            F.create_map(
+                F.lit("lang"), F.col("lang"),
+                F.lit("source"), F.col("source"),
+            )
+        ).alias("facet", "value")
+    )
+    counts = pairs.groupBy("facet", "value").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("facet").orderBy(F.col("c").desc(), F.col("value"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("facet", "value", F.col("c").cast("long").alias("c"))
+    )
+
+
 @query("ext_suggest_next")
 def ext_suggest_next(spark, sf_dir):
     """Bigram query completion: top-5 tokens following 'hash' with

@@ -1111,3 +1111,16 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (
 WHERE token LIKE 's%'
 GROUP BY token ORDER BY c DESC, token LIMIT 10
 """
+
+ORACLES["ext_facet_counts"] = """
+WITH pairs AS (
+  SELECT 'lang' AS facet, lang AS value FROM documents
+  UNION ALL
+  SELECT 'source', source FROM documents
+),
+counts AS (SELECT facet, value, COUNT(*) AS c FROM pairs GROUP BY facet, value)
+SELECT facet, value, CAST(c AS BIGINT) AS c FROM (
+  SELECT *, row_number() OVER (PARTITION BY facet ORDER BY c DESC, value) AS rn
+  FROM counts
+) WHERE rn <= 3 ORDER BY facet, value
+"""
