@@ -837,6 +837,38 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_histogram")
+def ext_histogram(spark, sf_dir):
+    """Value histogram with fixed-width 50-unit bins: (bin, n, lo, hi) —
+    the numeric-profiling aggregation, integer bin keys so the oracle is
+    exact. One partial+final agg."""
+    e = load_table(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 50).cast("long")
+    return (
+        e.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@query("ext_corr_profile")
+def ext_corr_profile(spark, sf_dir):
+    """Per-event-type Pearson correlation and sample covariance between
+    value and hour-of-day: the statistical-profiling aggregates (both
+    engines implement the same single-pass formulas; rounded to 4)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "hr", F.hour("ts").cast("double")
+    )
+    return e.groupBy("event_type").agg(
+        F.round(F.corr("value", "hr"), 4).alias("corr_vh"),
+        F.round(F.covar_samp("value", "hr"), 4).alias("covar_vh"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+    )
+
+
 @query("ext_facet_counts")
 def ext_facet_counts(spark, sf_dir):
     """Search-UI facet counts: top-3 values per facet dimension in ONE pass —

@@ -1124,3 +1124,18 @@ SELECT facet, value, CAST(c AS BIGINT) AS c FROM (
   FROM counts
 ) WHERE rn <= 3 ORDER BY facet, value
 """
+
+ORACLES["ext_histogram"] = """
+SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+FROM events GROUP BY 1 ORDER BY bin
+"""
+
+ORACLES["ext_corr_profile"] = """
+SELECT event_type,
+  ROUND(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_vh,
+  ROUND(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS covar_vh,
+  ROUND(stddev_samp(value), 4) AS sd_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
