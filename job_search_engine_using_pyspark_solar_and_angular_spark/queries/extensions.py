@@ -837,6 +837,43 @@ def ext_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(d)
 
 
+@query("ext_ntile_segments")
+def ext_ntile_segments(spark, sf_dir):
+    """Decile user segmentation by total purchase spend (ntile over a
+    deterministic total order) — the rank-bucket window the analytics tier
+    needs beyond lag/sum/row_number. At scale the global ntile order is the
+    one unavoidable rangepartition sort; the grouping beneath it shuffles
+    on user_id like any agg."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("spend"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("user_id"))
+    return spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+
+
+@query("ext_event_transitions")
+def ext_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts between consecutive event types
+    per user (lead over (user, ts)): the behavioral-sequence aggregation
+    behind funnels. (from_type, to_type, n)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+
+
 @query("ext_histogram")
 def ext_histogram(spark, sf_dir):
     """Value histogram with fixed-width 50-unit bins: (bin, n, lo, hi) —

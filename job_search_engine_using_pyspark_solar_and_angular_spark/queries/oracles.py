@@ -1139,3 +1139,24 @@ SELECT event_type,
   ROUND(stddev_samp(value), 4) AS sd_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+ORACLES["ext_ntile_segments"] = """
+WITH spend AS (
+  SELECT user_id, ROUND(SUM(value), 2) AS spend FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, spend,
+       CAST(ntile(10) OVER (ORDER BY spend DESC, user_id) AS BIGINT) AS decile
+FROM spend ORDER BY user_id
+"""
+
+ORACLES["ext_event_transitions"] = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type
+"""
