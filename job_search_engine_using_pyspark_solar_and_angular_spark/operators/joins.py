@@ -168,3 +168,42 @@ def sessionize(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join: replicate the small side ``n_salts`` times
+    and scatter the big side's rows across salt buckets, so one hot key
+    (a power-law user_id, a null-heavy dimension key) spreads over
+    ``n_salts`` shuffle partitions instead of pinning one task.
+
+    Result is EXACTLY the plain ``big.join(small, key, how)`` — salting only
+    changes the shuffle key from ``key`` to ``(key, salt)``; every big row
+    still meets every matching small row exactly once because the small side
+    carries all salt values.
+
+    Scale rationale: AQE's skew-split (OptimizeSkewedJoin) only re-plans
+    after a shuffle stage materializes and only for sort-merge joins; salting
+    fixes the plan shape up front, works for shuffle-hash joins too, and its
+    cost is bounded: the small side grows ``n_salts``×, which is the knob —
+    size it to ceil(hot_key_rows / target_partition_rows).
+
+    ``salt_src`` must be a big-side column that varies WITHIN a key (a
+    row-unique id is ideal); the salt is a deterministic hash of it, so the
+    join stays layout- and rerun-stable. Supported ``how``: inner / left —
+    the semantics where row multiplicity is driven by the big side.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, on=[key, "__salt"], how=how).drop("__salt")

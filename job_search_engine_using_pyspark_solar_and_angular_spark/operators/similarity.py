@@ -447,3 +447,56 @@ def embedding_near_dups(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector scalar int8 quantization: the storage-compression stage of
+    a 100 TB vector index (4x smaller than float32, 8x smaller than float64;
+    SIMD-friendly codes for the coarse scoring pass).
+
+    codes[i] = floor((x[i] - mn) * 255 / (mx - mn) + 0.5) - 128  in [-128,127]
+    with per-vector (mn = min(x), scale = (mx - mn) / 255) stored alongside,
+    so dequantize is x̂[i] = mn + (codes[i] + 128) * scale and the max
+    per-component reconstruction error is scale/2.
+
+    Every step is exact double arithmetic on exactly-converted float32
+    inputs — floor, not banker's/half-away rounding — so codes are
+    bit-identical across engines (oracle-checked). Constant vectors
+    (mx == mn) quantize to all-zero codes with scale 0.
+
+    Scale shape: pure per-row column math (transform HOF) — no shuffle, no
+    Python; column pruning keeps only (id, vec) in the scan."""
+    v = F.col(vec_col)
+    mn = F.array_min(v).cast("double")
+    mx = F.array_max(v).cast("double")
+    rng = mx - mn
+    codes = F.transform(
+        v,
+        lambda x: F.when(rng == 0.0, F.lit(0)).otherwise(
+            (F.floor((x.cast("double") - mn) * 255.0 / rng + 0.5) - 128).cast("int")
+        ),
+    )
+    return embeddings.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        mn.alias("zero_point"),
+        (rng / 255.0).alias("scale"),
+    )
+
+
+def dequantize_int8(
+    quantized: DataFrame,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: x̂[i] = zero_point + (code+128)*scale
+    as array<double>. Used by the coarse-then-rerank pipeline: score candidates
+    on dequantized codes, rerank survivors on the full-precision column."""
+    deq = F.transform(
+        F.col(codes_col),
+        lambda c: F.col("zero_point") + (c.cast("double") + 128.0) * F.col("scale"),
+    )
+    return quantized.withColumn("approx", deq)

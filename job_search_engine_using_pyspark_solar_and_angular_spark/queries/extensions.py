@@ -1102,3 +1102,96 @@ def ext_approx_quantiles(spark, sf_dir):
 
 
 __all__ = ["QUERIES"]
+
+
+@query("ext_sliding_window")
+def ext_sliding_window(spark, sf_dir):
+    """Hopping (sliding) event-time window: 1-hour windows every 15 minutes —
+    each event lands in 4 overlapping windows. Spark's F.window(slide=...)
+    fans rows out to their windows JVM-side (an internal explode), then a
+    plain hash agg; no self-join, no UDF. Complements q23's tumbling form."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query("ext_grouping_sets")
+def ext_grouping_sets(spark, sf_dir):
+    """GROUPING SETS: per-status, per-priority, and grand-total rollups in ONE
+    pass over orders (Spark expands the sets map-side; one shuffle). NULL
+    grouping slots are labeled 'ALL' so the result is join-ready without
+    grouping_id bit arithmetic."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT COALESCE(o_orderstatus, 'ALL') AS status, "
+        "COALESCE(o_orderpriority, 'ALL') AS priority, "
+        "COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue "
+        "FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    )
+
+
+@query("ext_salted_join")
+def ext_salted_join(spark, sf_dir):
+    """Skew-salted fact⋈dim join (operators/joins.py salted_join): shuffle key
+    becomes (user_id, salt) with the dim replicated 8×, then the segment
+    rollup re-aggregates — result provably identical to the plain join
+    (pinned in tests), plan immune to hot-key stragglers."""
+    from ..operators.joins import salted_join
+
+    e = load_table(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(e, c, key="c_custkey", salt_src="event_id", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query("ext_quantize_embeddings")
+def ext_quantize_embeddings(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column — 4× storage
+    compression for the 100 TB vector tier, exact integer codes
+    (operators/similarity.py quantize_int8); scale/zero_point kept for
+    dequantized coarse scoring (recall pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "codes",
+        F.round("zero_point", 6).alias("zero_point"),
+        F.round("scale", 6).alias("scale"),
+    )
+
+
+@query("ext_agg_merge_rollup")
+def ext_agg_merge_rollup(spark, sf_dir):
+    """Mergeable algebraic aggregate states: daily (n,sum,min,max,sum_sq)
+    states merged up to monthly totals WITHOUT re-scanning raw events — the
+    exact-stats analog of the HLL sketch rollup. Associativity makes the
+    merge order-free, so the oracle (direct monthly aggregation of raw rows)
+    must match to the penny."""
+    from ..operators.pipeline import merge_agg_states, partial_agg_states
+
+    e = load_table(spark, sf_dir, "events")
+    daily = partial_agg_states(e, grain="day")
+    monthly = merge_agg_states(daily, grain="month")
+    return monthly.select(
+        F.date_format("bucket", "yyyy-MM").alias("month"),
+        "event_type",
+        "n",
+        "sum_v",
+        "min_v",
+        "max_v",
+        "avg_v",
+    )

@@ -1160,3 +1160,60 @@ SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM seq WHERE to_type IS NOT NULL
 GROUP BY from_type, to_type ORDER BY from_type, to_type
 """
+
+ORACLES["ext_sliding_window"] = """
+WITH hops AS (SELECT unnest(generate_series(0, 3)) AS i),
+b AS (
+  SELECT date_trunc('minute', ts)
+           - (CAST(EXTRACT(minute FROM ts) AS INT) % 15) * INTERVAL 1 MINUTE
+           AS b15,
+         event_type, value
+  FROM events)
+SELECT strftime(b15 - i * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM b CROSS JOIN hops
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["ext_grouping_sets"] = (
+    "SELECT COALESCE(o_orderstatus, 'ALL') AS status, "
+    "COALESCE(o_orderpriority, 'ALL') AS priority, "
+    "COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue "
+    "FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+    "ORDER BY 1, 2"
+)
+
+# oracle is the PLAIN join — salting must be invisible in the result
+ORACLES["ext_salted_join"] = (
+    "SELECT c.c_mktsegment, COUNT(*) AS n_events, "
+    "ROUND(SUM(e.value), 2) AS sum_value "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+ORACLES["ext_quantize_embeddings"] = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings)
+SELECT vec_id,
+  CASE WHEN mx = mn THEN list_transform(embedding, x -> 0)
+       ELSE list_transform(embedding, x ->
+         CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS INT) - 128)
+  END AS codes,
+  ROUND(mn, 6) AS zero_point,
+  ROUND((mx - mn) / 255.0, 6) AS scale
+FROM s ORDER BY vec_id
+"""
+
+# oracle aggregates RAW rows directly at the coarse grain; the query merges
+# persisted fine-grain states — associativity says they must agree
+ORACLES["ext_agg_merge_rollup"] = (
+    "SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type, "
+    "COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v, "
+    "ROUND(MIN(value), 2) AS min_v, ROUND(MAX(value), 2) AS max_v, "
+    "ROUND(SUM(value) / COUNT(*), 4) AS avg_v "
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+)

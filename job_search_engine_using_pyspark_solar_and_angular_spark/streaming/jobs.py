@@ -58,16 +58,21 @@ def windowed_counts(
     window: str = "1 hour",
     watermark: str | None = "2 hours",
     value_col: str | None = "value",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling event-time window aggregation — the streaming form of the
     declared Q23. Works identically on batch DataFrames (watermark skipped),
-    which is how the replay-parity test pins the semantics."""
+    which is how the replay-parity test pins the semantics. Pass ``slide``
+    for the hopping form (the streaming twin of ext_sliding_window): state
+    grows by window/slide overlapping windows per key, all still bounded by
+    the watermark."""
     if df.isStreaming and watermark:
         df = df.withWatermark(ts_col, watermark)
     aggs = [F.count("*").alias("n")]
     if value_col:
         aggs.append(F.round(F.sum(value_col), 2).alias(f"sum_{value_col}"))
-    keys = [F.window(ts_col, window).alias("w"), *(group_cols or [])]
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    keys = [win.alias("w"), *(group_cols or [])]
     out = df.groupBy(*keys).agg(*aggs)
     return out.select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w"),

@@ -331,3 +331,88 @@ def test_hash_sampling_is_layout_and_run_stable(spark):
     n = d.count()
     assert 0.2 * n <= len(s1) <= 0.4 * n  # ~30% within tolerance
     assert s1 != s2  # salted resample differs
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be invisible: identical rows to the plain join for any
+    n_salts, inner and left."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import salted_join
+
+    e = (
+        load_table(spark, SF_DIR, "events")
+        .withColumnRenamed("user_id", "c_custkey")
+        .select("event_id", "c_custkey", "value")
+    )
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, e.join(c, "c_custkey", how).collect()))
+        for n in (1, 3, 8):
+            salted = sorted(
+                map(tuple, salted_join(e, c, "c_custkey", "event_id", n, how).collect())
+            )
+            assert salted == plain, (how, n)
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import salted_join
+
+    e = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError):
+        salted_join(e, e, "event_id", "event_id", how="full")
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Dequantized values must sit within scale/2 of the originals (the int8
+    grid's half-step), and codes must span a meaningful range."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+    q = similarity.quantize_int8(emb)
+    deq = similarity.dequantize_int8(q)
+    joined = deq.join(emb, "vec_id").select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "approx",
+                    "embedding",
+                    lambda a, b: F.abs(a - b.cast("double")),
+                )
+            )
+            / F.when(F.col("scale") > 0, F.col("scale")).otherwise(F.lit(1.0))
+        ).alias("worst_ratio")
+    )
+    worst = joined.collect()[0]["worst_ratio"]
+    assert worst <= 0.5 + 1e-9, worst
+    codes = similarity.quantize_int8(emb).select(F.explode("codes").alias("c"))
+    lo, hi = codes.agg(F.min("c"), F.max("c")).collect()[0]
+    assert lo == -128 and hi == 127  # min/max components hit the grid ends
+
+
+def test_quantized_cosine_recall(spark):
+    """Coarse scoring on dequantized codes must keep >= 4 of the exact top-5
+    (the coarse-then-rerank contract)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, qvec, k=5, exclude_ids=[0]).collect()}
+    deq = similarity.dequantize_int8(similarity.quantize_int8(emb)).select(
+        "vec_id", F.col("approx").alias("embedding")
+    )
+    coarse = {r["vec_id"] for r in similarity.cosine_topk(deq, qvec, k=5, exclude_ids=[0]).collect()}
+    assert len(exact & coarse) >= 4, (exact, coarse)
+
+
+def test_agg_state_merge_is_split_invariant(spark):
+    """Merging day-grain states and merging week-grain states (built from the
+    same days) must give identical month rollups — associativity, the property
+    that lets different jobs/regions write states independently."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.pipeline import (
+        merge_agg_states,
+        partial_agg_states,
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    daily = partial_agg_states(e, grain="day")
+    via_day = sorted(map(tuple, merge_agg_states(daily, grain="month").collect()))
+    hourly = partial_agg_states(e, grain="hour")
+    via_hour = sorted(map(tuple, merge_agg_states(hourly, grain="month").collect()))
+    # n/min/max are exact; sums are rounded to 2 decimals before compare
+    assert via_day == via_hour

@@ -74,6 +74,40 @@ def test_windowed_counts_replay_parity(spark, events_dir, tmp_path):
     assert g == w
 
 
+def test_sliding_window_replay_parity(spark, events_dir, tmp_path):
+    """Streaming hopping window (1h every 15m) == the batch sliding form
+    (ext_sliding_window's semantics): overlap fan-out and watermarked state
+    agree with a full replay."""
+    schema = _stream_schema(spark, events_dir)
+    stream = stream_parquet(spark, events_dir, schema)
+    agg = windowed_counts(
+        stream, ts_col="ts", group_cols=["event_type"], window="1 hour",
+        value_col="value", slide="15 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_slide"))
+        .option("maxFilesPerTrigger", "1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("slide_counts")
+
+    batch = load_table(spark, SF_DIR, "events")
+    want = windowed_counts(
+        batch, ts_col="ts", group_cols=["event_type"], window="1 hour",
+        value_col="value", slide="15 minutes",
+    )
+    g = canon_rows(got.columns, [tuple(r) for r in got.collect()])
+    w = canon_rows(want.columns, [tuple(r) for r in want.collect()])
+    assert g == w
+
+
 def test_latest_wins_merge_incremental(spark, tmp_path):
     """Two micro-batched stream runs == one batch latest-wins over the union
     (the reference's per-batch re-index upsert, SolrIndexer.java:25-45)."""
