@@ -78,10 +78,17 @@ _PRIORITY = [
     "ext_decontaminate",
     "ext_pack_sequences",
     "ext_repetition",
-    "ext_ngram_jaccard",
+    # exact-oracle representatives of the sketch + quantized-ANN families:
+    # ext_heavy_hitters (count-min, md5-bucket-exact) and ext_ann_quantized
+    # (int8 coarse→rerank, the ONE ANN tier deterministic enough to hash).
+    # They take the slots of ext_ngram_jaccard (its LSH-verify path still
+    # runs in-window inside ext_dedup_clusters) and ext_percentile (numeric
+    # profiling keeps local exact-oracle checks alongside ext_histogram /
+    # ext_corr_profile).
+    "ext_heavy_hitters",
+    "ext_ann_quantized",
     "ext_simhash_near_dups",
     "ext_tpch_q3",
-    "ext_percentile",
     "ext_search_e2e",
 ]
 

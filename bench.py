@@ -66,6 +66,11 @@ HEADLINE = [
     "ext_dedup_lines",
     "ext_unigram_logprob",
     "ext_chunk_documents",
+    # sketch + quantized-vector tiers and the hopping-window/skew ops
+    "ext_heavy_hitters",
+    "ext_ann_quantized",
+    "ext_sliding_window",
+    "ext_salted_join",
     # the composed curation funnel (lang/quality/repetition/LSH-dup/
     # decontamination -> one verdict per doc) — the flagship composition
     "ext_curation_verdict",

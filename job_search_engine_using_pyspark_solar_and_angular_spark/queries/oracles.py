@@ -1217,3 +1217,52 @@ ORACLES["ext_agg_merge_rollup"] = (
     "ROUND(SUM(value) / COUNT(*), 4) AS avg_v "
     "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+# the quantized ANN tier is deterministic end-to-end: dequantized coarse
+# scores (round 4, id tie-break) pick the same top-50 in both engines, and
+# the rerank reuses x2's exact-cosine convention
+ORACLES["ext_ann_quantized"] = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings WHERE vec_id <> 0),
+dq AS (
+  SELECT vec_id,
+    CASE WHEN mx = mn
+         THEN list_transform(embedding, x -> mn + 128.0 * 0.0)
+         ELSE list_transform(embedding, x ->
+           mn + (CAST(CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS INT) - 128 AS DOUBLE) + 128.0)
+                * ((mx - mn) / 255.0))
+    END AS approx
+  FROM s),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+coarse AS (
+  SELECT d.vec_id,
+         ROUND(list_cosine_similarity(d.approx, q.qv), 4) + 0.0 AS csim
+  FROM dq d, q
+  ORDER BY csim DESC, d.vec_id LIMIT 50)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) + 0.0 AS sim
+FROM coarse c JOIN embeddings e USING (vec_id), q
+ORDER BY sim DESC, e.vec_id LIMIT 5
+"""
+
+ORACLES["ext_heavy_hitters"] = f"""
+WITH g AS (SELECT unnest(generate_series(0, 3)) AS i),
+cms AS (
+  SELECT i, {md5long("CONCAT(i, ':', CAST(user_id AS VARCHAR))")} % 256 AS bucket,
+         COUNT(*) AS c
+  FROM events CROSS JOIN g GROUP BY 1, 2),
+keys AS (SELECT user_id, COUNT(*) AS true_c FROM events GROUP BY 1),
+probes AS (
+  SELECT k.user_id, k.true_c, g.i,
+         {md5long("CONCAT(g.i, ':', CAST(k.user_id AS VARCHAR))")} % 256 AS bucket
+  FROM keys k CROSS JOIN g),
+est AS (
+  SELECT p.user_id, ANY_VALUE(p.true_c) AS true_c, MIN(c.c) AS est
+  FROM probes p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
+  GROUP BY p.user_id)
+SELECT user_id, est, true_c FROM est
+ORDER BY est DESC, user_id LIMIT 10
+"""

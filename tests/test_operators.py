@@ -416,3 +416,57 @@ def test_agg_state_merge_is_split_invariant(spark):
     via_hour = sorted(map(tuple, merge_agg_states(hourly, grain="month").collect()))
     # n/min/max are exact; sums are rounded to 2 decimals before compare
     assert via_day == via_hour
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """Count-min contract: estimate >= true count for EVERY key, and a
+    sketch merged from two disjoint halves equals the sketch of the whole."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import sketches
+
+    e = load_table(spark, SF_DIR, "events")
+    cms = sketches.cms_build(e, "user_id")
+    keys = e.groupBy("user_id").agg(F.count("*").alias("true_c"))
+    est = sketches.cms_estimate(cms, keys, "user_id")
+    joined = est.join(keys, "user_id")
+    under = joined.filter(F.col("est") < F.col("true_c")).count()
+    assert under == 0
+    # mean relative over-count stays small at the fixture's N/width ratio
+    over = joined.agg(
+        F.avg((F.col("est") - F.col("true_c")) / F.col("true_c"))
+    ).collect()[0][0]
+    assert over < 1.0, over
+
+    lo = e.filter(F.col("event_id") % 2 == 0)
+    hi = e.filter(F.col("event_id") % 2 == 1)
+    merged = sketches.cms_merge(
+        sketches.cms_build(lo, "user_id"), sketches.cms_build(hi, "user_id")
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, cms.collect()))
+    assert a == b
+
+
+def test_quantized_rerank_matches_exact_when_unpruned(spark):
+    """With m >= corpus size the coarse cut is a no-op, so the quantized
+    rerank tier must return EXACTLY the full-precision top-k; with the
+    real m=50 cut it must keep >= 4 of 5 (recall of the coarse tier)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    exact = [
+        (r["vec_id"], r["sim"])
+        for r in similarity.cosine_topk(emb, qvec, k=5, exclude_ids=[0]).collect()
+    ]
+    full = [
+        (r["vec_id"], r["sim"])
+        for r in similarity.quantized_rerank_topk(
+            corpus, q, k=5, m=corpus.count()
+        ).collect()
+    ]
+    assert full == exact
+    pruned = {
+        r["vec_id"] for r in similarity.quantized_rerank_topk(corpus, q, k=5, m=50).collect()
+    }
+    assert len(pruned & {v for v, _ in exact}) >= 4
