@@ -240,3 +240,44 @@ def latest_wins_merge_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_merge_sink(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    target_path: str,
+    key_col: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 256,
+    trigger_once: bool = True,
+):
+    """Incremental count-min maintenance via foreachBatch: sketch each
+    micro-batch, ADD its counters into the persisted sketch (cms_merge),
+    atomic-swap write. Because the sketch is mergeable and commutative, the
+    maintained state is EXACTLY the sketch of all rows ever seen — replay
+    parity with a batch build is pinned in tests — while the state itself
+    stays KB-sized (≤ depth×width counters) no matter the stream volume.
+
+    This is the streaming face of the persist-once-merge-many design: the
+    same counters a daily batch job would write, kept fresh per micro-batch.
+    """
+    from ..operators.sketches import cms_build, cms_merge
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        b = cms_build(batch, key_col, depth=depth, width=width)
+        try:
+            existing = spark.read.parquet(target_path)
+            merged = cms_merge(existing, b)
+        except Exception:  # first batch: no sketch yet
+            merged = b
+        tmp = target_path + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

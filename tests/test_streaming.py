@@ -660,3 +660,33 @@ def test_transform_with_state_v2_accumulates_across_batches(spark, tmp_path):
     assert latest[1] == (3, 17.5)
     assert latest[2] == (1, 7.0)
     assert latest[3] == (1, 1.0)
+
+
+def test_cms_merge_sink_replay_parity(spark, events_dir, tmp_path):
+    """Count-min maintained incrementally (one sketch merge per micro-batch)
+    == the sketch of a single batch build over all rows: mergeability is
+    what makes the KB-sized streaming state exact."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.sketches import (
+        cms_build,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.jobs import (
+        cms_merge_sink,
+    )
+
+    schema = _stream_schema(spark, events_dir)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        events_dir
+    )
+    target = str(tmp_path / "cms_target")
+    q = cms_merge_sink(
+        stream, spark, target, key_col="user_id", checkpoint=str(tmp_path / "ck_cms")
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    want = sorted(
+        map(tuple, cms_build(spark.read.parquet(events_dir), "user_id").collect())
+    )
+    assert got == want and len(got) > 0
