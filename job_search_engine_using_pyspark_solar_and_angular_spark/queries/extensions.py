@@ -1228,3 +1228,30 @@ def ext_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("est").desc(), F.col("user_id"))
         .limit(10)
     )
+
+
+@query("ext_moving_avg")
+def ext_moving_avg(spark, sf_dir):
+    """Time-RANGE window frames (the piece ext_window_analytics' row frames
+    don't cover): per-type trailing-1-hour moving average and event count,
+    computed on an epoch-seconds range frame — peers at equal timestamps are
+    all in-frame, so the result is deterministic with no tie-break column.
+    One shuffle on event_type; frames never materialize (running frame)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    avg = F.sum(cents).over(w) / (F.lit(100.0) * F.count("*").over(w))
+    return e.select(
+        "event_id",
+        "event_type",
+        # cent-quantized average: summing exact integers makes the windowed
+        # mean independent of fp summation order (cross-engine determinism)
+        F.round(avg, 4).alias("trailing_avg_1h"),
+        F.count("*").over(w).alias("n_in_1h"),
+    )

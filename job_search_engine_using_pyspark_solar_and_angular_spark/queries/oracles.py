@@ -1266,3 +1266,20 @@ est AS (
 SELECT user_id, est, true_c FROM est
 ORDER BY est DESC, user_id LIMIT 10
 """
+
+ORACLES["ext_moving_avg"] = """
+SELECT event_id, event_type,
+  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+    PARTITION BY event_type ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    / (100.0 * COUNT(*) OVER (
+    PARTITION BY event_type ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)), 4)
+    AS trailing_avg_1h,
+  COUNT(*) OVER (
+    PARTITION BY event_type ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    AS n_in_1h
+FROM events WHERE user_id < 100
+ORDER BY event_id
+"""

@@ -297,3 +297,29 @@ def test_snapshot_diff_on_bucketed_snapshots_no_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS t_snap_old")
         spark.sql("DROP TABLE IF EXISTS t_snap_new")
+
+
+def test_heavy_hitters_sketch_joins_broadcast(spark):
+    """cms_estimate probes must broadcast the KB-sized sketch — never shuffle
+    the key side for it."""
+    p = plan_of(spark, "ext_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert p.count("SortMergeJoin") == 0, p[:2000]
+
+
+def test_ann_quantized_cuts_are_heaps(spark):
+    """Both the coarse top-m and the final top-k must be TakeOrderedAndProject
+    (per-partition heaps), and the query vector must be a broadcast, not a
+    driver collect (no mid-plan actions: building the plan runs no jobs)."""
+    p = plan_of(spark, "ext_ann_quantized")
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_sliding_window_is_single_shuffle_agg(spark):
+    """The hopping fan-out is a JVM-side generator + ONE partial/final agg —
+    no join, no second exchange beyond the agg's."""
+    p = plan_of(spark, "ext_sliding_window")
+    assert p.count("HashAggregate") >= 2
+    assert "Join" not in p
+    assert p.count("Exchange") == 1, p.count("Exchange")
