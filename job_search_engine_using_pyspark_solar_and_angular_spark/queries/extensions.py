@@ -1255,3 +1255,86 @@ def ext_moving_avg(spark, sf_dir):
         F.round(avg, 4).alias("trailing_avg_1h"),
         F.count("*").over(w).alias("n_in_1h"),
     )
+
+
+@query("ext_tpch_q5")
+def ext_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume): the 5-way star join —
+    lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with the
+    same-nation (c_nationkey = s_nationkey) correlation. Catalyst's join
+    ordering + broadcast selection carry the plan: region→nation→customer
+    collapses dimension-side first, supplier broadcasts against the fact
+    stream, and only the orders⋈lineitem edge shuffles. Revenue is
+    cent-quantized per row before summation so the per-nation totals are
+    independent of add order (cross-engine exact)."""
+    cutoff_lo = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    cutoff_hi = F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query("ext_outliers")
+def ext_outliers(spark, sf_dir):
+    """Per-group 3-sigma outlier detection with EXACT integer arithmetic:
+    |x - mean| > 3·stddev rewritten as the cross-multiplied integer predicate
+    (x·n − s)²·(n−1) > 9·n·(n·ss − s²) over cent-quantized values — no
+    floating-point mean/stddev anywhere, so the flagged row SET is
+    bit-identical across engines (a rounded z-score could flip rows at the
+    threshold). Decimal(38) keeps the products exact at any group size.
+    One shuffle on event_type (whole-partition window frames)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    xc = F.round(F.col("value") * 100, 0).cast("decimal(38,0)")
+    w = Window.partitionBy("event_type")
+    base = e.select("event_id", "event_type", "value", xc.alias("xc"))
+    n = F.count("*").over(w).cast("decimal(38,0)")
+    s = F.sum("xc").over(w)
+    ss = F.sum(F.col("xc") * F.col("xc")).over(w)
+    g = base.select(
+        "event_id",
+        "event_type",
+        "value",
+        "xc",
+        n.alias("n"),
+        s.alias("s"),
+        ss.alias("ss"),
+    )
+    lhs = (F.col("xc") * F.col("n") - F.col("s"))
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        g.filter(
+            (F.col("n") >= 2)
+            & (var_num > 0)
+            & (lhs * lhs * (F.col("n") - 1) > F.lit(9) * F.col("n") * var_num)
+        )
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )

@@ -1283,3 +1283,35 @@ SELECT event_id, event_type,
 FROM events WHERE user_id < 100
 ORDER BY event_id
 """
+
+ORACLES["ext_tpch_q5"] = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) / 100.0
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+# exact integer 3-sigma predicate — cross-multiplied, no fp mean/stddev
+ORACLES["ext_outliers"] = """
+WITH b AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS HUGEINT) AS xc
+  FROM events WHERE user_id < 100),
+g AS (
+  SELECT *, COUNT(*) OVER w AS n, SUM(xc) OVER w AS s, SUM(xc * xc) OVER w AS ss
+  FROM b WINDOW w AS (PARTITION BY event_type))
+SELECT event_id, event_type, value FROM g
+WHERE n >= 2 AND (n * ss - s * s) > 0
+  AND (xc * n - s) * (xc * n - s) * (n - 1) > 9 * n * (n * ss - s * s)
+ORDER BY event_id
+"""
