@@ -1044,10 +1044,16 @@ def ext_curation_verdict(spark, sf_dir):
     oracle-verified operators into the funnel a real training-data pass
     runs; the oracle composes the same verified SQL fragments."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id")
-    lang = QUERIES["ext_lang_id"](spark, sf_dir)
-    qual = QUERIES["ext_quality"](spark, sf_dir).select("doc_id", "quality")
-    rep = QUERIES["ext_repetition"](spark, sf_dir).select("doc_id", "repetitive")
+    # lang-ID and quality are row-local column expressions — fuse them into
+    # ONE projection on the base scan instead of separate stage DataFrames
+    # joined on doc_id (same values, same oracle; removes two full corpus
+    # scans and two doc_id shuffles from the funnel)
+    base = textstats.quality_score(docs).select(
+        "doc_id",
+        textstats.lang_id("text").alias("lang_pred"),
+        "quality",
+    )
+    rep = pipeline.repetition_stats(docs).select("doc_id", "repetitive")
     # ONE corpus tokenize+shingle+md5 pass feeds BOTH the LSH clustering and
     # both sides of decontamination (values identical to computing each
     # independently — same oracle; at 100 TB this removes a full extra scan)
@@ -1067,9 +1073,7 @@ def ext_curation_verdict(spark, sf_dir):
         bench_shingles=sh.filter(F.col("doc_id") % 50 == 0),
     ).select("doc_id", "contamination")
     joined = (
-        d.join(lang, "doc_id", "left")
-        .join(qual, "doc_id", "left")
-        .join(rep, "doc_id", "left")
+        base.join(rep, "doc_id", "left")
         .join(removed, "doc_id", "left")
         .join(cont, "doc_id", "left")
     )
