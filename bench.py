@@ -71,6 +71,10 @@ HEADLINE = [
     "ext_ann_quantized",
     "ext_sliding_window",
     "ext_salted_join",
+    # 5-way star join, time-range frames, exact integer 3-sigma outliers
+    "ext_tpch_q5",
+    "ext_moving_avg",
+    "ext_outliers",
     # the composed curation funnel (lang/quality/repetition/LSH-dup/
     # decontamination -> one verdict per doc) — the flagship composition
     "ext_curation_verdict",

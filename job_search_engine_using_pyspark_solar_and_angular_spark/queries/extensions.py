@@ -1342,3 +1342,45 @@ def ext_outliers(spark, sf_dir):
         .select("event_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+@query("ext_minhash_est_jaccard")
+def ext_minhash_est_jaccard(spark, sf_dir):
+    """Signature-based Jaccard ESTIMATION next to the exact value — the step
+    that makes MinHash a similarity sketch, not just a bucketing trick: for
+    each LSH candidate pair, est = (# equal signature components)/16 (an
+    exact rational — deterministic), joined with the exact shingle Jaccard
+    so the estimation error is part of the result. At 100 TB the estimate
+    costs an array compare on pairs already in hand; the exact join is the
+    expensive verify it lets you skip or defer. One shared shingle pass
+    feeds signatures and candidates."""
+    from ..operators.pipeline import _shingle_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(d, "doc_id", "text", 3).persist()
+    sig = dedup.minhash_signatures(d, shingle_hashes=sh)
+    cand = dedup.minhash_lsh_candidates(d, shingle_hashes=sh)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_eq = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (n_eq / F.lit(16.0)).alias("est_jaccard"))
+    )
+    exact = dedup.ngram_jaccard_pairs(d, cand).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4).alias("est_err"),
+    )

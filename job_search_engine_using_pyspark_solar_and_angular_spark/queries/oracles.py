@@ -1315,3 +1315,30 @@ WHERE n >= 2 AND (n * ss - s * s) > 0
   AND (xc * n - s) * (xc * n - s) * (n - 1) > 9 * n * (n * ss - s * s)
 ORDER BY event_id
 """
+
+
+ORACLES["ext_minhash_est_jaccard"] = f"""
+WITH {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, {_PAIRS_CTE},
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         ((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END) + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END) + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END) + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END) + (CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END) + (CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END) + (CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END) + (CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END) + (CASE WHEN sa.m8 = sb.m8 THEN 1 ELSE 0 END) + (CASE WHEN sa.m9 = sb.m9 THEN 1 ELSE 0 END) + (CASE WHEN sa.m10 = sb.m10 THEN 1 ELSE 0 END) + (CASE WHEN sa.m11 = sb.m11 THEN 1 ELSE 0 END) + (CASE WHEN sa.m12 = sb.m12 THEN 1 ELSE 0 END) + (CASE WHEN sa.m13 = sb.m13 THEN 1 ELSE 0 END) + (CASE WHEN sa.m14 = sb.m14 THEN 1 ELSE 0 END) + (CASE WHEN sa.m15 = sb.m15 THEN 1 ELSE 0 END)) / 16.0 AS est_jaccard
+  FROM pairs p JOIN sigs sa ON sa.doc_id = p.doc_a
+               JOIN sigs sb ON sb.doc_id = p.doc_b),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN hashes ha ON ha.doc_id = p.doc_a
+  JOIN hashes hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY p.doc_a, p.doc_b),
+ex AS (
+  SELECT i.doc_a, i.doc_b,
+         ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b)
+SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
+       ROUND(ABS(e.est_jaccard - x.jaccard), 4) AS est_err
+FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+ORDER BY e.doc_a, e.doc_b
+"""
