@@ -80,6 +80,10 @@ def cms_estimate(
         F.col(key_col),
         *[_bucket(key_str, i, width).alias(f"__b{i}") for i in range(depth)],
     )
+    # persist: the sketch feeds ``depth`` broadcast exchanges below; without
+    # it each broadcast re-executes the full build scan (measured: 4 extra
+    # corpus scans per estimate). The cached table is ≤ depth×width rows.
+    sketch = sketch.persist()
     out = probes
     for i in range(depth):
         s_i = sketch.filter(F.col("row") == i).select(
