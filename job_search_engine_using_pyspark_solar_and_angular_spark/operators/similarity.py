@@ -549,3 +549,69 @@ def quantized_rerank_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def zscore_dims(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-DIMENSION corpus z-normalization (feature whitening) — the
+    standard preprocessing before clustering/ANN when dimensions have
+    uneven scales.
+
+    Two corpus passes, NO corpus-sized shuffle: (1) posexplode → per-dim
+    (n, Σx, Σx²) — 64 groups, map-side partial agg, the shuffle carries
+    dims×partitions rows; (2) the stats pivot into three dim-ordered arrays
+    in ONE broadcast row, and each vector normalizes in-place via an
+    indexed ``transform`` — never exploding the corpus again and never
+    re-assembling arrays through a collect_list shuffle.
+
+    Exactness contract: inputs are micro-quantized (round(x·1e6) — exact
+    doubles), the sums are exact decimal(38) integers, and every later op
+    is the same IEEE double expression in both engines, so the output is
+    bit-identical cross-engine (oracle-checked) despite the cancellation-
+    prone n·Σx²−(Σx)² form. Constant dimensions normalize to 0."""
+    rows = embeddings.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    xq = F.round(F.col("x").cast("double") * quant, 0).cast("decimal(38,0)")
+    stats = (
+        rows.select("dim", xq.alias("xq"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("xq").alias("s"),
+            F.sum(F.col("xq") * F.col("xq")).alias("ss"),
+        )
+    )
+    packed = stats.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("dim"),
+                    F.col("n").cast("double").alias("n"),
+                    F.col("s").cast("double").alias("s"),
+                    F.col("ss").cast("double").alias("ss"),
+                )
+            )
+        ).alias("a")
+    ).select(
+        F.transform("a", lambda t: t["n"]).alias("__n"),
+        F.transform("a", lambda t: t["s"]).alias("__s"),
+        F.transform("a", lambda t: t["ss"]).alias("__ss"),
+    )
+
+    def z(x, i):
+        xqd = F.round(x.cast("double") * quant, 0)
+        n = F.element_at("__n", i + 1)
+        s = F.element_at("__s", i + 1)
+        ss = F.element_at("__ss", i + 1)
+        b = n * ss - s * s
+        return F.when(
+            b > 0,
+            F.round((xqd * n - s) * F.sqrt((n - 1) / (n * b)), 6),
+        ).otherwise(F.lit(0.0))
+
+    return embeddings.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col), F.transform(F.col(vec_col), z).alias("norm")
+    )

@@ -1384,3 +1384,12 @@ def ext_minhash_est_jaccard(spark, sf_dir):
         "jaccard",
         F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4).alias("est_err"),
     )
+
+
+@query("ext_zscore_embeddings")
+def ext_zscore_embeddings(spark, sf_dir):
+    """Per-dimension z-normalization of the embedding corpus (whitening):
+    micro-quantized exact sums + broadcast stats arrays + in-place indexed
+    transform — no corpus-sized shuffle anywhere (similarity.zscore_dims)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.zscore_dims(emb)

@@ -1342,3 +1342,32 @@ SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
 FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
 ORDER BY e.doc_a, e.doc_b
 """
+
+# per-dim stats from exact HUGEINT sums; every later op is the same IEEE
+# double expression as the Spark side, so arrays compare bit-identically
+ORACLES["ext_zscore_embeddings"] = """
+WITH idx AS (
+  SELECT vec_id, embedding,
+         unnest(generate_series(1, len(embedding))) AS ord
+  FROM embeddings),
+e AS (
+  SELECT vec_id, CAST(ord AS INT) - 1 AS dim,
+         CAST(embedding[ord] AS DOUBLE) AS x
+  FROM idx),
+q AS (
+  SELECT vec_id, dim, x,
+         CAST(CAST(ROUND(x * 1000000, 0) AS BIGINT) AS HUGEINT) AS xq
+  FROM e),
+st AS (
+  SELECT dim, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(xq) AS DOUBLE) AS s,
+         CAST(SUM(xq * xq) AS DOUBLE) AS ss
+  FROM q GROUP BY dim),
+z AS (
+  SELECT vec_id, q.dim,
+         CASE WHEN (n * ss - s * s) > 0
+              THEN ROUND((ROUND(x * 1000000, 0) * n - s)
+                         * sqrt((n - 1) / (n * (n * ss - s * s))), 6)
+              ELSE 0.0 END AS z
+  FROM q JOIN st ON q.dim = st.dim)
+SELECT vec_id, list(z ORDER BY dim) AS norm FROM z GROUP BY vec_id ORDER BY vec_id
+"""

@@ -470,3 +470,25 @@ def test_quantized_rerank_matches_exact_when_unpruned(spark):
         r["vec_id"] for r in similarity.quantized_rerank_topk(corpus, q, k=5, m=50).collect()
     }
     assert len(pruned & {v for v, _ in exact}) >= 4
+
+
+def test_zscore_dims_whitens(spark):
+    """Normalized dimensions must have ~zero mean and ~unit variance, and the
+    plan must not shuffle the corpus (stats broadcast back, in-place
+    transform — no collect_list reassembly)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = similarity.zscore_dims(emb)
+    rows = out.select(F.posexplode("norm").alias("dim", "z"))
+    stats = rows.groupBy("dim").agg(
+        F.avg("z").alias("mu"), F.stddev("z").alias("sd")
+    )
+    bad = stats.filter(
+        (F.abs(F.col("mu")) > 1e-3) | (F.abs(F.col("sd") - 1.0) > 1e-2)
+    ).count()
+    assert bad == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # stats ride a broadcast back onto the corpus — the corpus itself is
+    # never re-shuffled or joined by sort-merge (the collect_list in the
+    # plan aggregates the 64 per-dim stat rows, not the corpus)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
