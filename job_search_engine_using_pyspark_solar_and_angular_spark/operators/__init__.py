@@ -1,5 +1,6 @@
 from . import (  # noqa: F401
     dedup,
+    graph,
     joins,
     multimodal,
     pipeline,

@@ -1393,3 +1393,22 @@ def ext_zscore_embeddings(spark, sf_dir):
     transform — no corpus-sized shuffle anywhere (similarity.zscore_dims)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.zscore_dims(emb)
+
+
+@query("ext_pagerank")
+def ext_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (5 iterations, micro-unit mass) over the LSH
+    candidate-pair similarity graph — link-analysis centrality as a curation
+    prior, sharing the edges the dedup clustering already derives. All-integer
+    updates make the iterative algorithm itself exact-oracle-checkable (the
+    oracle unrolls the 5 iterations as chained CTEs)."""
+    from ..operators.graph import pagerank_int
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d)
+    pr = pagerank_int(pairs, iters=5)
+    return (
+        pr.select(F.col("node").alias("doc_id"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("doc_id"))
+        .limit(20)
+    )

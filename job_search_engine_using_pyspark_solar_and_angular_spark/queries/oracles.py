@@ -1371,3 +1371,34 @@ z AS (
   FROM q JOIN st ON q.dim = st.dim)
 SELECT vec_id, list(z ORDER BY dim) AS norm FROM z GROUP BY vec_id ORDER BY vec_id
 """
+
+
+# integer PageRank: 5 iterations unrolled as chained CTEs (all-integer
+# updates -- no recursive aggregates, no fp summation anywhere)
+_PR_ITERS = 5
+_PR_SCALE = 10**12
+_pr_cte = """
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+pr0 AS (SELECT a AS node, CAST(%(S)d // n AS BIGINT) AS rank FROM deg, consts)"""
+for _k in range(1, _PR_ITERS + 1):
+    _pr_cte += """,
+pr%(k)d AS (
+  SELECT d.a AS node,
+         CAST((15 * (%(S)d // c.n)) // 100
+              + (85 * COALESCE(inc.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d CROSS JOIN consts c
+  LEFT JOIN (
+    SELECT e.b AS node, SUM(p.rank // dd.deg) AS s
+    FROM edges e JOIN pr%(km1)d p ON p.node = e.a JOIN deg dd ON dd.a = e.a
+    GROUP BY e.b) inc ON inc.node = d.a)""" % {"k": _k, "km1": _k - 1, "S": 10**12}
+_pr_cte = _pr_cte % {"S": 10**12} if "%(S)d" in _pr_cte else _pr_cte
+
+ORACLES["ext_pagerank"] = (
+    f"WITH {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, {_PAIRS_CTE}, "
+    + _pr_cte
+    + f" SELECT node AS doc_id, rank FROM pr{_PR_ITERS} "
+    "ORDER BY rank DESC, doc_id LIMIT 20"
+)

@@ -492,3 +492,23 @@ def test_zscore_dims_whitens(spark):
     # plan aggregates the 64 per-dim stat rows, not the corpus)
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pagerank_int_star_graph(spark):
+    """On a star (hub connected to k leaves): the hub must out-rank every
+    leaf, leaves must tie exactly (integer math — no fp jitter), and total
+    mass stays within div-floor leakage of the scale."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.graph import (
+        SCALE,
+        pagerank_int,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank_int(pairs, iters=5).collect()}
+    hub, leaves = pr[0], [pr[i] for i in range(1, 9)]
+    assert all(hub > v for v in leaves)
+    assert len(set(leaves)) == 1  # exact tie
+    total = sum(pr.values())
+    assert 0 < SCALE - total < SCALE * 1e-3  # floor leakage only, one-sided
