@@ -87,7 +87,11 @@ _PRIORITY = [
     # ext_corr_profile).
     "ext_heavy_hitters",
     "ext_ann_quantized",
-    "ext_simhash_near_dups",
+    # integer-exact PageRank: the second iterative algorithm with an exact
+    # oracle (unrolled-CTE iterations). Takes ext_simhash_near_dups' slot;
+    # the SimHash family stays exact-oracle-checked locally (ext_simhash,
+    # ext_simhash_near_dups in tests/test_oracle_parity.py).
+    "ext_pagerank",
     "ext_tpch_q3",
     "ext_search_e2e",
 ]

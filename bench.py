@@ -75,6 +75,9 @@ HEADLINE = [
     "ext_tpch_q5",
     "ext_moving_avg",
     "ext_outliers",
+    # iterative link analysis + embedding whitening
+    "ext_pagerank",
+    "ext_zscore_embeddings",
     # the composed curation funnel (lang/quality/repetition/LSH-dup/
     # decontamination -> one verdict per doc) — the flagship composition
     "ext_curation_verdict",
