@@ -1412,3 +1412,37 @@ def ext_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), F.col("doc_id"))
         .limit(20)
     )
+
+
+@query("ext_corpus_report")
+def ext_corpus_report(spark, sf_dir):
+    """One-pass corpus health report (the dataset card a curation run
+    emits): size, language spread, token mass, mean quality, exact-dup
+    rate — ONE aggregate over the scored scan (plus the distinct-md5 side
+    of the same pass), emitted long-form (metric, value). Ratios derive
+    from exact integer sums (quality summed in 1e-4 units), so every value
+    is deterministic cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    q = textstats.quality_score(d)
+    qmilli = F.round(F.col("quality") * 10000, 0).cast("long")
+    a = q.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.col("q_n_tokens").cast("long")).alias("tok"),
+        F.sum(qmilli).alias("qsum"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.count_distinct(F.md5("text")).alias("n_uniq"),
+    )
+    return a.select(
+        F.expr(
+            "stack(7, "
+            "'n_docs', CAST(n AS DOUBLE), "
+            "'n_langs', CAST(n_langs AS DOUBLE), "
+            "'total_tokens', CAST(tok AS DOUBLE), "
+            "'avg_quality', ROUND(CAST(qsum AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE), 4), "
+            "'pct_en', ROUND(CAST(n_en AS DOUBLE) / n, 4), "
+            "'dup_rate', ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n, 4), "
+            "'avg_tokens', ROUND(CAST(tok AS DOUBLE) / n, 4)"
+            ") AS (metric, value)"
+        )
+    )

@@ -1402,3 +1402,40 @@ ORACLES["ext_pagerank"] = (
     + f" SELECT node AS doc_id, rank FROM pr{_PR_ITERS} "
     "ORDER BY rank DESC, doc_id LIMIT 20"
 )
+
+
+ORACLES["ext_corpus_report"] = f"""
+WITH feat AS (
+  SELECT doc_id, text, lang,
+         length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(list_filter({TOKS}, t -> t IN {EN_PROFILE_SQL})) AS n_stop,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+  FROM documents),
+scored AS (
+  SELECT *,
+    ROUND(GREATEST(LEAST(
+      (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.5 ELSE 0.0 END)
+      + LEAST((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 2.0, 0.5)
+      - LEAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 2.0, 0.25),
+      1.0), 0.0), 4) AS quality
+  FROM feat),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tok,
+         CAST(SUM(CAST(ROUND(quality * 10000, 0) AS BIGINT)) AS BIGINT) AS qsum,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+  FROM scored)
+SELECT u.metric, u.value FROM agg, LATERAL (
+  VALUES ('n_docs', CAST(n AS DOUBLE)),
+         ('n_langs', CAST(n_langs AS DOUBLE)),
+         ('total_tokens', CAST(tok AS DOUBLE)),
+         ('avg_quality', ROUND(CAST(qsum AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE), 4)),
+         ('pct_en', ROUND(CAST(n_en AS DOUBLE) / n, 4)),
+         ('dup_rate', ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n, 4)),
+         ('avg_tokens', ROUND(CAST(tok AS DOUBLE) / n, 4))
+) AS u(metric, value)
+ORDER BY u.metric
+"""
