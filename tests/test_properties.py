@@ -195,3 +195,73 @@ def test_corpus_shuffle_is_permutation(spark, ids, shards):
         for pos, i in enumerate(members, start=1):
             want[i] = (shard, pos)
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 10**6)),  # (key, row_id)
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[1],
+    ),
+    n_salts=st.integers(1, 5),
+)
+@_SET
+def test_salted_join_equivalence_property(spark, rows, n_salts):
+    """salted_join == plain join for arbitrary key distributions (including
+    all-one-hot-key inputs) and any salt count."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame(rows, "k long, rid long")
+    small = spark.createDataFrame([(i, f"v{i}") for i in range(4)], "k long, v string")
+    plain = sorted(map(tuple, big.join(small, "k", "left").collect()))
+    salted = sorted(
+        map(tuple, salted_join(big, small, "k", "rid", n_salts, "left").collect())
+    )
+    assert salted == plain
+
+
+@given(
+    keys=st.lists(st.integers(0, 20), min_size=1, max_size=40),
+)
+@_SET
+def test_cms_never_undercounts_property(spark, keys):
+    """CMS estimate >= true count for every key, on arbitrary multisets."""
+    from collections import Counter
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import sketches
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    cms = sketches.cms_build(df, "k", depth=3, width=16)
+    est = {
+        r["k"]: r["est"]
+        for r in sketches.cms_estimate(
+            cms, df.select("k").distinct(), "k", depth=3, width=16
+        ).collect()
+    }
+    true = Counter(keys)
+    assert all(est[k] >= c for k, c in true.items())
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False, width=32),
+        min_size=2,
+        max_size=24,
+    )
+)
+@_SET
+def test_quantize_roundtrip_bound_property(spark, vals):
+    """int8 quantization reconstruction error <= scale/2 for arbitrary
+    float32 vectors (incl. constant vectors, where scale is 0 and the
+    reconstruction is exact)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import similarity as sim
+
+    df = spark.createDataFrame([(0, vals)], "vec_id long, embedding array<float>")
+    row = sim.dequantize_int8(sim.quantize_int8(df)).collect()[0]
+    scale = row["scale"]
+    orig = [float(x) for x in df.collect()[0]["embedding"]]  # float32-rounded
+    err = max(abs(a - b) for a, b in zip(row["approx"], orig))
+    assert err <= scale / 2 + 1e-9
