@@ -92,3 +92,25 @@ def cms_estimate(
         out = out.join(F.broadcast(s_i), f"__b{i}", "left")
     est = F.least(*[F.coalesce(F.col(f"__c{i}"), F.lit(0)) for i in range(depth)])
     return out.select(F.col(key_col), est.alias("est"))
+
+
+def cms_join_cardinality(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Estimate |A ⋈ B| on the sketched key WITHOUT touching either table:
+    the count-min inner product. For each of the depth rows,
+    Σ_bucket cA·cB over-estimates Σ_key fA(k)·fB(k) (collisions only add);
+    the min over rows is the classic CMS join-size estimate — the statistic
+    a cost-based planner wants before committing to a join strategy.
+
+    Returns one row: (est). Exact integer arithmetic start to finish, so
+    the estimate itself is oracle-checkable. Sketches must share
+    (depth, width)."""
+    a = sketch_a.select("row", "bucket", F.col("c").alias("ca"))
+    b = sketch_b.select("row", "bucket", F.col("c").alias("cb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").alias("est"))

@@ -1446,3 +1446,32 @@ def ext_corpus_report(spark, sf_dir):
             ") AS (metric, value)"
         )
     )
+
+
+@query("ext_join_cardinality")
+def ext_join_cardinality(spark, sf_dir):
+    """Join-size estimation from sketches alone (CMS inner product): how many
+    rows would odd-events ⋈ even-events on user_id produce? The planner
+    statistic next to the true count and the relative error — never scanning
+    the joined pair. Estimate >= truth always (collisions only add)."""
+    from ..operators import sketches
+
+    e = load_table(spark, sf_dir, "events")
+    lo = e.filter(F.col("event_id") % 2 == 0)
+    hi = e.filter(F.col("event_id") % 2 == 1)
+    ca = sketches.cms_build(lo, "user_id")
+    cb = sketches.cms_build(hi, "user_id")
+    est = sketches.cms_join_cardinality(ca, cb)
+    true = (
+        lo.groupBy("user_id")
+        .agg(F.count("*").alias("na"))
+        .join(hi.groupBy("user_id").agg(F.count("*").alias("nb")), "user_id")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("true_card"))
+    )
+    return est.crossJoin(true).select(
+        "est",
+        "true_card",
+        F.round(
+            (F.col("est") - F.col("true_card")) / F.col("true_card").cast("double"), 4
+        ).alias("rel_err"),
+    )

@@ -1439,3 +1439,26 @@ SELECT u.metric, u.value FROM agg, LATERAL (
 ) AS u(metric, value)
 ORDER BY u.metric
 """
+
+ORACLES["ext_join_cardinality"] = f"""
+WITH g AS (SELECT unnest(generate_series(0, 3)) AS i),
+lo AS (SELECT user_id FROM events WHERE event_id % 2 = 0),
+hi AS (SELECT user_id FROM events WHERE event_id % 2 = 1),
+ca AS (SELECT i, {md5long("CONCAT(i, ':', CAST(user_id AS VARCHAR))")} % 256 AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS c
+       FROM lo CROSS JOIN g GROUP BY 1, 2),
+cb AS (SELECT i, {md5long("CONCAT(i, ':', CAST(user_id AS VARCHAR))")} % 256 AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS c
+       FROM hi CROSS JOIN g GROUP BY 1, 2),
+ip AS (SELECT a.i, CAST(SUM(a.c * b.c) AS BIGINT) AS ip
+       FROM ca a JOIN cb b ON a.i = b.i AND a.bucket = b.bucket GROUP BY a.i),
+est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM ip),
+tru AS (
+  SELECT CAST(SUM(na * nb) AS BIGINT) AS true_card FROM
+    (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS na FROM lo GROUP BY 1) x
+    JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nb FROM hi GROUP BY 1) y
+    USING (user_id))
+SELECT est, true_card,
+       ROUND((est - true_card) / CAST(true_card AS DOUBLE), 4) AS rel_err
+FROM est, tru
+"""

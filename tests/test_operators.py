@@ -512,3 +512,24 @@ def test_pagerank_int_star_graph(spark):
     assert len(set(leaves)) == 1  # exact tie
     total = sum(pr.values())
     assert 0 < SCALE - total < SCALE * 1e-3  # floor leakage only, one-sided
+
+
+def test_cms_join_cardinality_never_underestimates(spark):
+    """Inner-product join-size estimate >= true join size (collisions only
+    add), and equals it when width >> distinct keys."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import sketches
+
+    e = load_table(spark, SF_DIR, "events")
+    lo, hi = e.filter("event_id % 2 = 0"), e.filter("event_id % 2 = 1")
+    est = sketches.cms_join_cardinality(
+        sketches.cms_build(lo, "user_id", width=4096),
+        sketches.cms_build(hi, "user_id", width=4096),
+    ).collect()[0]["est"]
+    true = (
+        lo.groupBy("user_id").count().withColumnRenamed("count", "na")
+        .join(hi.groupBy("user_id").count().withColumnRenamed("count", "nb"), "user_id")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert est >= true
+    assert est <= true * 1.2  # wide sketch ≈ exact at fixture cardinality
