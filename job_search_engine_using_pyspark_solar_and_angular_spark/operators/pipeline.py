@@ -517,3 +517,26 @@ def merge_agg_states(
             F.round((F.col("sum_v") / F.col("n")), 4).alias("avg_v"),
         )
     )
+
+
+def apply_cdc(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Apply a CDC delta to a snapshot: reconstruct ``new`` from ``old`` plus
+    only the rows :func:`snapshot_diff` flagged — the write side of
+    incremental refresh (the diff tells you WHAT moved; this is the merge
+    that moves it).
+
+    added/changed keys take their payload from ``new`` (a semi join against
+    the delta — only delta-sized data flows); removed and changed keys drop
+    out of ``old`` (one anti join); the union is exactly ``new`` — an
+    identity pinned in tests and by the oracle. All joins are keyed on the
+    snapshot keys, so on bucketed snapshots the whole apply is
+    shuffle-free, and the delta side is typically tiny → broadcast."""
+    delta = snapshot_diff(old, new, key_cols)
+    touched = delta.select(*key_cols)
+    upserts = new.join(touched, key_cols, "left_semi")
+    kept = old.join(touched, key_cols, "left_anti")
+    return kept.unionByName(upserts)

@@ -1475,3 +1475,46 @@ def ext_join_cardinality(spark, sf_dir):
             (F.col("est") - F.col("true_card")) / F.col("true_card").cast("double"), 4
         ).alias("rel_err"),
     )
+
+
+@query("ext_apply_cdc")
+def ext_apply_cdc(spark, sf_dir):
+    """The write side of CDC: apply the snapshot_diff delta to the old
+    snapshot and get EXACTLY the new one back (oracle = the new snapshot
+    directly) — old + delta ≡ new, the identity incremental refresh rests
+    on. Same deterministic fixtures as ext_snapshot_diff."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    old = e.filter(F.col("event_id") % 5 != 0)
+    new = e.filter(F.col("event_id") % 3 != 0).withColumn(
+        "cents",
+        F.when(F.col("event_id") % 7 == 0, F.col("cents") * 2).otherwise(
+            F.col("cents")
+        ),
+    )
+    return pipeline.apply_cdc(old, new, ["event_id"])
+
+
+@query("ext_cohort_retention")
+def ext_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-activity week, distinct
+    active users per (cohort, week offset) — the standard growth-analytics
+    matrix. Two aggs + one join, all keyed on user_id/cohort; integer week
+    offsets via datediff on week-truncated timestamps (engine-portable)."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    act = e.select("user_id", wk.alias("wk")).distinct()
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -1462,3 +1462,24 @@ SELECT est, true_card,
        ROUND((est - true_card) / CAST(true_card AS DOUBLE), 4) AS rel_err
 FROM est, tru
 """
+
+# oracle is the NEW snapshot itself: old + delta must reconstruct it exactly
+ORACLES["ext_apply_cdc"] = """
+SELECT event_id, event_type,
+       CASE WHEN event_id % 7 = 0 THEN CAST(ROUND(value * 100) AS BIGINT) * 2
+            ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+FROM events WHERE event_id % 3 <> 0
+ORDER BY event_id
+"""
+
+ORACLES["ext_cohort_retention"] = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+first AS (
+  SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
