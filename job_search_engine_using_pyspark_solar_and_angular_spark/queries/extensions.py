@@ -1518,3 +1518,24 @@ def ext_cohort_retention(spark, sf_dir):
         .groupBy("cohort", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query("ext_phrase_search")
+def ext_phrase_search(spark, sf_dir):
+    """Positional phrase search — the Lucene phrase-query surface: docs where
+    'window' is immediately followed by 'join', ranked by occurrence count
+    (search/api.py phrase_search)."""
+    from ..search.api import phrase_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_search(d, ["window", "join"], k=10)
+
+
+@query("ext_search_and")
+def ext_search_and(spark, sf_dir):
+    """Boolean-AND keyword search: documents containing ALL query terms —
+    the conjunctive surface the reference's OR-only Solr query lacks."""
+    from ..search.api import search_all_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return search_all_terms(d, ["spark", "join", "window"], k=10)

@@ -1483,3 +1483,23 @@ SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
 FROM act a JOIN first f USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+ORACLES["ext_phrase_search"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS i, tk
+  FROM toks WHERE len(tk) >= 2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM pos WHERE tk[i] = 'window' AND tk[i + 1] = 'join'
+GROUP BY doc_id ORDER BY n_occurrences DESC, doc_id LIMIT 10
+"""
+
+ORACLES["ext_search_and"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+hits AS (
+  SELECT DISTINCT doc_id, tok FROM toks
+  WHERE tok IN ('spark', 'join', 'window'))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM hits GROUP BY doc_id HAVING COUNT(*) = 3
+ORDER BY doc_id LIMIT 10
+"""

@@ -155,3 +155,74 @@ def autocomplete(
         .orderBy(F.col("c").desc(), "token")
         .limit(k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching via POSITIONAL postings — the Lucene/Solr
+    phrase-query capability (``"window join"``) the keyword surfaces can't
+    express: term i of the phrase must occur at position p+i of the same
+    document.
+
+    Plan: one posexplode to (doc, token, pos), pruned to the phrase's terms
+    BEFORE any shuffle (the same postings-pruning discipline as BM25 —
+    the scan drops every non-phrase token); then one self-equi-join per
+    adjacent term pair on (doc, expected position) — never a positions
+    array crossing the shuffle — and a per-doc occurrence count. Returns
+    (doc_id, n_occurrences) top-k by count desc, id asc."""
+    from ..functions.text import tokenize_normalized
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokenize_normalized(text_col)).alias("pos", "tok")
+    ).filter(F.col("tok").isin(list(set(phrase))))
+    first = toks.filter(F.col("tok") == phrase[0]).select(
+        id_col, F.col("pos").alias("p0")
+    )
+    matched = first
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("tok") == term).select(
+            id_col, (F.col("pos") - i).alias("p0")
+        )
+        matched = matched.join(nxt, [id_col, "p0"])
+    return (
+        matched.groupBy(id_col)
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def search_all_terms(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean-AND search: documents containing EVERY query term (the
+    reference's Solr surface only ORs its fields). One tokenize pass pruned
+    to the query terms, one distinct, one per-doc count — a doc matches iff
+    it covers all |terms| distinct terms. Returns (doc_id, n_terms) top-k
+    ordered by doc_id (all matches tie on n_terms by construction)."""
+    from ..functions.text import tokenize_normalized
+
+    uniq = sorted(set(terms))
+    toks = (
+        docs.select(
+            F.col(id_col), F.explode(tokenize_normalized(text_col)).alias("tok")
+        )
+        .filter(F.col("tok").isin(uniq))
+        .distinct()
+    )
+    return (
+        toks.groupBy(id_col)
+        .agg(F.count("*").alias("n_terms"))
+        .filter(F.col("n_terms") == len(uniq))
+        .orderBy(F.col(id_col))
+        .limit(k)
+    )
