@@ -1539,3 +1539,14 @@ def ext_search_and(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return search_all_terms(d, ["spark", "join", "window"], k=10)
+
+
+@query("ext_snippets")
+def ext_snippets(spark, sf_dir):
+    """Search-result highlighting: ±3 raw tokens around the first 'spark'
+    occurrence per matching doc (search/api.py snippets) — position-aligned
+    normalized matching, one slice, no shuffle."""
+    from ..search.api import snippets
+
+    d = load_table(spark, sf_dir, "documents")
+    return snippets(d, "spark", window=3, k=20)

@@ -1503,3 +1503,18 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms
 FROM hits GROUP BY doc_id HAVING COUNT(*) = 3
 ORDER BY doc_id LIMIT 10
 """
+
+ORACLES["ext_snippets"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS raw,
+         list_position(
+           list_transform(string_split(text, ' '),
+                          x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')),
+           'spark') AS pos
+  FROM documents)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       array_to_string(
+         list_slice(raw, GREATEST(pos - 3, 1), pos + 3), ' ') AS snippet
+FROM t WHERE pos IS NOT NULL AND pos > 0
+ORDER BY doc_id LIMIT 20
+"""

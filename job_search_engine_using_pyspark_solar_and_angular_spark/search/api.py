@@ -226,3 +226,39 @@ def search_all_terms(
         .orderBy(F.col(id_col))
         .limit(k)
     )
+
+
+def snippets(
+    docs: DataFrame,
+    term: str,
+    window: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Search-result snippet extraction (the Solr highlighting surface): the
+    ±``window`` raw tokens around the FIRST occurrence of ``term``.
+
+    Matching happens on a position-ALIGNED normalized view (normalize each
+    whitespace token in place — never filter, so display positions line up
+    with match positions), then one ``slice`` of the raw tokens. Pure
+    per-row column math: no shuffle, no UDF; the filter prunes non-matching
+    docs at the scan."""
+    from ..functions.text import normalize_token
+
+    raw = F.split(F.col(text_col), " ")
+    norm = F.transform(raw, normalize_token)
+    pos = F.array_position(norm, term)  # 1-based; 0 when absent
+    start = F.greatest(F.col("pos") - window, F.lit(1))
+    length = F.col("pos") + window - start + 1
+    return (
+        docs.select(F.col(id_col), raw.alias("__raw"), pos.alias("pos"))
+        .filter(F.col("pos") > 0)
+        .select(
+            id_col,
+            "pos",
+            F.concat_ws(" ", F.slice("__raw", start, length)).alias("snippet"),
+        )
+        .orderBy(id_col)
+        .limit(k)
+    )
