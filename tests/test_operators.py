@@ -533,3 +533,24 @@ def test_cms_join_cardinality_never_underestimates(spark):
     )
     assert est >= true
     assert est <= true * 1.2  # wide sketch ≈ exact at fixture cardinality
+
+
+def test_quantized_tier_survives_parquet_roundtrip(spark, tmp_path):
+    """The compressed tier is a STORAGE format: codes/zero_point/scale must
+    round-trip through parquet and rerank identically to the in-memory
+    path (the 100 TB deployment reads codes from disk, not from the
+    original floats)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "codes")
+    similarity.quantize_int8(corpus).write.parquet(path)
+    from_disk = similarity.dequantize_int8(spark.read.parquet(path)).select(
+        "vec_id", F.col("approx").alias("embedding")
+    )
+    in_mem = similarity.dequantize_int8(similarity.quantize_int8(corpus)).select(
+        "vec_id", F.col("approx").alias("embedding")
+    )
+    a = sorted(map(tuple, from_disk.collect()))
+    b = sorted(map(tuple, in_mem.collect()))
+    assert a == b
