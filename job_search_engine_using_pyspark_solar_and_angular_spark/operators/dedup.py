@@ -288,10 +288,13 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    keep_counts: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for given candidate (doc_a, doc_b)
     pairs: |A∩B| / |A∪B| over distinct token n-grams. Intersection via an
-    explode+join on shingle hash — no arrays cross the shuffle."""
+    explode+join on shingle hash — no arrays cross the shuffle.
+    ``keep_counts`` also returns (n_inter, n_a, n_b) so asymmetric measures
+    (containment) derive for free from the same pass."""
     from ..io import ensure_parallelism
 
     toks = ensure_parallelism(df).select(
@@ -323,7 +326,7 @@ def ngram_jaccard_pairs(
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
         )
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard", *( ["n_inter", "n_a", "n_b"] if keep_counts else [] ))
     )
     if threshold > 0.0:
         out = out.filter(F.col("jaccard") >= threshold)

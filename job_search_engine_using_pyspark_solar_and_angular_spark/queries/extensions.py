@@ -1550,3 +1550,21 @@ def ext_snippets(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return snippets(d, "spark", window=3, k=20)
+
+
+@query("ext_containment")
+def ext_containment(spark, sf_dir):
+    """Asymmetric containment |A∩B|/|A| and |A∩B|/|B| for LSH candidate
+    pairs — the fuzzy-dedup signal symmetric Jaccard misses when one doc is
+    embedded inside a larger one (quote-inflation, boilerplate wrappers).
+    Same single shingle-join pass as ext_ngram_jaccard (keep_counts=True);
+    ratios are exact rationals of shingle counts, rounded 4."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(d)
+    j = dedup.ngram_jaccard_pairs(d, cand, keep_counts=True)
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("n_inter") / F.col("n_a").cast("double"), 4).alias("in_a"),
+        F.round(F.col("n_inter") / F.col("n_b").cast("double"), 4).alias("in_b"),
+    )

@@ -1518,3 +1518,21 @@ SELECT doc_id, CAST(pos AS BIGINT) AS pos,
 FROM t WHERE pos IS NOT NULL AND pos > 0
 ORDER BY doc_id LIMIT 20
 """
+
+ORACLES["ext_containment"] = f"""
+WITH {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, {_PAIRS_CTE},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN hashes ha ON ha.doc_id = p.doc_a
+  JOIN hashes hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / sa.n_sh, 4) AS in_a,
+       ROUND(CAST(n_inter AS DOUBLE) / sb.n_sh, 4) AS in_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+ORDER BY i.doc_a, i.doc_b
+"""
