@@ -1568,3 +1568,19 @@ def ext_containment(spark, sf_dir):
         F.round(F.col("n_inter") / F.col("n_a").cast("double"), 4).alias("in_a"),
         F.round(F.col("n_inter") / F.col("n_b").cast("double"), 4).alias("in_b"),
     )
+
+
+@query("ext_verified_clusters")
+def ext_verified_clusters(spark, sf_dir):
+    """Precision-verified dedup clusters: LSH candidates (recall) filtered by
+    EXACT n-gram Jaccard >= 0.5 (precision) BEFORE the transitive closure —
+    the production fuzzy-dedup shape, where unverified LSH edges would
+    otherwise chain unrelated docs into one mega-cluster. Same iterative
+    closure as ext_dedup_clusters over the verified edge set."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(d)
+    verified = dedup.ngram_jaccard_pairs(d, cand, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cc = dedup.connected_components(verified)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")

@@ -1536,3 +1536,23 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 ORDER BY i.doc_a, i.doc_b
 """
+
+ORACLES["ext_verified_clusters"] = (
+    f"WITH RECURSIVE {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, "
+    f"{_PAIRS_CTE}, "
+    "sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh "
+    "FROM hashes GROUP BY doc_id), "
+    "inter AS (SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter "
+    "FROM pairs p JOIN hashes ha ON ha.doc_id = p.doc_a "
+    "JOIN hashes hb ON hb.doc_id = p.doc_b AND hb.h = ha.h "
+    "GROUP BY p.doc_a, p.doc_b), "
+    "vpairs AS (SELECT i.doc_a, i.doc_b FROM inter i "
+    "JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b "
+    "WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5), "
+    "vedges AS (SELECT doc_a AS a, doc_b AS b FROM vpairs "
+    "UNION SELECT doc_b, doc_a FROM vpairs), "
+    "vreach AS (SELECT a, b FROM vedges "
+    "UNION SELECT r.a, e.b FROM vreach r JOIN vedges e ON r.b = e.a) "
+    "SELECT a AS doc_id, MIN(b) AS cluster_id FROM vreach GROUP BY a "
+    "ORDER BY doc_id"
+)
