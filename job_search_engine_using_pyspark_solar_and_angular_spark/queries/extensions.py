@@ -1584,3 +1584,27 @@ def ext_verified_clusters(spark, sf_dir):
     )
     cc = dedup.connected_components(verified)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query("ext_retrieval_eval")
+def ext_retrieval_eval(spark, sf_dir):
+    """Retrieval-quality measurement: precision@10 of the BM25 ranking
+    against a deterministic relevance rule (relevant = doc contains BOTH
+    query terms) — the eval metric a search/RAG pipeline reports. Composes
+    the q20 ranking with the conjunctive matcher; one number out."""
+    from ..search.api import search_all_terms
+    from ..search.bm25 import bm25_search
+    from ..search.index import build_index
+
+    d = load_table(spark, sf_dir, "documents")
+    top = bm25_search(spark, build_index(d, cache=True), ["spark", "join"], k=10)
+    relevant = search_all_terms(d, ["spark", "join"], k=10**9).select("doc_id")
+    hit = top.join(
+        relevant.withColumn("__rel", F.lit(1)), "doc_id", "left"
+    )
+    return hit.agg(
+        F.round(F.avg(F.coalesce(F.col("__rel"), F.lit(0)).cast("double")), 4).alias(
+            "p_at_10"
+        ),
+        F.count("*").alias("k"),
+    )

@@ -1556,3 +1556,18 @@ ORACLES["ext_verified_clusters"] = (
     "SELECT a AS doc_id, MIN(b) AS cluster_id FROM vreach GROUP BY a "
     "ORDER BY doc_id"
 )
+
+
+# precision@10 of the q20 BM25 ranking vs the conjunctive relevance rule
+ORACLES["ext_retrieval_eval"] = f"""
+WITH ranked AS ({ORACLES['q20_bm25_search']}),
+toksr AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+rel AS (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id, tok FROM toksr WHERE tok IN ('spark', 'join'))
+  GROUP BY doc_id HAVING COUNT(*) = 2)
+SELECT ROUND(AVG(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+         AS p_at_10,
+       CAST(COUNT(*) AS BIGINT) AS k
+FROM ranked LEFT JOIN rel ON ranked.doc_id = rel.doc_id
+"""
