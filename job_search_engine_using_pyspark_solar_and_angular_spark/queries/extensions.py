@@ -1608,3 +1608,42 @@ def ext_retrieval_eval(spark, sf_dir):
         ),
         F.count("*").alias("k"),
     )
+
+
+@query("ext_ndcg")
+def ext_ndcg(spark, sf_dir):
+    """nDCG@10 of the BM25 ranking with graded relevance (grade = number of
+    query terms the doc contains, 0-2) — the position-sensitive ranking
+    metric next to ext_retrieval_eval's P@10. Ten-row window math over the
+    already-ranked result; grades from one pruned term-coverage agg."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize_normalized
+    from ..search.bm25 import bm25_search
+    from ..search.index import build_index
+
+    terms = ["spark", "join"]
+    d = load_table(spark, sf_dir, "documents")
+    top = bm25_search(spark, build_index(d, cache=True), terms, k=10)
+    grades = (
+        d.select(F.col("doc_id"), F.explode(tokenize_normalized("text")).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("rel"))
+    )
+    g = top.join(grades, "doc_id", "left").select(
+        "doc_id", "score", F.coalesce("rel", F.lit(0)).cast("double").alias("rel")
+    )
+    rank = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+    irank = F.row_number().over(Window.orderBy(F.col("rel").desc(), F.col("doc_id")))
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+    scored = g.select(
+        (gain / F.log2(rank.cast("double") + 1.0)).alias("dg"),
+        (gain / F.log2(irank.cast("double") + 1.0)).alias("idg"),
+    )
+    return scored.agg(
+        F.round(F.sum("dg") / F.sum("idg"), 4).alias("ndcg_at_10"),
+        F.round(F.sum("dg"), 4).alias("dcg"),
+        F.round(F.sum("idg"), 4).alias("idcg"),
+    )

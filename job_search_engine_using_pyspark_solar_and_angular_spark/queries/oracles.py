@@ -1571,3 +1571,25 @@ SELECT ROUND(AVG(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
        CAST(COUNT(*) AS BIGINT) AS k
 FROM ranked LEFT JOIN rel ON ranked.doc_id = rel.doc_id
 """
+
+
+ORACLES["ext_ndcg"] = f"""
+WITH ranked AS ({ORACLES['q20_bm25_search']}),
+toksn AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+grades AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS rel FROM (
+    SELECT DISTINCT doc_id, tok FROM toksn WHERE tok IN ('spark', 'join'))
+  GROUP BY doc_id),
+g AS (
+  SELECT r.doc_id, r.score, COALESCE(gr.rel, 0.0) AS rel
+  FROM ranked r LEFT JOIN grades gr ON r.doc_id = gr.doc_id),
+w AS (
+  SELECT (pow(2.0, rel) - 1.0)
+           / log2(CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS DOUBLE) + 1.0) AS dg,
+         (pow(2.0, rel) - 1.0)
+           / log2(CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS DOUBLE) + 1.0) AS idg
+  FROM g)
+SELECT ROUND(SUM(dg) / SUM(idg), 4) AS ndcg_at_10,
+       ROUND(SUM(dg), 4) AS dcg, ROUND(SUM(idg), 4) AS idcg
+FROM w
+"""
