@@ -1647,3 +1647,29 @@ def ext_ndcg(spark, sf_dir):
         F.round(F.sum("dg"), 4).alias("dcg"),
         F.round(F.sum("idg"), 4).alias("idcg"),
     )
+
+
+@query("ext_split_leakage")
+def ext_split_leakage(spark, sf_dir):
+    """Train/test leakage audit: the hash split is keyed on doc_id, so
+    DUPLICATE TEXTS can still straddle the boundary — the classic eval
+    contamination a pretraining pipeline must check. One md5(text) group
+    pass over the split assignment: texts present in BOTH splits, with how
+    many train docs would leak each test text. Group keys are 16-byte
+    hashes; raw text never crosses the shuffle."""
+    from ..operators.sampling import train_test_split
+
+    d = train_test_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    g = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_test") > 0))
+    )
+    return g.agg(
+        F.count("*").alias("leaked_texts"),
+        F.coalesce(F.sum("n_test"), F.lit(0)).alias("test_docs_affected"),
+        F.coalesce(F.sum("n_train"), F.lit(0)).alias("train_docs_leaking"),
+    )

@@ -1593,3 +1593,21 @@ SELECT ROUND(SUM(dg) / SUM(idg), 4) AS ndcg_at_10,
        ROUND(SUM(dg), 4) AS dcg, ROUND(SUM(idg), 4) AS idcg
 FROM w
 """
+
+
+ORACLES["ext_split_leakage"] = f"""
+WITH s AS (
+  SELECT text,
+         CASE WHEN {md5long("CAST(doc_id AS VARCHAR)")} % 10000 < 2000
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents),
+g AS (
+  SELECT md5(text) AS h,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM s GROUP BY md5(text))
+SELECT CAST(COUNT(*) AS BIGINT) AS leaked_texts,
+       CAST(COALESCE(SUM(n_test), 0) AS BIGINT) AS test_docs_affected,
+       CAST(COALESCE(SUM(n_train), 0) AS BIGINT) AS train_docs_leaking
+FROM g WHERE n_train > 0 AND n_test > 0
+"""

@@ -554,3 +554,36 @@ def test_quantized_tier_survives_parquet_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, from_disk.collect()))
     b = sorted(map(tuple, in_mem.collect()))
     assert a == b
+
+
+def test_split_leakage_detects_planted_duplicates(spark):
+    """The leakage audit must flag a duplicated text whose copies hash into
+    different splits (and stay silent when no text straddles)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    base = [(i, f"unique text {i}") for i in range(200)]
+    d = spark.createDataFrame(base, "doc_id long, text string")
+    s = train_test_split(d, "doc_id")
+    # pick one train and one test doc_id, then duplicate one text across them
+    ids = {r["split"]: r["doc_id"] for r in s.collect()}
+    assert set(ids) == {"train", "test"}  # both splits populated
+    rows = [
+        (i, "LEAKED SHARED TEXT" if i in (ids["train"], ids["test"]) else t)
+        for i, t in base
+    ]
+    leaked = train_test_split(
+        spark.createDataFrame(rows, "doc_id long, text string"), "doc_id"
+    )
+    from pyspark.sql import functions as FF
+
+    g = (
+        leaked.groupBy(FF.md5("text").alias("h"))
+        .agg(
+            FF.sum(FF.when(FF.col("split") == "train", 1).otherwise(0)).alias("tr"),
+            FF.sum(FF.when(FF.col("split") == "test", 1).otherwise(0)).alias("te"),
+        )
+        .filter((FF.col("tr") > 0) & (FF.col("te") > 0))
+    )
+    assert g.count() == 1
