@@ -156,3 +156,20 @@ def stratified_hash_sample(
         else F.lit(default_bps)
     )
     return df.filter(_bucket(F.col(key_col), salt) < threshold)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_bps: Column,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with probability ``weight_bps``/10000 — importance
+    sampling with a PER-ROW acceptance rate (quality-weighted data
+    selection: high-quality docs survive at higher rates). Deterministic:
+    the acceptance draw is the key's md5 bucket, so reruns, repartitions,
+    and incremental extensions of the corpus keep identical decisions —
+    ``df.sample`` can promise none of that. Row-local, no shuffle.
+
+    ``weight_bps`` must be an integer-valued column in [0, 10000]."""
+    return df.filter(_bucket(F.col(key_col), salt) < weight_bps)

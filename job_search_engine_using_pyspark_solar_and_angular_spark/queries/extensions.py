@@ -1673,3 +1673,20 @@ def ext_split_leakage(spark, sf_dir):
         F.coalesce(F.sum("n_test"), F.lit(0)).alias("test_docs_affected"),
         F.coalesce(F.sum("n_train"), F.lit(0)).alias("train_docs_leaking"),
     )
+
+
+@query("ext_importance_sample")
+def ext_importance_sample(spark, sf_dir):
+    """Quality-weighted importance sampling: each doc survives with
+    probability proportional to its quality score (acceptance rate =
+    quality·10⁴ basis points against the doc's md5 bucket) — the
+    deterministic form of quality-weighted data selection. Returns the
+    survivors with their acceptance rate; row-local, rerun/layout-stable."""
+    from ..operators.sampling import weighted_sample
+
+    d = textstats.quality_score(load_table(spark, sf_dir, "documents"))
+    rate = F.round(F.col("quality") * 10000, 0).cast("long")
+    kept = weighted_sample(
+        d.withColumn("rate_bps", rate), "doc_id", F.col("rate_bps"), salt="is"
+    )
+    return kept.select("doc_id", "rate_bps").orderBy("doc_id")

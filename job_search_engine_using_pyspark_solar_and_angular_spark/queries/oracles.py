@@ -1611,3 +1611,25 @@ SELECT CAST(COUNT(*) AS BIGINT) AS leaked_texts,
        CAST(COALESCE(SUM(n_train), 0) AS BIGINT) AS train_docs_leaking
 FROM g WHERE n_train > 0 AND n_test > 0
 """
+
+
+ORACLES["ext_importance_sample"] = f"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(list_filter({TOKS}, t -> t IN {EN_PROFILE_SQL})) AS n_stop,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+    CAST(ROUND(ROUND(GREATEST(LEAST(
+      (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.5 ELSE 0.0 END)
+      + LEAST((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 2.0, 0.5)
+      - LEAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 2.0, 0.25),
+      1.0), 0.0), 4) * 10000, 0) AS BIGINT) AS rate_bps
+  FROM feat)
+SELECT doc_id, rate_bps FROM scored
+WHERE {md5long("CONCAT(CAST(doc_id AS VARCHAR), 'is')")} % 10000 < rate_bps
+ORDER BY doc_id
+"""
