@@ -540,3 +540,53 @@ def apply_cdc(
     upserts = new.join(touched, key_cols, "left_semi")
     kept = old.join(touched, key_cols, "left_anti")
     return kept.unionByName(upserts)
+
+
+def robust_trend(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise slopes
+    (Δcents/Δseconds) — outlier-resistant where OLS is not (up to ~29%
+    contamination), the estimator a metrics pipeline wants on noisy
+    telemetry.
+
+    This is the engine's grouped-map ``applyInPandas`` exemplar: the O(n²)
+    pairwise enumeration is genuinely imperative (no relational form avoids
+    materializing the pair set), so each group's rows arrive as ONE Arrow
+    batch and numpy does the dense work. Deterministic: inputs quantized to
+    integer cents/seconds, the slope MULTISET is order-free, and np.median
+    sorts before interpolating — reruns and repartitions agree exactly
+    (and a DuckDB pairwise-join oracle reproduces it).
+
+    Scale bound: O(n²) per group — cap group size upstream (sample or
+    time-bound) the way any Theil-Sen deployment does; the pair set never
+    crosses the shuffle, only (key, slope) leaves the worker."""
+    import pandas as pd  # noqa: F401 (documented dependency of the UDF)
+
+    out_schema = f"{key} string, n_points long, slope_cents_per_s double"
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        t = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+        v = (pdf[value] * 100).round().astype("int64").to_numpy()
+        dt = t[None, :] - t[:, None]
+        dv = v[None, :] - v[:, None]
+        iu = np.triu_indices(len(t), k=1)
+        dt_u, dv_u = dt[iu], dv[iu]
+        ok = dt_u != 0
+        slopes = dv_u[ok] / dt_u[ok].astype("float64")
+        med = float(np.median(slopes)) if slopes.size else 0.0
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_points": [len(t)],
+                "slope_cents_per_s": [round(med, 6)],
+            }
+        )
+
+    return df.select(key, ts_col, value).groupBy(key).applyInPandas(fn, out_schema)

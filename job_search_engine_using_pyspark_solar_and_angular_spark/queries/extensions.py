@@ -1690,3 +1690,13 @@ def ext_importance_sample(spark, sf_dir):
         d.withColumn("rate_bps", rate), "doc_id", F.col("rate_bps"), salt="is"
     )
     return kept.select("doc_id", "rate_bps").orderBy("doc_id")
+
+
+@query("ext_robust_trend")
+def ext_robust_trend(spark, sf_dir):
+    """Theil-Sen robust trend per event type over a bounded slice (user_id <
+    10 keeps the O(n²) pair set small, as any Theil-Sen deployment does) —
+    the grouped-map applyInPandas exemplar, oracle-checked against a DuckDB
+    pairwise-join median."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return pipeline.robust_trend(e)

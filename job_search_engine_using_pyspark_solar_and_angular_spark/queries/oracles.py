@@ -1633,3 +1633,20 @@ SELECT doc_id, rate_bps FROM scored
 WHERE {md5long("CONCAT(CAST(doc_id AS VARCHAR), 'is')")} % 10000 < rate_bps
 ORDER BY doc_id
 """
+
+ORACLES["ext_robust_trend"] = """
+WITH e AS (
+  SELECT event_type, CAST(epoch(ts) AS BIGINT) AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE user_id < 10),
+slopes AS (
+  SELECT a.event_type, (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS s
+  FROM e a JOIN e b ON a.event_type = b.event_type AND a.t < b.t),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points FROM e GROUP BY 1)
+SELECT n.event_type, n.n_points,
+       ROUND(COALESCE(m.med, 0.0), 6) AS slope_cents_per_s
+FROM n LEFT JOIN (
+  SELECT event_type, MEDIAN(s) AS med FROM slopes GROUP BY 1) m
+  USING (event_type)
+ORDER BY n.event_type
+"""
