@@ -1700,3 +1700,30 @@ def ext_robust_trend(spark, sf_dir):
     pairwise-join median."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     return pipeline.robust_trend(e)
+
+
+@query("ext_best_survivor")
+def ext_best_survivor(spark, sf_dir):
+    """Quality-based survivorship: within each near-dup cluster keep the
+    HIGHEST-quality member (tie → lowest doc_id), not the arbitrary min-id
+    canonical — the policy real dedup pipelines want (keep the cleanest
+    copy, drop its mirrors). One max_by struct-ordering agg over the
+    cluster assignment joined to the quality score."""
+    d = load_table(spark, sf_dir, "documents")
+    cc = dedup.connected_components(dedup.minhash_lsh_candidates(d))
+    q = textstats.quality_score(d).select("doc_id", "quality")
+    j = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(q, "doc_id")
+    # max over (quality, -doc_id) struct == highest quality, lowest id on tie
+    pick = F.max(
+        F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+    ).alias("best")
+    return (
+        j.groupBy("cluster_id")
+        .agg(pick, F.count("*").alias("cluster_size"))
+        .select(
+            "cluster_id",
+            (-F.col("best.nid")).alias("survivor"),
+            F.col("best.quality").alias("quality"),
+            "cluster_size",
+        )
+    )

@@ -1650,3 +1650,31 @@ FROM n LEFT JOIN (
   USING (event_type)
 ORDER BY n.event_type
 """
+
+
+ORACLES["ext_best_survivor"] = (
+    f"WITH RECURSIVE {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, "
+    f"{_PAIRS_CTE}, {_CLUSTER_SQL_TAIL}, "
+    "clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a), "
+    "feat AS ("
+    "  SELECT doc_id, length(text) AS n_chars, "
+    "         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    f"         len(list_filter({TOKS}, t -> t IN {EN_PROFILE_SQL})) AS n_stop, "
+    r"         length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct "
+    "  FROM documents), "
+    "scored AS ("
+    "  SELECT doc_id, ROUND(GREATEST(LEAST("
+    "    (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.5 ELSE 0.0 END)"
+    "    + LEAST((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 2.0, 0.5)"
+    "    - LEAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 2.0, 0.25),"
+    "    1.0), 0.0), 4) AS quality FROM feat), "
+    "ranked AS ("
+    "  SELECT c.cluster_id, c.doc_id, s.quality, "
+    "         ROW_NUMBER() OVER (PARTITION BY c.cluster_id "
+    "                            ORDER BY s.quality DESC, c.doc_id) AS rn, "
+    "         COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size "
+    "  FROM clusters c JOIN scored s USING (doc_id)) "
+    "SELECT cluster_id, doc_id AS survivor, quality, "
+    "       CAST(cluster_size AS BIGINT) AS cluster_size "
+    "FROM ranked WHERE rn = 1 ORDER BY cluster_id"
+)
