@@ -1727,3 +1727,56 @@ def ext_best_survivor(spark, sf_dir):
             "cluster_size",
         )
     )
+
+
+@query("ext_lang_confusion")
+def ext_lang_confusion(spark, sf_dir):
+    """Classifier evaluation: confusion matrix of the heuristic language
+    identifier against the fixture's ground-truth lang label — (truth,
+    predicted, n) cells. The eval harness any model-backed lang-ID swap
+    (pandas_udf hook) would be graded with."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select(
+        "doc_id", "lang", textstats.lang_id("text").alias("lang_pred")
+    )
+    return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+@query("ext_session_funnel")
+def ext_session_funnel(spark, sf_dir):
+    """Session-scoped ORDERED funnel: per user, sessions where a purchase
+    happens AFTER a signup inside the SAME session (gap-sum sessionization
+    reused as the scoping operator) — the ordered-pattern query plain
+    conversion funnels (ext_funnel's first-signup→first-purchase) can't
+    express. One sessionize pass + one conditional min/max agg per
+    session; converted = min(signup ts) < max(purchase ts) within the
+    session."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    marked = e.select("user_id", "ts", "event_type")
+    # each event's session via the same gap-sum rule as operators.joins
+    # .sessionize, then per-session ordered containment via conditional
+    # min/max -- one shuffle on user_id total
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"))
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    tagged = marked.withColumn(
+        "__new", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    ).withColumn(
+        "session_idx",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = tagged.groupBy("user_id", "session_idx").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    converted = per_session.filter(
+        F.col("first_signup").isNotNull()
+        & F.col("last_purchase").isNotNull()
+        & (F.col("first_signup") < F.col("last_purchase"))
+    )
+    return converted.groupBy("user_id").agg(
+        F.count("*").alias("converted_sessions")
+    )

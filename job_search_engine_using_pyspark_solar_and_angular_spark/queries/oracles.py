@@ -1678,3 +1678,41 @@ ORACLES["ext_best_survivor"] = (
     "       CAST(cluster_size AS BIGINT) AS cluster_size "
     "FROM ranked WHERE rn = 1 ORDER BY cluster_id"
 )
+
+ORACLES["ext_lang_confusion"] = (
+    "WITH toks AS (SELECT doc_id, lang, " + TOKS + " AS tk FROM documents), "
+    "scores AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, lang, '{lang}' AS plang, "
+        f"len(list_filter(tk, t -> t IN {words})) AS hits FROM toks"
+        for lang, words in _LANG_PROFILES_SQL.items()
+    )
+    + "), ranked AS (SELECT doc_id, lang, plang, hits, row_number() OVER ("
+    "PARTITION BY doc_id ORDER BY hits DESC, plang DESC) AS rn FROM scores), "
+    "pred AS (SELECT doc_id, lang, CASE WHEN hits > 0 THEN plang ELSE 'und' END "
+    "AS lang_pred FROM ranked WHERE rn = 1) "
+    "SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM pred "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+ORACLES["ext_session_funnel"] = """
+WITH g AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS newflag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, event_type,
+         SUM(newflag) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g),
+per AS (
+  SELECT user_id, session_idx,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS fs,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS lp
+  FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS converted_sessions
+FROM per WHERE fs IS NOT NULL AND lp IS NOT NULL AND fs < lp
+GROUP BY 1 ORDER BY 1
+"""
