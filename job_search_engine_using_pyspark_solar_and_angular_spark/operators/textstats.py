@@ -453,3 +453,30 @@ def hll_merge(sketches: DataFrame, sketch_col: str = "sketch") -> DataFrame:
             "est_distinct"
         )
     )
+
+
+def ngram_udtf_class(n: int = 2):
+    """Python UDTF (Spark 3.5+/4.x) emitting (pos, ngram) rows per input
+    text — the TABLE-function extension hook beside the scalar pandas_udf
+    hooks (S10/N6/N7): plug imperative row→rows logic (a real tokenizer, a
+    sentence splitter, a layout parser) in as a SQL-callable table function.
+
+    NOT used by any registered query: row-at-a-time Python is the slow path
+    by design (SURVEY §4/§2.10) — the native explode/transform form is the
+    hot-path equivalent, and the test suite pins that both produce identical
+    rows, so swapping a model-backed UDTF in changes plumbing, not plans."""
+
+    class NgramUDTF:
+        def eval(self, text: str):  # noqa: D102 — contract defined by Spark
+            toks = [
+                t
+                for t in (
+                    "".join(ch for ch in w.lower() if ch.isalnum())
+                    for w in (text or "").split(" ")
+                )
+                if t
+            ]
+            for i in range(len(toks) - n + 1):
+                yield i, " ".join(toks[i : i + n])
+
+    return NgramUDTF

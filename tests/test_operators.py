@@ -587,3 +587,47 @@ def test_split_leakage_detects_planted_duplicates(spark):
         .filter((FF.col("tr") > 0) & (FF.col("te") > 0))
     )
     assert g.count() == 1
+
+
+def test_ngram_udtf_matches_native_explode(spark):
+    """The UDTF extension hook must emit exactly the rows of the native
+    posexplode(token_ngrams(...)) hot path — swapping imperative Python in
+    changes plumbing, not results."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql import functions as FF
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.functions.hashing import (
+        token_ngrams,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.functions.text import (
+        tokenize_normalized,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.textstats import (
+        ngram_udtf_class,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").limit(50)
+    Ngrams = udtf(ngram_udtf_class(2), returnType="pos int, ngram string")
+    spark.udtf.register("ngrams2", Ngrams)
+    d.select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT d.doc_id, t.pos, t.ngram FROM udtf_docs d, "
+                "LATERAL ngrams2(d.text) t"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            d.select(
+                "doc_id",
+                FF.posexplode(token_ngrams(tokenize_normalized("text"), 2)).alias(
+                    "pos", "ngram"
+                ),
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
