@@ -1780,3 +1780,35 @@ def ext_session_funnel(spark, sf_dir):
     return converted.groupBy("user_id").agg(
         F.count("*").alias("converted_sessions")
     )
+
+
+@query("ext_incremental_agg")
+def ext_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance: refresh the daily aggregate-state table
+    for ONLY the buckets the CDC delta touched (same fixtures as
+    ext_snapshot_diff), keep the rest — provably identical to a full
+    rebuild from the new snapshot (the oracle aggregates the new snapshot
+    directly). Refresh cost scales with the delta, not the fact table."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        (F.round(F.col("value") * 100).cast("long") / 100.0).alias("value"),
+    )
+    old = e.filter(F.col("event_id") % 5 != 0)
+    new = e.filter(F.col("event_id") % 3 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    old_states = pipeline.partial_agg_states(old, grain="day")
+    refreshed = pipeline.incremental_agg_refresh(
+        old_states, old, new, ["event_id"], grain="day"
+    )
+    return refreshed.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.round("sum_v", 2).alias("sum_v"),
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+    )

@@ -1716,3 +1716,20 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS converted_sessions
 FROM per WHERE fs IS NOT NULL AND lp IS NOT NULL AND fs < lp
 GROUP BY 1 ORDER BY 1
 """
+
+# oracle = FULL rebuild of daily states from the new snapshot; the query
+# refreshes only delta-touched buckets -- they must agree exactly
+ORACLES["ext_incremental_agg"] = """
+WITH newsnap AS (
+  SELECT event_id, ts, event_type,
+         CASE WHEN event_id % 7 = 0
+              THEN CAST(ROUND(value * 100) AS BIGINT) * 2 / 100.0
+              ELSE CAST(ROUND(value * 100) AS BIGINT) / 100.0 END AS value
+  FROM events WHERE event_id % 3 <> 0)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_v,
+       ROUND(MIN(value), 2) AS min_v,
+       ROUND(MAX(value), 2) AS max_v
+FROM newsnap GROUP BY 1, 2 ORDER BY 1, 2
+"""

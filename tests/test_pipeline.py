@@ -578,3 +578,47 @@ def test_hll_rollup_persists_and_merges(spark, tmp_path):
     }
     for day, est in daily.items():
         assert abs(est - exact_daily[day]) <= max(1, int(0.05 * exact_daily[day]))
+
+
+def test_incremental_agg_refresh_is_incremental_and_exact(spark):
+    """The IVM refresh must (a) equal a full rebuild from the new snapshot,
+    and (b) actually keep untouched buckets — with a delta confined to ONE
+    hour, only that hour's bucket may rebuild."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.pipeline import (
+        incremental_agg_refresh,
+        partial_agg_states,
+    )
+
+    from .conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    first_hour = e.agg(F.min(F.date_trunc("hour", "ts"))).collect()[0][0]
+    # delta: drop one event inside the first hour only
+    victim = (
+        e.filter(F.date_trunc("hour", "ts") == first_hour)
+        .agg(F.min("event_id"))
+        .collect()[0][0]
+    )
+    new = e.filter(F.col("event_id") != victim)
+    old_states = partial_agg_states(e, grain="hour")
+    refreshed = incremental_agg_refresh(
+        old_states, e, new, ["event_id"], grain="hour"
+    )
+    full = partial_agg_states(new, grain="hour")
+    a = sorted(map(tuple, refreshed.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
+    # incrementality: every bucket except the victim's hour is byte-identical
+    # to the OLD states (kept, not rebuilt)
+    kept_old = sorted(
+        map(tuple, old_states.filter(F.col("bucket") != first_hour).collect())
+    )
+    kept_new = sorted(
+        map(tuple, refreshed.filter(F.col("bucket") != first_hour).collect())
+    )
+    assert kept_old == kept_new
