@@ -187,3 +187,53 @@ def read_index(
         term_stats=spark.read.parquet(f"{base_path}/term_stats"),
         corpus=spark.read.parquet(f"{base_path}/corpus_stats"),
     )
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings (token, doc_id, pos) — the index table phrase
+    queries need (Lucene stores term positions for exactly this). One
+    posexplode; same single-shuffle build shape as the tf postings."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize_normalized(text_col)).alias("pos", "token"),
+    ).select("token", "doc_id", "pos")
+
+
+def write_positional(postings: DataFrame, path: str, table: str, buckets: int = 64) -> None:
+    """Persist positional postings bucketed by token — phrase-query term
+    lookups read only the phrase terms' buckets, like the BM25 path."""
+    (
+        postings.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, "token")
+        .sortBy("token", "doc_id", "pos")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def phrase_from_postings(
+    positional: DataFrame, phrase: list[str], k: int = 10
+) -> DataFrame:
+    """Phrase matching against a (served) positional-postings table: prune to
+    the phrase's terms, then one (doc_id, expected-position) equi-join per
+    adjacent pair — identical semantics to search.api.phrase_search computed
+    from raw docs (pinned by test), but the per-request cost is posting
+    reads, not corpus tokenization."""
+    pruned = positional.filter(F.col("token").isin(list(set(phrase))))
+    matched = pruned.filter(F.col("token") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = pruned.filter(F.col("token") == term).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        matched = matched.join(nxt, ["doc_id", "p0"])
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("doc_id"))
+        .limit(k)
+    )

@@ -226,3 +226,34 @@ def test_tfidf_keywords_surface_rare_terms(spark):
     assert kw[1][0] == "zyzzyva"  # unique rare term dominates tf*idf
     assert kw[3][0] == "qwyjibo"
     assert all(len(v) <= 2 for v in kw.values())
+
+
+def test_phrase_from_served_index_matches_direct(spark, tmp_path):
+    """Phrase search against the persisted positional-postings table must
+    return exactly what the direct-from-docs computation returns."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.api import (
+        phrase_search,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+        build_positional_postings,
+        phrase_from_postings,
+        write_positional,
+    )
+
+    from .conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    pos = build_positional_postings(d)
+    table = "jse_test_positional"
+    write_positional(pos, str(tmp_path / "pos"), table, buckets=8)
+    served = spark.table(table)
+    got = sorted(map(tuple, phrase_from_postings(served, ["window", "join"]).collect()))
+    want = sorted(map(tuple, phrase_search(d, ["window", "join"]).collect()))
+    assert got == want and len(got) > 0
+    # bucketed table: the phrase join over the served side needs no exchange
+    plan = phrase_from_postings(served, ["window", "join"])._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan  # a real join ran
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
