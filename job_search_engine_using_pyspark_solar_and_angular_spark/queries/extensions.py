@@ -1812,3 +1812,53 @@ def ext_incremental_agg(spark, sf_dir):
         F.round("min_v", 2).alias("min_v"),
         F.round("max_v", 2).alias("max_v"),
     )
+
+
+@query("ext_mrr")
+def ext_mrr(spark, sf_dir):
+    """Mean reciprocal rank of the first FULLY-relevant hit (grade 2 = doc
+    contains both query terms) in the BM25 ranking — completes the eval
+    triple beside P@10 and nDCG@10."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize_normalized
+    from ..search.bm25 import bm25_search
+    from ..search.index import build_index
+
+    terms = ["spark", "join"]
+    d = load_table(spark, sf_dir, "documents")
+    top = bm25_search(spark, build_index(d, cache=True), terms, k=10)
+    grades = (
+        d.select(F.col("doc_id"), F.explode(tokenize_normalized("text")).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("rel"))
+    )
+    rank = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+    g = top.join(grades, "doc_id", "left").select(
+        rank.alias("rank"), F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    first = g.filter(F.col("rel") >= 2).agg(F.min("rank").alias("r"))
+    return first.select(
+        F.round(
+            F.when(F.col("r").isNotNull(), 1.0 / F.col("r")).otherwise(0.0), 4
+        ).alias("mrr")
+    )
+
+
+@query("ext_degree_distribution")
+def ext_degree_distribution(spark, sf_dir):
+    """Degree distribution of the LSH similarity graph: how many docs have k
+    near-dup neighbors — the shape statistic that says whether dedup faces
+    isolated pairs or dense boilerplate cliques (and thus how the per-bucket
+    self-joins will behave)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))

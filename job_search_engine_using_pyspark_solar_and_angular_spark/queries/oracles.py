@@ -1733,3 +1733,28 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
        ROUND(MAX(value), 2) AS max_v
 FROM newsnap GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+ORACLES["ext_mrr"] = f"""
+WITH ranked AS ({ORACLES['q20_bm25_search']}),
+tokm AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+grades AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rel FROM (
+    SELECT DISTINCT doc_id, tok FROM tokm WHERE tok IN ('spark', 'join'))
+  GROUP BY doc_id),
+g AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY r.score DESC, r.doc_id) AS rank,
+         COALESCE(gr.rel, 0) AS rel
+  FROM ranked r LEFT JOIN grades gr ON r.doc_id = gr.doc_id)
+SELECT ROUND(COALESCE(1.0 / MIN(CASE WHEN rel >= 2 THEN rank END), 0.0), 4) AS mrr
+FROM g
+"""
+
+ORACLES["ext_degree_distribution"] = (
+    f"WITH {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, {_PAIRS_CTE}, "
+    "deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM ("
+    "  SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs) "
+    "GROUP BY doc_id) "
+    "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs FROM deg "
+    "GROUP BY degree ORDER BY degree"
+)
