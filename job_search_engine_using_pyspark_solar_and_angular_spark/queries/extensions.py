@@ -1862,3 +1862,28 @@ def ext_degree_distribution(spark, sf_dir):
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+@query("ext_index_stats")
+def ext_index_stats(spark, sf_dir):
+    """Index health report: vocabulary size, postings rows, document-
+    frequency mean/max, and the highest-df term — the operational stats a
+    served search tier monitors (posting-list skew predicts query-time
+    hotspots the same way bucket skew predicts join hotspots)."""
+    from ..search.index import build_index
+
+    idx = build_index(load_table(spark, sf_dir, "documents"))
+    df_stats = idx.term_stats.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.avg(F.col("df").cast("double")), 4).alias("avg_df"),
+        F.max("df").alias("max_df"),
+        F.max(F.struct(F.col("df"), F.col("token"))).alias("__top"),
+    )
+    n_postings = idx.postings.agg(F.count("*").alias("n_postings"))
+    return df_stats.crossJoin(n_postings).select(
+        "n_terms",
+        "n_postings",
+        "avg_df",
+        "max_df",
+        F.col("__top.token").alias("top_term"),
+    )

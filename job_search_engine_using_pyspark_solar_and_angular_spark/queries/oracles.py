@@ -1758,3 +1758,19 @@ ORACLES["ext_degree_distribution"] = (
     "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs FROM deg "
     "GROUP BY degree ORDER BY degree"
 )
+
+ORACLES["ext_index_stats"] = f"""
+WITH toki AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+postings AS (SELECT doc_id, token, COUNT(*) AS tf FROM toki GROUP BY 1, 2),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY token),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         ROUND(AVG(CAST(df AS DOUBLE)), 4) AS avg_df,
+         MAX(df) AS max_df
+  FROM dfreq),
+top AS (
+  SELECT token AS top_term FROM dfreq ORDER BY df DESC, token DESC LIMIT 1),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_postings FROM postings)
+SELECT s.n_terms, np.n_postings, s.avg_df, s.max_df, t.top_term
+FROM stats s, np, top t
+"""
