@@ -114,3 +114,34 @@ def cms_join_cardinality(
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
     )
     return per_row.agg(F.min("ip").alias("est"))
+
+
+def cms_build_grouped(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-group sketches in ONE pass — the shape a daily job actually
+    writes: (group..., row, bucket, c). Any consecutive-or-not subset of
+    groups merges by summing counters (cms_merge over the selected rows),
+    answering range queries from KBs of persisted state."""
+    key_str = F.col(key_col).cast("string")
+    fanned = df.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket(key_str, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    )
+    return fanned.groupBy(
+        *group_cols, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count("*").alias("c"))

@@ -1887,3 +1887,29 @@ def ext_index_stats(spark, sf_dir):
         "max_df",
         F.col("__top.token").alias("top_term"),
     )
+
+
+@query("ext_cms_range_query")
+def ext_cms_range_query(spark, sf_dir):
+    """Range query from persisted daily sketches: per-day count-min tables
+    (ONE grouped build pass — what a daily job writes) for the 3 earliest
+    days, merged by summing counters, then top-5 estimated talkers for that
+    range with true counts beside — raw events are only touched to build
+    the daily sketches and the truth column, never per range query."""
+    from ..operators import sketches
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    first3 = e.select("day").distinct().orderBy("day").limit(3)
+    e3 = e.join(F.broadcast(first3), "day", "left_semi")
+    daily = sketches.cms_build_grouped(e3, "user_id", ["day"])
+    merged = daily.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+    keys = e3.select("user_id").distinct()
+    est = sketches.cms_estimate(merged, keys, "user_id")
+    true = e3.groupBy("user_id").agg(F.count("*").alias("true_c"))
+    return (
+        est.join(true, "user_id")
+        .orderBy(F.col("est").desc(), F.col("user_id"))
+        .limit(5)
+    )

@@ -1774,3 +1774,28 @@ np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_postings FROM postings)
 SELECT s.n_terms, np.n_postings, s.avg_df, s.max_df, t.top_term
 FROM stats s, np, top t
 """
+
+ORACLES["ext_cms_range_query"] = f"""
+WITH g AS (SELECT unnest(generate_series(0, 3)) AS i),
+first3 AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+  ORDER BY day LIMIT 3),
+e3 AS (
+  SELECT user_id FROM events
+  WHERE date_trunc('day', ts) IN (SELECT day FROM first3)),
+cms AS (
+  SELECT i, {md5long("CONCAT(i, ':', CAST(user_id AS VARCHAR))")} % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM e3 CROSS JOIN g GROUP BY 1, 2),
+keys AS (SELECT user_id, COUNT(*) AS true_c FROM e3 GROUP BY 1),
+probes AS (
+  SELECT k.user_id, k.true_c, g.i,
+         {md5long("CONCAT(g.i, ':', CAST(k.user_id AS VARCHAR))")} % 256 AS bucket
+  FROM keys k CROSS JOIN g),
+est AS (
+  SELECT p.user_id, ANY_VALUE(p.true_c) AS true_c, MIN(c.c) AS est
+  FROM probes p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
+  GROUP BY p.user_id)
+SELECT user_id, est, CAST(true_c AS BIGINT) AS true_c FROM est
+ORDER BY est DESC, user_id LIMIT 5
+"""

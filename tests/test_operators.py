@@ -631,3 +631,22 @@ def test_ngram_udtf_matches_native_explode(spark):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_grouped_cms_merges_to_whole(spark):
+    """Summing per-day sketch counters == building one sketch over all days:
+    the persisted daily sketch table answers any range by merging."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import sketches
+
+    e = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    daily = sketches.cms_build_grouped(e, "user_id", ["day"])
+    merged = sorted(
+        map(
+            tuple,
+            daily.groupBy("row", "bucket").agg(F.sum("c").alias("c")).collect(),
+        )
+    )
+    whole = sorted(map(tuple, sketches.cms_build(e, "user_id").collect()))
+    assert merged == whole
