@@ -1913,3 +1913,28 @@ def ext_cms_range_query(spark, sf_dir):
         .orderBy(F.col("est").desc(), F.col("user_id"))
         .limit(5)
     )
+
+
+@query("ext_vocab_growth")
+def ext_vocab_growth(spark, sf_dir):
+    """Heaps'-law profile: vocabulary size at 20/40/60/80/100% corpus
+    prefixes (by doc_id order) — sub-linear growth is the expected shape;
+    a flat curve means boilerplate, a linear one means noise/IDs. One agg
+    pass with a conditional count_distinct per checkpoint (never five
+    scans)."""
+    from ..functions.text import tokenize_normalized as _tokn
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_tokn("text")).alias("tok")
+    )
+    mx = d.agg(F.max("doc_id").alias("m"))
+    t = toks.crossJoin(F.broadcast(mx))
+    return t.agg(
+        *[
+            F.count_distinct(
+                F.when(F.col("doc_id") * 100 <= F.col("m") * pct, F.col("tok"))
+            ).alias(f"vocab_{pct}")
+            for pct in (20, 40, 60, 80, 100)
+        ]
+    )

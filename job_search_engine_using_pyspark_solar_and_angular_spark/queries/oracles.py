@@ -1799,3 +1799,15 @@ est AS (
 SELECT user_id, est, CAST(true_c AS BIGINT) AS true_c FROM est
 ORDER BY est DESC, user_id LIMIT 5
 """
+
+ORACLES["ext_vocab_growth"] = f"""
+WITH tokv AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+m AS (SELECT MAX(doc_id) AS m FROM documents)
+SELECT
+  CAST(COUNT(DISTINCT CASE WHEN doc_id * 100 <= m * 20 THEN tok END) AS BIGINT) AS vocab_20,
+  CAST(COUNT(DISTINCT CASE WHEN doc_id * 100 <= m * 40 THEN tok END) AS BIGINT) AS vocab_40,
+  CAST(COUNT(DISTINCT CASE WHEN doc_id * 100 <= m * 60 THEN tok END) AS BIGINT) AS vocab_60,
+  CAST(COUNT(DISTINCT CASE WHEN doc_id * 100 <= m * 80 THEN tok END) AS BIGINT) AS vocab_80,
+  CAST(COUNT(DISTINCT CASE WHEN doc_id * 100 <= m * 100 THEN tok END) AS BIGINT) AS vocab_100
+FROM tokv, m
+"""
