@@ -1938,3 +1938,64 @@ def ext_vocab_growth(spark, sf_dir):
             for pct in (20, 40, 60, 80, 100)
         ]
     )
+
+
+@query("ext_stickiness")
+def ext_stickiness(spark, sf_dir):
+    """DAU/WAU/MAU engagement: distinct actives at three grains per month,
+    plus the avg-DAU/MAU stickiness ratio — the standard engagement panel.
+    Three conditional distinct-count views of ONE event scan (grouping by
+    month; daily actives averaged via exact integer sums)."""
+    e = load_table(spark, sf_dir, "events")
+    month = F.date_trunc("month", F.col("ts"))
+    day = F.date_trunc("day", F.col("ts"))
+    daily = e.groupBy(month.alias("month"), day.alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    dau = daily.groupBy("month").agg(
+        F.sum("dau").alias("dau_sum"), F.count("*").alias("n_days")
+    )
+    mau = e.groupBy(month.alias("month")).agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(mau, "month")
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "mau",
+            F.round(
+                F.col("dau_sum").cast("double") / F.col("n_days"), 4
+            ).alias("avg_dau"),
+            F.round(
+                F.col("dau_sum").cast("double")
+                / (F.col("n_days") * F.col("mau")).cast("double"),
+                4,
+            ).alias("stickiness"),
+        )
+    )
+
+
+@query("ext_power_users")
+def ext_power_users(spark, sf_dir):
+    """Activity concentration (Pareto check): share of all events produced by
+    each user-activity decile — ntile(10) over (event count desc, user_id)
+    with exact integer shares in basis points. A heavy top decile is the
+    skew signal that motivates the salted-join/AQE machinery."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id"))
+    tiled = per_user.withColumn("decile", F.ntile(10).over(w))
+    total = per_user.agg(F.sum("n").alias("t"))
+    return (
+        tiled.groupBy("decile")
+        .agg(F.sum("n").alias("events"), F.count("*").alias("users"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "users",
+            "events",
+            (F.col("events") * 10000 / F.col("t")).cast("long").alias("share_bps"),
+        )
+    )

@@ -1811,3 +1811,33 @@ SELECT
   CAST(COUNT(DISTINCT CASE WHEN doc_id * 100 <= m * 100 THEN tok END) AS BIGINT) AS vocab_100
 FROM tokv, m
 """
+
+ORACLES["ext_stickiness"] = """
+WITH daily AS (
+  SELECT date_trunc('month', ts) AS month, date_trunc('day', ts) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1, 2),
+d AS (SELECT month, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+m AS (SELECT date_trunc('month', ts) AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1)
+SELECT strftime(d.month, '%Y-%m') AS month, m.mau,
+       ROUND(CAST(dau_sum AS DOUBLE) / n_days, 4) AS avg_dau,
+       ROUND(CAST(dau_sum AS DOUBLE) / CAST(n_days * mau AS DOUBLE), 4)
+         AS stickiness
+FROM d JOIN m USING (month) ORDER BY month
+"""
+
+ORACLES["ext_power_users"] = """
+WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1),
+tiled AS (SELECT user_id, n,
+                 NTILE(10) OVER (ORDER BY n DESC, user_id) AS decile
+          FROM pu),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM pu)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS users,
+       CAST(SUM(n) AS BIGINT) AS events,
+       CAST(SUM(n) * 10000 / t.t AS BIGINT) AS share_bps
+FROM tiled, t GROUP BY decile, t.t ORDER BY decile
+"""
