@@ -1999,3 +1999,43 @@ def ext_power_users(spark, sf_dir):
             (F.col("events") * 10000 / F.col("t")).cast("long").alias("share_bps"),
         )
     )
+
+
+@query("ext_basket_lift")
+def ext_basket_lift(spark, sf_dir):
+    """Association mining over per-user baskets: support and lift for every
+    ordered event-type pair — lift = P(a,b)·N / (P(a)·P(b)·N²) from exact
+    user counts (the market-basket analog of the token-level PMI already in
+    the engine). One distinct (user, type) pass feeds singles and the
+    self-join pair counts; ratios are exact rationals rounded 4."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    singles = ut.groupBy("event_type").agg(F.count("*").alias("c"))
+    # the user-count scalar stays IN-PLAN (1-row broadcast) — never a
+    # driver-side count() mid-query
+    nu = ut.agg(F.count_distinct("user_id").alias("n_users"))
+    a = ut.withColumnRenamed("event_type", "a")
+    b = ut.withColumnRenamed("event_type", "b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("both"))
+    )
+    ca = singles.select(F.col("event_type").alias("a"), F.col("c").alias("ca"))
+    cb = singles.select(F.col("event_type").alias("b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "a",
+            "b",
+            "both",
+            F.round(
+                F.col("both").cast("double") * F.col("n_users").cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )

@@ -1841,3 +1841,22 @@ SELECT decile, CAST(COUNT(*) AS BIGINT) AS users,
        CAST(SUM(n) * 10000 / t.t AS BIGINT) AS share_bps
 FROM tiled, t GROUP BY decile, t.t ORDER BY decile
 """
+
+ORACLES["ext_basket_lift"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+singles AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ut GROUP BY 1),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM ut),
+pairs AS (
+  SELECT a.event_type AS a, b.event_type AS b, CAST(COUNT(*) AS BIGINT) AS both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.a, p.b, p.both,
+       ROUND(CAST(p.both AS DOUBLE) * CAST(nu.n AS DOUBLE)
+             / CAST(sa.c * sb.c AS DOUBLE), 4) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.a
+JOIN singles sb ON sb.event_type = p.b
+CROSS JOIN nu
+ORDER BY p.a, p.b
+"""
