@@ -480,3 +480,27 @@ def ngram_udtf_class(n: int = 2):
                 yield i, " ".join(toks[i : i + n])
 
     return NgramUDTF
+
+
+def remove_stopwords_by_lang(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Language-AWARE stopword removal: each document strips the stopword
+    set of its OWN predicted language (lang-ID drives a per-row dictionary
+    choice via a chained-when array expression — order-preserving
+    array_except-free filter so duplicates survive). Multilingual corpora
+    need this; a fixed English list silently under-cleans every other
+    language. Row-local; 'und' rows pass through unfiltered."""
+    from ..functions.text import tokenize_normalized
+
+    pred = lang_id(text_col)
+    stopset = F.array().cast("array<string>")  # 'und' strips nothing
+    for lang, words in LANG_PROFILES.items():
+        stopset = F.when(pred == lang, F.array(*[F.lit(w) for w in words])).otherwise(
+            stopset
+        )
+    toks = tokenize_normalized(text_col)
+    kept = F.filter(toks, lambda t: ~F.array_contains(stopset, t))
+    return df.select(
+        F.col(id_col), pred.alias("lang_pred"), kept.alias("content_tokens")
+    )

@@ -2039,3 +2039,16 @@ def ext_basket_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@query("ext_lang_stopwords")
+def ext_lang_stopwords(spark, sf_dir):
+    """Language-aware stopword removal: each doc strips ITS OWN predicted
+    language's stopword set (per-row dictionary dispatch; 'und' passes
+    through) — content token count per doc, the multilingual-correct form
+    of the fixed-list N4 operator."""
+    d = load_table(spark, sf_dir, "documents")
+    out = textstats.remove_stopwords_by_lang(d)
+    return out.select(
+        "doc_id", "lang_pred", F.size("content_tokens").alias("n_content")
+    )

@@ -1860,3 +1860,28 @@ JOIN singles sb ON sb.event_type = p.b
 CROSS JOIN nu
 ORDER BY p.a, p.b
 """
+
+
+ORACLES["ext_lang_stopwords"] = (
+    "WITH toks AS (SELECT doc_id, " + TOKS + " AS tk FROM documents), "
+    "scores AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS plang, "
+        f"len(list_filter(tk, t -> t IN {words})) AS hits FROM toks"
+        for lang, words in _LANG_PROFILES_SQL.items()
+    )
+    + "), ranked AS (SELECT doc_id, plang, hits, row_number() OVER ("
+    "PARTITION BY doc_id ORDER BY hits DESC, plang DESC) AS rn FROM scores), "
+    "pred AS (SELECT doc_id, CASE WHEN hits > 0 THEN plang ELSE 'und' END "
+    "AS lang_pred FROM ranked WHERE rn = 1), "
+    "kept AS (SELECT t.doc_id, p.lang_pred, "
+    "  CASE p.lang_pred "
+    + " ".join(
+        f"WHEN '{lang}' THEN len(list_filter(tk, x -> x NOT IN {words}))"
+        for lang, words in _LANG_PROFILES_SQL.items()
+    )
+    + "  ELSE len(tk) END AS n_content "
+    "FROM toks t JOIN pred p USING (doc_id)) "
+    "SELECT doc_id, lang_pred, CAST(n_content AS INT) AS n_content "
+    "FROM kept ORDER BY doc_id"
+)
