@@ -2052,3 +2052,37 @@ def ext_lang_stopwords(spark, sf_dir):
     return out.select(
         "doc_id", "lang_pred", F.size("content_tokens").alias("n_content")
     )
+
+
+@query("ext_effective_size")
+def ext_effective_size(spark, sf_dir):
+    """Effective dataset size: token mass BEFORE vs AFTER near-dedup (the
+    budget number that matters to a trainer — duplicated tokens teach
+    nothing twice). Survivor doc set from the LSH+closure near-dedup,
+    token counts from one tokenize pass, shares as exact integer basis
+    points."""
+    from ..functions.text import tokenize_normalized as _tokn
+
+    d = load_table(spark, sf_dir, "documents")
+    survivors = dedup.near_dedup_survivors(d, dedup.minhash_lsh_candidates(d)).select(
+        "doc_id"
+    )
+    toks = d.select("doc_id", F.size(_tokn("text")).cast("long").alias("n_tok"))
+    marked = toks.join(
+        survivors.withColumn("__keep", F.lit(1)), "doc_id", "left"
+    )
+    return marked.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("__keep") == 1, 1).otherwise(0)).alias("n_survivors"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.when(F.col("__keep") == 1, F.col("n_tok")).otherwise(0)).alias(
+            "surviving_tokens"
+        ),
+        (
+            F.sum(F.when(F.col("__keep") == 1, F.col("n_tok")).otherwise(0))
+            * 10000
+            / F.sum("n_tok")
+        )
+        .cast("long")
+        .alias("effective_bps"),
+    )

@@ -1838,7 +1838,7 @@ tiled AS (SELECT user_id, n,
 t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM pu)
 SELECT decile, CAST(COUNT(*) AS BIGINT) AS users,
        CAST(SUM(n) AS BIGINT) AS events,
-       CAST(SUM(n) * 10000 / t.t AS BIGINT) AS share_bps
+       CAST(FLOOR(SUM(n) * 10000 / t.t) AS BIGINT) AS share_bps
 FROM tiled, t GROUP BY decile, t.t ORDER BY decile
 """
 
@@ -1884,4 +1884,20 @@ ORACLES["ext_lang_stopwords"] = (
     "FROM toks t JOIN pred p USING (doc_id)) "
     "SELECT doc_id, lang_pred, CAST(n_content AS INT) AS n_content "
     "FROM kept ORDER BY doc_id"
+)
+
+
+ORACLES["ext_effective_size"] = (
+    f"WITH RECURSIVE {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, "
+    f"{_PAIRS_CTE}, {_CLUSTER_SQL_TAIL}, "
+    "removed AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) <> a), "
+    "tl AS (SELECT doc_id, CAST(len(" + TOKS + ") AS BIGINT) AS n_tok, "
+    "       CASE WHEN doc_id IN (SELECT doc_id FROM removed) THEN 0 ELSE 1 END AS keep "
+    "FROM documents) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(keep) AS BIGINT) AS n_survivors, "
+    "CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(CASE WHEN keep = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS surviving_tokens, "
+    "CAST(FLOOR(SUM(CASE WHEN keep = 1 THEN n_tok ELSE 0 END) * 10000 / SUM(n_tok)) AS BIGINT) "
+    "AS effective_bps FROM tl"
 )
