@@ -2086,3 +2086,53 @@ def ext_effective_size(spark, sf_dir):
         .cast("long")
         .alias("effective_bps"),
     )
+
+
+@query("ext_freshness")
+def ext_freshness(spark, sf_dir):
+    """Data-freshness report: per event type, last event time and its lag
+    behind the corpus watermark (integer seconds) — the staleness panel an
+    ingest SLA monitors. One grouped agg + a 1-row broadcast max."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("n")
+    )
+    overall = e.agg(F.max("ts").alias("wm"))
+    return per_type.crossJoin(F.broadcast(overall)).select(
+        "event_type",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "n",
+        (
+            F.col("wm").cast("timestamp").cast("long")
+            - F.col("last_ts").cast("timestamp").cast("long")
+        ).alias("lag_seconds"),
+    )
+
+
+@query("ext_null_profile")
+def ext_null_profile(spark, sf_dir):
+    """Column-health profile: null / zero-or-empty counts per column of the
+    events table in ONE conditional-agg pass, long-form (column, n_null,
+    n_degenerate) — the generic companion to the rule-based dq_audit."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.agg(
+        *[
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"__n_{col}")
+            for col in ("event_id", "user_id", "event_type", "value", "props")
+        ],
+        F.sum(F.when(F.col("value") == 0.0, 1).otherwise(0)).alias("__z_value"),
+        F.sum(F.when(F.col("event_type") == "", 1).otherwise(0)).alias("__z_event_type"),
+        F.sum(F.when(F.col("props") == "", 1).otherwise(0)).alias("__z_props"),
+    )
+    rows = ", ".join(
+        [
+            "'event_id', __n_event_id, 0L",
+            "'user_id', __n_user_id, 0L",
+            "'event_type', __n_event_type, __z_event_type",
+            "'value', __n_value, __z_value",
+            "'props', __n_props, __z_props",
+        ]
+    )
+    return a.select(
+        F.expr(f"stack(5, {rows}) AS (column_name, n_null, n_degenerate)")
+    )

@@ -1901,3 +1901,34 @@ ORACLES["ext_effective_size"] = (
     "CAST(FLOOR(SUM(CASE WHEN keep = 1 THEN n_tok ELSE 0 END) * 10000 / SUM(n_tok)) AS BIGINT) "
     "AS effective_bps FROM tl"
 )
+
+ORACLES["ext_freshness"] = """
+WITH o AS (SELECT MAX(ts) AS wm FROM events)
+SELECT event_type,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(epoch(o.wm)) AS BIGINT) - CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS lag_seconds
+FROM events, o GROUP BY event_type, o.wm ORDER BY event_type
+"""
+
+ORACLES["ext_null_profile"] = """
+WITH a AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_event_id,
+    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_user_id,
+    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_event_type,
+    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value,
+    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_props,
+    CAST(SUM(CASE WHEN value = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS z_value,
+    CAST(SUM(CASE WHEN event_type = '' THEN 1 ELSE 0 END) AS BIGINT) AS z_event_type,
+    CAST(SUM(CASE WHEN props = '' THEN 1 ELSE 0 END) AS BIGINT) AS z_props
+  FROM events)
+SELECT u.column_name, u.n_null, u.n_degenerate FROM a, LATERAL (
+  VALUES ('event_id', n_event_id, CAST(0 AS BIGINT)),
+         ('user_id', n_user_id, CAST(0 AS BIGINT)),
+         ('event_type', n_event_type, z_event_type),
+         ('value', n_value, z_value),
+         ('props', n_props, z_props)
+) AS u(column_name, n_null, n_degenerate)
+ORDER BY u.column_name
+"""
