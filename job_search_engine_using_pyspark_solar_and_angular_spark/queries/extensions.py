@@ -2136,3 +2136,40 @@ def ext_null_profile(spark, sf_dir):
     return a.select(
         F.expr(f"stack(5, {rows}) AS (column_name, n_null, n_degenerate)")
     )
+
+
+@query("ext_seasonality")
+def ext_seasonality(spark, sf_dir):
+    """Activity seasonality: hour-of-day × day-of-week event heatmap with
+    exact per-cell value sums (cents) — one grouped agg over calendar
+    functions; the temporal profile capacity planning reads."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+            "sum_value"
+        ),
+    )
+
+
+@query("ext_new_vs_returning")
+def ext_new_vs_returning(spark, sf_dir):
+    """Growth split: per day, events from first-seen-today users vs
+    returning users — min-ts-per-user broadcast back onto the event stream,
+    one user_id agg + one day agg."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    tagged = e.join(first, "user_id").withColumn(
+        "is_new", F.date_trunc("day", F.col("ts")) == F.col("first_day")
+    )
+    return tagged.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("new_events"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("returning_events"),
+        F.count_distinct(F.when(F.col("is_new"), F.col("user_id"))).alias("new_users"),
+    )

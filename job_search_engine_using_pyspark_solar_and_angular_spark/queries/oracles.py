@@ -1932,3 +1932,25 @@ SELECT u.column_name, u.n_null, u.n_degenerate FROM a, LATERAL (
 ) AS u(column_name, n_null, n_degenerate)
 ORDER BY u.column_name
 """
+
+ORACLES["ext_seasonality"] = """
+SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["ext_new_vs_returning"] = """
+WITH first AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS first_day
+  FROM events GROUP BY 1),
+tagged AS (
+  SELECT e.*, date_trunc('day', e.ts) = f.first_day AS is_new,
+         date_trunc('day', e.ts) AS day
+  FROM events e JOIN first f USING (user_id))
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_events,
+       CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS returning_events,
+       CAST(COUNT(DISTINCT CASE WHEN is_new THEN user_id END) AS BIGINT) AS new_users
+FROM tagged GROUP BY 1 ORDER BY 1
+"""
