@@ -2173,3 +2173,27 @@ def ext_new_vs_returning(spark, sf_dir):
         F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("returning_events"),
         F.count_distinct(F.when(F.col("is_new"), F.col("user_id"))).alias("new_users"),
     )
+
+
+@query("ext_return_rate")
+def ext_return_rate(spark, sf_dir):
+    """Monthly return rate over lineitem: returned share of line items and
+    of cent-exact revenue — conditional aggregates in one pass over the
+    fact table (ship-date month; integer basis points, floored)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    ret = F.col("l_returnflag") == "R"
+    return li.groupBy(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.when(ret, 1).otherwise(0)).alias("n_returned"),
+        F.floor(
+            F.sum(F.when(ret, 1).otherwise(0)) * 10000 / F.count("*")
+        ).cast("long").alias("item_return_bps"),
+        F.floor(
+            F.sum(F.when(ret, cents).otherwise(0)) * 10000 / F.sum(cents)
+        ).cast("long").alias("revenue_return_bps"),
+    )

@@ -1954,3 +1954,19 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
        CAST(COUNT(DISTINCT CASE WHEN is_new THEN user_id END) AS BIGINT) AS new_users
 FROM tagged GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["ext_return_rate"] = """
+WITH li AS (
+  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+         l_returnflag = 'R' AS ret,
+         CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT) AS cents
+  FROM lineitem)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       CAST(FLOOR(SUM(CASE WHEN ret THEN 1 ELSE 0 END) * 10000 / COUNT(*)) AS BIGINT)
+         AS item_return_bps,
+       CAST(FLOOR(SUM(CASE WHEN ret THEN cents ELSE 0 END) * 10000 / SUM(cents)) AS BIGINT)
+         AS revenue_return_bps
+FROM li GROUP BY 1 ORDER BY 1
+"""
