@@ -2197,3 +2197,16 @@ def ext_return_rate(spark, sf_dir):
             F.sum(F.when(ret, cents).otherwise(0)) * 10000 / F.sum(cents)
         ).cast("long").alias("revenue_return_bps"),
     )
+
+
+@query("ext_exact_median")
+def ext_exact_median(spark, sf_dir):
+    """EXACT per-group median (Spark's exact `percentile`, not the GK
+    sketch): the continuous-interpolation convention both engines share,
+    rounded 4 — sits beside ext_percentile (approx) and ext_approx_quantiles
+    (sketch) as the exact tier of the quantile family."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.count("*").alias("n"),
+    )

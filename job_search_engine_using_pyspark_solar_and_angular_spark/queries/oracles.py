@@ -1970,3 +1970,9 @@ SELECT month,
          AS revenue_return_bps
 FROM li GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["ext_exact_median"] = """
+SELECT event_type, ROUND(MEDIAN(value), 4) AS median_value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
