@@ -2210,3 +2210,83 @@ def ext_exact_median(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
         F.count("*").alias("n"),
     )
+
+
+@query("ext_token_entropy")
+def ext_token_entropy(spark, sf_dir):
+    """Per-document token Shannon entropy (bits): the information-theoretic
+    quality signal beside the Gopher repetition fractions — near-zero
+    entropy is template spam even when no single token dominates. Exact
+    per-(doc, token) counts; entropy from the standard -Σ p·log2 p."""
+    from ..functions.text import tokenize_normalized as _tokn
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokn("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = tf.join(tot, "doc_id").select(
+        "doc_id", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    return p.groupBy("doc_id").agg(
+        F.round(-F.sum(F.col("p") * F.log2("p")), 4).alias("entropy_bits")
+    )
+
+
+@query("ext_burstiness")
+def ext_burstiness(spark, sf_dir):
+    """Inter-event burstiness per event type: coefficient of variation of
+    per-user gaps (whole seconds) — CV≈1 is Poisson, >1 bursty. Mean and
+    stddev from exact integer gap sums (the moving-average determinism
+    recipe), so the doubles agree cross-engine."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.col("ts"), F.col("event_id"))
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gaps = e.select("event_type", "user_id", "ts", "event_id").withColumn(
+        "gap", epoch - F.lag(epoch).over(w)
+    ).filter(F.col("gap").isNotNull())
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    mean = s / n
+    var = (n * ss - s * s) / (n * (n - 1))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(mean, 4).alias("mean_gap_s"),
+        F.round(F.sqrt(var) / mean, 4).alias("cv"),
+    )
+
+
+@query("ext_gini")
+def ext_gini(spark, sf_dir):
+    """Gini coefficient of user activity — the single-number concentration
+    metric beside the decile table: G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over
+    activity sorted ascending (deterministic rank ties by user_id). Every
+    sum is an exact integer, so the final double is cross-engine exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(F.count("*").alias("x"))
+    w = Window.orderBy(F.col("x"), F.col("user_id"))
+    ranked = pu.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.round(
+            (
+                F.lit(2.0) * F.sum(F.col("i") * F.col("x")).cast("double")
+                / (F.count("*") * F.sum("x")).cast("double")
+            )
+            - (F.count("*") + 1).cast("double") / F.count("*").cast("double"),
+            4,
+        ).alias("gini"),
+        F.count("*").alias("n_users"),
+    )

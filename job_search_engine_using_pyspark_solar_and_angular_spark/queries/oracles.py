@@ -1976,3 +1976,48 @@ SELECT event_type, ROUND(MEDIAN(value), 4) AS median_value,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+ORACLES["ext_token_entropy"] = f"""
+WITH tfe AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, unnest({TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tfe GROUP BY doc_id)
+SELECT t.doc_id,
+       ROUND(-SUM((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 4)
+         AS entropy_bits
+FROM tfe t JOIN tot USING (doc_id)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+ORACLES["ext_burstiness"] = """
+WITH g AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap) AS BIGINT) AS s, CAST(SUM(gap * gap) AS BIGINT) AS ss
+  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+SELECT event_type, n,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_gap_s,
+       ROUND(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS cv
+FROM a ORDER BY event_type
+"""
+
+ORACLES["ext_gini"] = """
+WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1),
+ranked AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM pu)
+SELECT ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
+               / CAST(COUNT(*) * SUM(x) AS DOUBLE)
+             - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS gini,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ranked
+"""
