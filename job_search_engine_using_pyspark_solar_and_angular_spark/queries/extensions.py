@@ -2290,3 +2290,38 @@ def ext_gini(spark, sf_dir):
         ).alias("gini"),
         F.count("*").alias("n_users"),
     )
+
+
+@query("ext_autocorrelation")
+def ext_autocorrelation(spark, sf_dir):
+    """Lag-1 autocorrelation of the hourly event-count series per type —
+    the temporal-dependence signal (≈0 memoryless, →1 strongly trending).
+    Pearson over (xₜ, xₜ₊₁) pairs with every sum an exact integer (counts),
+    so the final double is cross-engine exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = hourly.withColumn("y", F.lead("x").over(w)).filter(
+        F.col("y").isNotNull()
+    )
+    a = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return a.select(
+        "event_type", "n", F.round(num / den, 4).alias("lag1_autocorr")
+    )

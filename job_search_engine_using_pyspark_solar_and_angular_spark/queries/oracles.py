@@ -2021,3 +2021,29 @@ SELECT ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM ranked
 """
+
+ORACLES["ext_autocorrelation"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT event_type, x, LEAD(x) OVER w AS y FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs WHERE y IS NOT NULL GROUP BY 1)
+SELECT event_type, n,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+    AS lag1_autocorr
+FROM a ORDER BY event_type
+"""
