@@ -2325,3 +2325,31 @@ def ext_autocorrelation(spark, sf_dir):
     return a.select(
         "event_type", "n", F.round(num / den, 4).alias("lag1_autocorr")
     )
+
+
+@query("ext_skew_report")
+def ext_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic for events.user_id: group-size max/median
+    ratio, top-key share in basis points, and distinct-key count — the
+    numbers that decide between a plain shuffle join, AQE skew split, and
+    explicit salting (salted_join's n_salts ≈ ceil(max_share × partitions))."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    return g.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_group"),
+        F.round(F.expr("percentile(n, 0.5)"), 1).alias("median_group"),
+        F.round(F.max("n") / F.expr("percentile(n, 0.5)"), 4).alias("skew_ratio"),
+        F.floor(F.max("n") * 10000 / F.sum("n")).cast("long").alias("top_key_bps"),
+    )
+
+
+@query("ext_cluster_sizes")
+def ext_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram: how many clusters of each size the
+    LSH+closure pass finds — the companion to the degree distribution
+    (cluster sizes bound the per-cluster work of canonical selection)."""
+    d = load_table(spark, sf_dir, "documents")
+    cc = dedup.connected_components(dedup.minhash_lsh_candidates(d))
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))

@@ -2047,3 +2047,25 @@ SELECT event_type, n,
     AS lag1_autocorr
 FROM a ORDER BY event_type
 """
+
+ORACLES["ext_skew_report"] = """
+WITH g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       MAX(n) AS max_group,
+       ROUND(MEDIAN(n), 1) AS median_group,
+       ROUND(CAST(MAX(n) AS DOUBLE) / MEDIAN(n), 4) AS skew_ratio,
+       CAST(FLOOR(MAX(n) * 10000 / SUM(n)) AS BIGINT) AS top_key_bps
+FROM g
+"""
+
+
+ORACLES["ext_cluster_sizes"] = (
+    f"WITH RECURSIVE {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, "
+    f"{_PAIRS_CTE}, {_CLUSTER_SQL_TAIL}, "
+    "clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a), "
+    "sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size "
+    "FROM clusters GROUP BY 1) "
+    "SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM sizes "
+    "GROUP BY size ORDER BY size"
+)
