@@ -2353,3 +2353,37 @@ def ext_cluster_sizes(spark, sf_dir):
     cc = dedup.connected_components(dedup.minhash_lsh_candidates(d))
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
+
+
+@query("ext_anomalous_hours")
+def ext_anomalous_hours(spark, sf_dir):
+    """Traffic anomalies at the WINDOW level: hours whose event count sits
+    more than 3σ from the type's hourly mean, using the same cross-
+    multiplied integer predicate as ext_outliers — counts are already
+    integers, so no quantization step at all."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("decimal(38,0)").alias("x"))
+    w = Window.partitionBy("event_type")
+    n = F.count("*").over(w).cast("decimal(38,0)")
+    s = F.sum("x").over(w)
+    ss = F.sum(F.col("x") * F.col("x")).over(w)
+    g = hourly.select("event_type", "h", "x", n.alias("n"), s.alias("s"), ss.alias("ss"))
+    lhs = F.col("x") * F.col("n") - F.col("s")
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        g.filter(
+            (F.col("n") >= 2)
+            & (var_num > 0)
+            & (lhs * lhs * (F.col("n") - 1) > F.lit(9) * F.col("n") * var_num)
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("x").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -2069,3 +2069,19 @@ ORACLES["ext_cluster_sizes"] = (
     "SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM sizes "
     "GROUP BY size ORDER BY size"
 )
+
+ORACLES["ext_anomalous_hours"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(CAST(COUNT(*) AS BIGINT) AS HUGEINT) AS x
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT *, COUNT(*) OVER w AS n, SUM(x) OVER w AS s, SUM(x * x) OVER w AS ss
+  FROM hourly WINDOW w AS (PARTITION BY event_type))
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(x AS BIGINT) AS n_events
+FROM g
+WHERE n >= 2 AND (n * ss - s * s) > 0
+  AND (x * n - s) * (x * n - s) * (n - 1) > 9 * n * (n * ss - s * s)
+ORDER BY event_type, hour
+"""
