@@ -2387,3 +2387,26 @@ def ext_anomalous_hours(spark, sf_dir):
         )
         .orderBy("event_type", "hour")
     )
+
+
+@query("ext_event_paths")
+def ext_event_paths(spark, sf_dir):
+    """Second-order behavior paths: (step1 → step2 → step3) trigram counts
+    per user stream (two chained leads over one user_id shuffle), top-20 —
+    the longer-memory companion to ext_event_transitions' first-order
+    matrix."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    p = e.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    return (
+        p.groupBy("s1", "s2", "s3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(20)
+    )

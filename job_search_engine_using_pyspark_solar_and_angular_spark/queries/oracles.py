@@ -2085,3 +2085,15 @@ WHERE n >= 2 AND (n * ss - s * s) > 0
   AND (x * n - s) * (x * n - s) * (n - 1) > 9 * n * (n * ss - s * s)
 ORDER BY event_type, hour
 """
+
+ORACLES["ext_event_paths"] = """
+WITH p AS (
+  SELECT event_type AS s1,
+         LEAD(event_type, 1) OVER w AS s2,
+         LEAD(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE s3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 20
+"""
