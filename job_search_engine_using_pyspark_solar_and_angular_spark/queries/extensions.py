@@ -2410,3 +2410,59 @@ def ext_event_paths(spark, sf_dir):
         .orderBy(F.col("n").desc(), "s1", "s2", "s3")
         .limit(20)
     )
+
+
+@query("ext_first_touch")
+def ext_first_touch(spark, sf_dir):
+    """First-touch attribution: users grouped by their FIRST event type
+    (deterministic min-(ts, event_id) struct), with how many later
+    converted (any purchase) and the floored basis-point conversion rate —
+    the acquisition-channel table."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("f")
+    ).select("user_id", F.col("f.event_type").alias("first_touch"))
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    j = first.join(conv, "user_id", "left")
+    return j.groupBy("first_touch").agg(
+        F.count("*").alias("users"),
+        F.sum(F.coalesce("converted", F.lit(0))).alias("converted"),
+        F.floor(
+            F.sum(F.coalesce("converted", F.lit(0))) * 10000 / F.count("*")
+        ).cast("long").alias("conv_bps"),
+    )
+
+
+@query("ext_cohort_ltv")
+def ext_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime value: cent-exact cumulative purchase value per
+    weekly signup cohort and week offset — the running-spend matrix beside
+    the retention counts (cumulative window over the cohort series)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort",
+            ((F.datediff(wk, F.col("cohort"))) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("cohort").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spend.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "week_offset",
+        (F.sum("cents").over(w) / 100.0).alias("cum_value"),
+    )

@@ -2097,3 +2097,38 @@ SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
 FROM p WHERE s3 IS NOT NULL
 GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 20
 """
+
+ORACLES["ext_first_touch"] = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+ft AS (SELECT user_id, event_type AS first_touch FROM ranked WHERE rn = 1),
+conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT ft.first_touch,
+       CAST(COUNT(*) AS BIGINT) AS users,
+       CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS converted,
+       CAST(FLOOR(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  * 10000 / COUNT(*)) AS BIGINT) AS conv_bps
+FROM ft LEFT JOIN conv c USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["ext_cohort_ltv"] = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY 1),
+spend AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7 AS INT)
+           AS week_offset,
+         CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events e JOIN first f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_offset,
+       SUM(cents) OVER (PARTITION BY cohort ORDER BY week_offset
+                        ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_value
+FROM spend ORDER BY 1, 2
+"""
