@@ -2466,3 +2466,47 @@ def ext_cohort_ltv(spark, sf_dir):
         "week_offset",
         (F.sum("cents").over(w) / 100.0).alias("cum_value"),
     )
+
+
+@query("ext_rfm")
+def ext_rfm(spark, sf_dir):
+    """RFM segmentation: per purchasing user, Recency (whole days behind the
+    corpus watermark), Frequency (purchase count), Monetary (cent-exact
+    spend), plus 1-5 quintile codes from deterministic ntile orderings —
+    the classic value-segmentation table."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    wm = e.agg(F.max("ts").alias("wm"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = p.groupBy("user_id").agg(
+        F.max("ts").alias("last_p"),
+        F.count("*").alias("frequency"),
+        F.sum(cents).alias("cents"),
+    )
+    base = per_user.crossJoin(F.broadcast(wm)).select(
+        "user_id",
+        F.floor(
+            (
+                F.col("wm").cast("timestamp").cast("long")
+                - F.col("last_p").cast("timestamp").cast("long")
+            )
+            / 86400
+        ).cast("long").alias("recency_days"),
+        "frequency",
+        (F.col("cents") / 100.0).alias("monetary"),
+        "cents",
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days"), F.col("user_id")))
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+    m = F.ntile(5).over(Window.orderBy(F.col("cents").desc(), F.col("user_id")))
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_quintile"),
+        f.alias("f_quintile"),
+        m.alias("m_quintile"),
+    )

@@ -2132,3 +2132,23 @@ SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_offset,
                         ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_value
 FROM spend ORDER BY 1, 2
 """
+
+ORACLES["ext_rfm"] = """
+WITH wm AS (SELECT MAX(ts) AS wm FROM events),
+pu AS (
+  SELECT user_id, MAX(ts) AS last_p, CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+base AS (
+  SELECT user_id,
+         CAST(FLOOR((CAST(FLOOR(epoch(wm.wm)) AS BIGINT)
+                     - CAST(FLOOR(epoch(last_p)) AS BIGINT)) / 86400.0) AS BIGINT)
+           AS recency_days,
+         frequency, cents / 100.0 AS monetary, cents
+  FROM pu, wm)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS INT) AS r_quintile,
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_quintile,
+       CAST(NTILE(5) OVER (ORDER BY cents DESC, user_id) AS INT) AS m_quintile
+FROM base ORDER BY user_id
+"""
