@@ -2510,3 +2510,67 @@ def ext_rfm(spark, sf_dir):
         f.alias("f_quintile"),
         m.alias("m_quintile"),
     )
+
+
+@query("ext_purchase_intervals")
+def ext_purchase_intervals(spark, sf_dir):
+    """Repurchase cadence: exact median and mean of the gaps between a
+    user's consecutive purchases (whole seconds; integer sums + the shared
+    exact-median convention) — the replenishment-cycle statistic."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gaps = p.select("user_id", "ts", "event_id").withColumn(
+        "gap", epoch - F.lag(epoch).over(w)
+    ).filter(F.col("gap").isNotNull())
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 1).alias("median_gap_s"),
+        F.round(F.sum("gap").cast("double") / F.count("*"), 1).alias("mean_gap_s"),
+    )
+
+
+@query("ext_source_quality")
+def ext_source_quality(spark, sf_dir):
+    """Per-source quality panel: docs, mean quality (exact 1e-4-unit sums),
+    and dup share within source (md5 groups) — which upstream feeds are
+    worth keeping."""
+    d = textstats.quality_score(load_table(spark, sf_dir, "documents"))
+    qmilli = F.round(F.col("quality") * 10000, 0).cast("long")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(qmilli).cast("double") / 10000.0 / F.count("*"), 4
+        ).alias("avg_quality"),
+        F.floor(
+            (F.count("*") - F.count_distinct(F.md5("text"))) * 10000 / F.count("*")
+        ).cast("long").alias("dup_bps"),
+    )
+
+
+@query("ext_weekly_trend")
+def ext_weekly_trend(spark, sf_dir):
+    """Week-over-week growth: weekly event counts with the previous week's
+    count and the floored basis-point change — the growth trendline (lag
+    window over the weekly series; first week emits null-safe zeros)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("wk")
+    t = weekly.withColumn("prev", F.lag("n").over(w))
+    return t.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        "n",
+        F.coalesce("prev", F.lit(0)).alias("prev"),
+        F.when(
+            F.col("prev").isNotNull(),
+            F.floor((F.col("n") - F.col("prev")) * 10000 / F.col("prev")).cast("long"),
+        ).otherwise(F.lit(0)).alias("wow_bps"),
+    )

@@ -2152,3 +2152,52 @@ SELECT user_id, recency_days, frequency, monetary,
        CAST(NTILE(5) OVER (ORDER BY cents DESC, user_id) AS INT) AS m_quintile
 FROM base ORDER BY user_id
 """
+
+ORACLES["ext_purchase_intervals"] = """
+WITH g AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(MEDIAN(gap), 1) AS median_gap_s,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 1) AS mean_gap_s
+FROM g WHERE gap IS NOT NULL
+"""
+
+
+ORACLES["ext_source_quality"] = f"""
+WITH feat AS (
+  SELECT doc_id, source, text,
+         length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(list_filter({TOKS}, t -> t IN {EN_PROFILE_SQL})) AS n_stop,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+  FROM documents),
+scored AS (
+  SELECT source, text,
+    CAST(ROUND(ROUND(GREATEST(LEAST(
+      (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.5 ELSE 0.0 END)
+      + LEAST((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 2.0, 0.5)
+      - LEAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 2.0, 0.25),
+      1.0), 0.0), 4) * 10000, 0) AS BIGINT) AS qmilli
+  FROM feat)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(qmilli) AS DOUBLE) / 10000.0 / COUNT(*), 4) AS avg_quality,
+       CAST(FLOOR((COUNT(*) - COUNT(DISTINCT md5(text))) * 10000 / COUNT(*)) AS BIGINT)
+         AS dup_bps
+FROM scored GROUP BY source ORDER BY source
+"""
+
+ORACLES["ext_weekly_trend"] = """
+WITH weekly AS (
+  SELECT date_trunc('week', ts) AS wk, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+t AS (SELECT wk, n, LAG(n) OVER (ORDER BY wk) AS prev FROM weekly)
+SELECT strftime(wk, '%Y-%m-%d') AS week, n,
+       CAST(COALESCE(prev, 0) AS BIGINT) AS prev,
+       CAST(CASE WHEN prev IS NOT NULL
+                 THEN FLOOR((n - prev) * 10000 / prev) ELSE 0 END AS BIGINT)
+         AS wow_bps
+FROM t ORDER BY week
+"""
