@@ -2574,3 +2574,43 @@ def ext_weekly_trend(spark, sf_dir):
             F.floor((F.col("n") - F.col("prev")) * 10000 / F.col("prev")).cast("long"),
         ).otherwise(F.lit(0)).alias("wow_bps"),
     )
+
+
+@query("ext_error_rate")
+def ext_error_rate(spark, sf_dir):
+    """Hourly error share: error events per hour with the floored
+    basis-point rate — the SLO panel; one conditional agg over the hourly
+    grouping."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+        F.floor(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            * 10000
+            / F.count("*")
+        ).cast("long").alias("error_bps"),
+    )
+
+
+@query("ext_catalog_summary")
+def ext_catalog_summary(spark, sf_dir):
+    """Catalog summary: row count per fixture table in one result — the
+    SHOW-STATS front door (a union of 1-row counts; each leg is a
+    metadata-cheap count aggregate)."""
+    from ..io import TABLES, load_table as _lt
+
+    parts = [
+        _lt(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count("*").alias("n_rows")
+        )
+        for t in TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

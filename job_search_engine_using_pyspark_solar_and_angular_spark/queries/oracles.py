@@ -2201,3 +2201,24 @@ SELECT strftime(wk, '%Y-%m-%d') AS week, n,
          AS wow_bps
 FROM t ORDER BY week
 """
+
+ORACLES["ext_error_rate"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       CAST(FLOOR(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  * 10000 / COUNT(*)) AS BIGINT) AS error_bps
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["ext_catalog_summary"] = (
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM {t}"
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split()
+    )
+    + " ORDER BY table_name"
+)
