@@ -2614,3 +2614,88 @@ def ext_catalog_summary(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query("ext_abandonment")
+def ext_abandonment(spark, sf_dir):
+    """Session abandonment: per user, sessions containing a view or click
+    but NO purchase, next to their total sessions and the floored-bps
+    abandonment rate — the session-scoped complement of the conversion
+    funnel (same gap-sum sessionization, one user shuffle)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"))
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    tagged = e.select("user_id", "ts", "event_type").withColumn(
+        "__new", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    ).withColumn(
+        "session_idx",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per = tagged.groupBy("user_id", "session_idx").agg(
+        F.max(F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)).alias(
+            "browsed"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "bought"
+        ),
+    )
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("sessions"),
+        F.sum(
+            F.when((F.col("browsed") == 1) & (F.col("bought") == 0), 1).otherwise(0)
+        ).alias("abandoned"),
+        F.floor(
+            F.sum(
+                F.when((F.col("browsed") == 1) & (F.col("bought") == 0), 1).otherwise(0)
+            )
+            * 10000
+            / F.count("*")
+        ).cast("long").alias("abandon_bps"),
+    )
+
+
+@query("ext_conversion_lag")
+def ext_conversion_lag(spark, sf_dir):
+    """Signup→purchase conversion lag: for users with both, whole seconds
+    from first signup to first purchase AFTER it — count, exact median,
+    and mean (integer sums). The time-to-value statistic next to the 24h
+    funnel flag."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(epoch).alias("t_signup")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch.alias("t_p")
+    )
+    lag = (
+        p.join(s, "user_id")
+        .filter(F.col("t_p") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg((F.min("t_p") - F.min("t_signup")).alias("lag_s"))
+    )
+    return lag.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 1).alias("median_lag_s"),
+        F.round(F.sum("lag_s").cast("double") / F.count("*"), 1).alias("mean_lag_s"),
+    )
+
+
+@query("ext_peak_hour")
+def ext_peak_hour(spark, sf_dir):
+    """Peak load hour per event type (max_by via struct ordering, count
+    then latest-hour tie-break) — the capacity-planning headline beside the
+    seasonality heatmap."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    pick = F.max(F.struct(F.col("n"), F.col("h"))).alias("best")
+    return hourly.groupBy("event_type").agg(pick).select(
+        "event_type",
+        F.date_format("best.h", "yyyy-MM-dd HH:00").alias("peak_hour"),
+        F.col("best.n").alias("n_events"),
+    )

@@ -2222,3 +2222,57 @@ ORACLES["ext_catalog_summary"] = (
     )
     + " ORDER BY table_name"
 )
+
+ORACLES["ext_abandonment"] = """
+WITH g AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS newflag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, event_type,
+         SUM(newflag) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g),
+per AS (
+  SELECT user_id, session_idx,
+         MAX(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS browsed,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS sessions,
+       CAST(SUM(CASE WHEN browsed = 1 AND bought = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS abandoned,
+       CAST(FLOOR(SUM(CASE WHEN browsed = 1 AND bought = 0 THEN 1 ELSE 0 END)
+                  * 10000 / COUNT(*)) AS BIGINT) AS abandon_bps
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["ext_conversion_lag"] = """
+WITH s AS (
+  SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t_p
+  FROM events WHERE event_type = 'purchase'),
+lag AS (
+  SELECT p.user_id, MIN(t_p) - MIN(t_signup) AS lag_s
+  FROM p JOIN s USING (user_id) WHERE t_p >= t_signup
+  GROUP BY p.user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(MEDIAN(lag_s), 1) AS median_lag_s,
+       ROUND(CAST(SUM(lag_s) AS DOUBLE) / COUNT(*), 1) AS mean_lag_s
+FROM lag
+"""
+
+ORACLES["ext_peak_hour"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, h, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, h DESC) AS rn
+  FROM hourly)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS peak_hour, n AS n_events
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
