@@ -2699,3 +2699,50 @@ def ext_peak_hour(spark, sf_dir):
         F.date_format("best.h", "yyyy-MM-dd HH:00").alias("peak_hour"),
         F.col("best.n").alias("n_events"),
     )
+
+
+@query("ext_log_histogram")
+def ext_log_histogram(spark, sf_dir):
+    """Log-scale value distribution: power-of-two cent buckets via
+    floor(log2(cents+1)) — integer-exact bucket keys that survive heavy
+    tails where fixed-width bins (ext_histogram) go empty-or-overflow."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    bucket = F.floor(F.log2(cents.cast("double") + 1.0)).cast("long")
+    return e.select(bucket.alias("log2_bucket")).groupBy("log2_bucket").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query("ext_audience_overlap")
+def ext_audience_overlap(spark, sf_dir):
+    """Audience overlap: exact Jaccard of USER SETS between every pair of
+    event types (one distinct pass, self-join on user, integer set
+    arithmetic) — which behaviors share an audience."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = ut.withColumnRenamed("event_type", "a")
+    b = ut.withColumnRenamed("event_type", "b")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ca = sizes.select(F.col("event_type").alias("a"), F.col("c").alias("ca"))
+    cb = sizes.select(F.col("event_type").alias("b"), F.col("c").alias("cb"))
+    return (
+        inter.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .select(
+            "a",
+            "b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("ca") + F.col("cb") - F.col("n_both")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )

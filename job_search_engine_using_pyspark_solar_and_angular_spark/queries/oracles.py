@@ -2276,3 +2276,26 @@ ranked AS (
 SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS peak_hour, n AS n_events
 FROM ranked WHERE rn = 1 ORDER BY event_type
 """
+
+ORACLES["ext_log_histogram"] = """
+SELECT CAST(FLOOR(log2(CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS DOUBLE) + 1.0))
+            AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["ext_audience_overlap"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ut GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS a, b.event_type AS b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT i.a, i.b, i.n_both,
+       ROUND(CAST(i.n_both AS DOUBLE)
+             / CAST(sa.c + sb.c - i.n_both AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.a
+JOIN sizes sb ON sb.event_type = i.b
+ORDER BY i.a, i.b
+"""
