@@ -2746,3 +2746,33 @@ def ext_audience_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query("ext_behavior_diversity")
+def ext_behavior_diversity(spark, sf_dir):
+    """Behavior-diversity histogram: how many users exhibit exactly k
+    distinct event types — single-behavior users dominate churn risk,
+    full-spectrum users anchor retention."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("k")
+    )
+    return per_user.groupBy("k").agg(F.count("*").alias("n_users"))
+
+
+@query("ext_discount_impact")
+def ext_discount_impact(spark, sf_dir):
+    """Discount economics on lineitem: per discount band (integer percent),
+    items, cent-exact gross revenue, and cents conceded — where margin
+    actually goes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = F.round(F.col("l_discount") * 100, 0).cast("long")
+    gross = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    conceded = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100, 0
+    ).cast("long")
+    return li.groupBy(band.alias("discount_pct")).agg(
+        F.count("*").alias("n_items"),
+        (F.sum(gross) / 100.0).alias("gross_revenue"),
+        (F.sum(conceded) / 100.0).alias("discount_given"),
+    )

@@ -2299,3 +2299,20 @@ JOIN sizes sa ON sa.event_type = i.a
 JOIN sizes sb ON sb.event_type = i.b
 ORDER BY i.a, i.b
 """
+
+ORACLES["ext_behavior_diversity"] = """
+WITH pu AS (
+  SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+  FROM events GROUP BY 1)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_users FROM pu GROUP BY k ORDER BY k
+"""
+
+ORACLES["ext_discount_impact"] = """
+SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS discount_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+         AS gross_revenue,
+       SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT)) / 100.0
+         AS discount_given
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
