@@ -33,6 +33,62 @@ from pyspark.sql import functions as F
 SCALE = 10**12
 
 
+def triangle_stats(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Global triangle census of the undirected graph of ``pairs`` (edges
+    pre-oriented ``src < dst``, as LSH candidate pairs are): one row with
+    n_nodes, n_edges, n_triangles, n_triplets (open+closed length-2 paths,
+    Σ d(d-1)/2 — exact integers), and the global clustering coefficient
+    3·T / triplets.
+
+    Plan shape: a triangle (a<b<c) is counted ONCE by joining the oriented
+    edge list with itself twice — (a,b)⋈(b,c) on the middle vertex, then a
+    hash semi-probe for the closing edge (a,c). Orienting every edge
+    low-id→high-id is the standard compact-forward trick: each triangle has
+    exactly one orientation, so no /3 correction and, at scale, the join
+    fan-out of a hub vertex is bounded by its *higher-id* neighbors only.
+    Two shuffles on vertex keys; degrees are one more groupBy on the same
+    exploded edge list."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct().persist()
+    e1 = e.select(F.col("a"), F.col("b").alias("m"))
+    e2 = e.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "m").select("a", "c", F.col("m").alias("b"))
+    closed = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    tri_n = closed.agg(F.count("*").alias("n_triangles"))
+    edges_n = e.agg(F.count("*").alias("n_edges"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    node_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("CAST(deg * (deg - 1) div 2 AS BIGINT)")).alias("n_triplets"),
+    )
+    return (
+        node_stats.crossJoin(edges_n)
+        .crossJoin(tri_n)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_triplets",
+            F.when(
+                F.col("n_triplets") > 0,
+                F.round(
+                    3.0 * F.col("n_triangles").cast("double")
+                    / F.col("n_triplets").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
 def pagerank_int(
     pairs: DataFrame,
     src: str = "doc_a",

@@ -116,6 +116,68 @@ def cms_join_cardinality(
     return per_row.agg(F.min("ip").alias("est"))
 
 
+def _bloom_pos(key_str, i: int, m_bits: int):
+    """Hash i's bit position for a key: md5('bf{i}:key') folded into [0, m)."""
+    return md5_long(F.concat(F.lit(f"bf{i}:"), key_str)) % F.lit(m_bits)
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 8192, k: int = 3
+) -> DataFrame:
+    """Bloom filter over ``df[key_col]`` as its DISTINCT set-bit positions —
+    one (p) row per set bit, <= m_bits rows total (KBs however many keys
+    feed it). Fourth member of the sketch family (CMS frequency, HLL
+    distinct, GK quantiles, Bloom membership).
+
+    The set-of-positions representation (instead of packed words) is what
+    makes the filter exactly reproducible in ANSI SQL: positions are
+    md5-derived, so the DuckDB oracle rebuilds the identical filter and the
+    identical false-positive set. A production variant packs the same
+    positions into m/64 longs; the probe semantics — and the FP analysis —
+    are unchanged.
+
+    100 TB shape: build is one k-way fan-out + distinct over a bounded
+    domain (m counters); the result broadcasts to every probe task, turning
+    a shuffle semi-join into a map-side filter (the same trick Spark's AQE
+    runtime filters / bloom join uses, here as an explicit, persistable,
+    engine-checkable artifact)."""
+    key_str = F.col(key_col).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.array(*[_bloom_pos(key_str, i, m_bits) for i in range(k)])
+            ).alias("p")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Tag every probe row with ``bloom_pass``: all k of the key's bit
+    positions set in the filter. No-false-negative guarantee: a key that was
+    in the build set always passes; a pass is only *maybe* present (FP rate
+    ~ fill_ratio^k). The bit set rides in-plan as ONE broadcast array row —
+    probing is map-only, no shuffle, no collect."""
+    arr = bits.agg(F.sort_array(F.collect_set("p")).alias("__bits"))
+    key_str = F.col(key_col).cast("string")
+    cond = F.lit(True)
+    for i in range(k):
+        cond = cond & F.array_contains(
+            F.col("__bits"), _bloom_pos(key_str, i, m_bits)
+        )
+    return (
+        probe.crossJoin(F.broadcast(arr))
+        .withColumn("bloom_pass", cond)
+        .drop("__bits")
+    )
+
+
 def cms_build_grouped(
     df: DataFrame,
     key_col: str,

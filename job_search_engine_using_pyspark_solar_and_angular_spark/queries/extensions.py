@@ -2776,3 +2776,137 @@ def ext_discount_impact(spark, sf_dir):
         (F.sum(gross) / 100.0).alias("gross_revenue"),
         (F.sum(conceded) / 100.0).alias("discount_given"),
     )
+
+
+@query("ext_tpch_q1")
+def ext_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the canonical scan-heavy partial+final
+    aggregate (4 groups from 600k+ rows: map-side combine does ~all the
+    work; the shuffle moves a handful of partial states). Every money sum
+    is cent-quantized per row before summing, discounts in basis points,
+    so sums AND the averages derived from them are bit-identical
+    cross-engine; averages divide the integer sums in the same (s/unit)/n
+    order on both sides."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qc = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    cc = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100,
+        0,
+    ).cast("long")
+    bps = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(qc) / 100.0).alias("sum_qty"),
+        (F.sum(pc) / 100.0).alias("sum_base_price"),
+        (F.sum(dc) / 100.0).alias("sum_disc_price"),
+        (F.sum(cc) / 100.0).alias("sum_charge"),
+        F.round(F.sum(qc).cast("double") / 100.0 / n, 2).alias("avg_qty"),
+        F.round(F.sum(pc).cast("double") / 100.0 / n, 2).alias("avg_price"),
+        F.round(F.sum(bps).cast("double") / 10000.0 / n, 4).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query("ext_spend_percentiles")
+def ext_spend_percentiles(spark, sf_dir):
+    """Per-user spend percentile panel: percent_rank (share of users
+    strictly below) and cume_dist (share at-or-below) over total purchase
+    spend — the rank-frame analytics beside ntile deciles. Both are exact
+    rationals of ranks, so 4-decimal rounding is engine-stable. The global
+    order runs over the USER grain (|users| ≪ |events|, post-agg); domains
+    where even that is too wide switch to the two-pass count-below
+    aggregation form."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sc"))
+    )
+    w = Window.orderBy(F.col("sc"), F.col("user_id"))
+    return spend.select(
+        "user_id",
+        (F.col("sc") / 100.0).alias("spend"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@query("ext_cumulative_revenue")
+def ext_cumulative_revenue(spark, sf_dir):
+    """Daily order revenue with the running cumulative total — the
+    UNBOUNDED PRECEDING frame beside the trailing-1h RANGE frame
+    (ext_moving_avg). Cent-exact daily sums make the running total an
+    integer prefix sum, order-independent across engines. The global
+    day-ordered window runs over the DAY grain (≤ a few thousand rows
+    after the first agg, whatever the fact-table size)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("rc")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("rc") / 100.0).alias("revenue"),
+        (F.sum("rc").over(w) / 100.0).alias("cum_revenue"),
+    )
+
+
+@query("ext_triangles")
+def ext_triangles(spark, sf_dir):
+    """Triangle census of the LSH similarity graph: node/edge counts, the
+    exact triangle count (compact-forward oriented 2-join, each triangle
+    counted once), open+closed triplets from integer degree sums, and the
+    global clustering coefficient — with the degree distribution and
+    cluster sizes, the third shape statistic that predicts dedup self-join
+    cost (cliques of boilerplate vs isolated dup pairs)."""
+    from ..operators.graph import triangle_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return triangle_stats(dedup.minhash_lsh_candidates(d))
+
+
+@query("ext_bloom_prune")
+def ext_bloom_prune(spark, sf_dir):
+    """Bloom-filter semi-join pruning report: build an md5-derived Bloom
+    filter (m=8192 bits, k=3) over BUILDING-segment customer keys, probe
+    every order map-side via ONE broadcast bit-set row, and reconcile
+    against the exact semi-join — rows probed / passed / truly matching /
+    false positives. md5 bit positions make the filter AND its false-
+    positive set exactly reproducible in SQL; the fourth sketch family
+    member, and the explicit form of the runtime join filter a 100 TB
+    star join wants (prune the fact scan before the shuffle)."""
+    from ..operators.sketches import bloom_build, bloom_probe
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    bits = bloom_build(c, "c_custkey", m_bits=8192, k=3)
+    probed = bloom_probe(bits, o, "o_custkey", m_bits=8192, k=3)
+    truth = c.select(F.col("c_custkey").alias("o_custkey")).distinct().withColumn(
+        "is_true", F.lit(True)
+    )
+    checked = probed.join(F.broadcast(truth), "o_custkey", "left").withColumn(
+        "is_true", F.coalesce(F.col("is_true"), F.lit(False))
+    )
+    return checked.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_pass"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_true")).cast("long")).alias(
+            "n_false_pos"
+        ),
+    )

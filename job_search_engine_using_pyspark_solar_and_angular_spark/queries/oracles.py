@@ -2316,3 +2316,101 @@ SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS discount_pct,
          AS discount_given
 FROM lineitem GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["ext_tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+         AS sum_base_price,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+         / 100.0 AS sum_disc_price,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100,
+                      0) AS BIGINT)) / 100.0 AS sum_charge,
+       ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*), 2) AS avg_qty,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*), 2) AS avg_price,
+       ROUND(CAST(SUM(CAST(ROUND(l_discount * 10000, 0) AS BIGINT)) AS DOUBLE)
+             / 10000.0 / COUNT(*), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["ext_spend_percentiles"] = """
+WITH spend AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sc
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT user_id, sc / 100.0 AS spend,
+       ROUND(percent_rank() OVER (ORDER BY sc, user_id), 4) AS pct_rank,
+       ROUND(cume_dist() OVER (ORDER BY sc, user_id), 4) AS cume
+FROM spend ORDER BY user_id
+"""
+
+ORACLES["ext_cumulative_revenue"] = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rc
+  FROM orders GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, rc / 100.0 AS revenue,
+       CAST(SUM(rc) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         / 100.0 AS cum_revenue
+FROM daily ORDER BY day
+"""
+
+ORACLES["ext_triangles"] = (
+    f"WITH {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, {_PAIRS_CTE}, "
+    "deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM ("
+    "  SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs) "
+    "GROUP BY doc_id), "
+    "tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c "
+    "  FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b "
+    "  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b), "
+    "s AS (SELECT "
+    "  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes, "
+    "  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges, "
+    "  (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles, "
+    "  (SELECT CAST(SUM(CAST((deg * (deg - 1)) // 2 AS BIGINT)) AS BIGINT) "
+    "     FROM deg) AS n_triplets) "
+    "SELECT n_nodes, n_edges, n_triangles, n_triplets, "
+    "  CASE WHEN n_triplets > 0 THEN ROUND(3.0 * CAST(n_triangles AS DOUBLE) "
+    "       / CAST(n_triplets AS DOUBLE), 4) ELSE 0.0 END AS clustering "
+    "FROM s"
+)
+
+_BLOOM_M = 8192
+
+
+def _bloom_pos_expr(i: int) -> str:
+    key_expr = "CONCAT('bf" + str(i) + ":', CAST(key AS VARCHAR))"
+    return f"({md5long(key_expr)} % {_BLOOM_M})"
+
+
+_bloom_pos_sql = [_bloom_pos_expr(i) for i in range(3)]
+ORACLES["ext_bloom_prune"] = f"""
+WITH bkeys AS (
+  SELECT DISTINCT c_custkey AS key FROM customer
+  WHERE c_mktsegment = 'BUILDING'),
+pos AS (
+  SELECT DISTINCT {_bloom_pos_sql[0]} AS p FROM bkeys
+  UNION SELECT {_bloom_pos_sql[1]} FROM bkeys
+  UNION SELECT {_bloom_pos_sql[2]} FROM bkeys),
+checked AS (
+  SELECT key,
+    ({_bloom_pos_sql[0]} IN (SELECT p FROM pos))
+    AND ({_bloom_pos_sql[1]} IN (SELECT p FROM pos))
+    AND ({_bloom_pos_sql[2]} IN (SELECT p FROM pos)) AS pass,
+    key IN (SELECT key FROM bkeys) AS is_true
+  FROM (SELECT o_custkey AS key FROM orders))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN pass AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM checked
+"""

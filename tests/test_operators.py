@@ -650,3 +650,43 @@ def test_grouped_cms_merges_to_whole(spark):
     )
     whole = sorted(map(tuple, sketches.cms_build(e, "user_id").collect()))
     assert merged == whole
+
+
+def test_bloom_no_false_negatives_and_plausible_fp(spark):
+    """Bloom contract: every built key passes the probe (no false
+    negatives); non-members mostly fail at this fill ratio (m=8192, k=3,
+    100 keys -> FP rate well under 1%, so 0 expected on 200 probes —
+    allow a couple)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.range(0, 100).withColumnRenamed("id", "k")
+    bits = bloom_build(members, "k", m_bits=8192, k=3)
+    n_bits = bits.count()
+    assert 0 < n_bits <= 300  # <= 100 keys * 3 hashes, minus collisions
+    probes = spark.range(0, 300).withColumnRenamed("id", "k")  # 100 in, 200 out
+    out = bloom_probe(bits, probes, "k", m_bits=8192, k=3)
+    res = {r["k"]: r["bloom_pass"] for r in out.collect()}
+    assert all(res[k] for k in range(100)), "false negative!"
+    fp = sum(1 for k in range(100, 300) if res[k])
+    assert fp <= 3
+
+
+def test_triangle_stats_known_graph(spark):
+    """Fixture: edges (1,2)(2,3)(1,3)(3,4) -> 1 triangle, degrees 2,2,3,1
+    -> triplets 1+1+3+0 = 5, clustering 3*1/5 = 0.6."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["doc_a", "doc_b"]
+    )
+    row = triangle_stats(pairs).collect()[0]
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 4
+    assert row["n_triangles"] == 1
+    assert row["n_triplets"] == 5
+    assert abs(row["clustering"] - 0.6) < 1e-9
