@@ -2910,3 +2910,42 @@ def ext_bloom_prune(spark, sf_dir):
             "n_false_pos"
         ),
     )
+
+
+@query("ext_more_like_this")
+def ext_more_like_this(spark, sf_dir):
+    """Solr MLT analog: top-10 docs most similar to doc_id=1 by TF-IDF
+    cosine over the inverted index — integer milli-unit weights make every
+    dot/norm an exact int64 sum, so the ranking (and the 4-decimal cosine)
+    is oracle-exact. Target vector broadcast, one doc_id shuffle,
+    TakeOrderedAndProject — never doc × doc."""
+    from ..search.bm25 import more_like_this
+
+    d = load_table(spark, sf_dir, "documents")
+    return more_like_this(d, target_id=1, k=10)
+
+
+@query("ext_tpch_q6")
+def ext_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast-revenue-change: the pure scan-filter-agg probe —
+    predicates (year, discount band in basis points, quantity cap) push to
+    the parquet scan; revenue = cent-quantized extendedprice·discount
+    summed as int64. The minimal full-scan query a 100 TB engine must
+    drive at IO speed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bps = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    rev = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100, 0
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_quantity") < 24)
+        )
+        .filter(bps.between(500, 700))
+        .agg(
+            (F.sum(rev) / 100.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -2414,3 +2414,40 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
          AS n_false_pos
 FROM checked
 """
+
+
+ORACLES["ext_more_like_this"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+postings AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+df_t AS (SELECT token, COUNT(*) AS df FROM postings GROUP BY token),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM postings),
+wts AS (
+  SELECT p.doc_id, p.token,
+         CAST(ROUND(p.tf * ln(nd.n / d.df) * 1000, 0) AS BIGINT) AS w
+  FROM postings p JOIN df_t d USING (token) CROSS JOIN nd),
+tgt AS (SELECT token, w AS wq FROM wts WHERE doc_id = 1),
+qn AS (SELECT CAST(SUM(wq * wq) AS BIGINT) AS qn FROM tgt),
+norms AS (
+  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nsq FROM wts GROUP BY doc_id),
+dots AS (
+  SELECT w.doc_id, CAST(SUM(w.w * t.wq) AS BIGINT) AS dot
+  FROM wts w JOIN tgt t USING (token) WHERE w.doc_id <> 1 GROUP BY w.doc_id)
+SELECT d.doc_id,
+       ROUND(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(nsq AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))),
+             4) AS sim
+FROM dots d JOIN norms USING (doc_id) CROSS JOIN qn
+ORDER BY sim DESC, doc_id LIMIT 10
+"""
+
+ORACLES["ext_tpch_q6"] = """
+SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+         / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND CAST(ROUND(l_discount * 10000, 0) AS BIGINT) BETWEEN 500 AND 700
+"""

@@ -281,3 +281,45 @@ def cms_merge_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bloom_merge_sink(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    target_path: str,
+    key_col: str,
+    checkpoint: str,
+    m_bits: int = 8192,
+    k: int = 3,
+    trigger_once: bool = True,
+):
+    """Incremental Bloom-filter maintenance via foreachBatch: hash each
+    micro-batch's keys to bit positions, UNION-distinct into the persisted
+    set-bit table, atomic-swap write. Bit-set union is commutative and
+    idempotent, so the maintained filter is EXACTLY the filter of all keys
+    ever seen (replay parity with a batch build pinned in tests) and the
+    state stays ≤ m_bits rows forever — the membership-sketch face of the
+    persist-once-merge-many design (counters: cms_merge_sink).
+
+    Serving pattern at scale: a fact-scan job reads the latest filter
+    (KBs), broadcasts it, and drops non-member rows map-side before any
+    shuffle — a continuously-maintained runtime join filter."""
+    from ..operators.sketches import bloom_build
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        b = bloom_build(batch, key_col, m_bits=m_bits, k=k)
+        try:
+            existing = spark.read.parquet(target_path)
+            merged = existing.unionByName(b).distinct()
+        except Exception:  # first batch: no filter yet
+            merged = b
+        tmp = target_path + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

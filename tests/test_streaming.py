@@ -690,3 +690,33 @@ def test_cms_merge_sink_replay_parity(spark, events_dir, tmp_path):
         map(tuple, cms_build(spark.read.parquet(events_dir), "user_id").collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_bloom_merge_sink_replay_parity(spark, events_dir, tmp_path):
+    """Bloom filter maintained incrementally (one bit-set union per
+    micro-batch) == the filter of a single batch build over all rows:
+    union-distinct idempotence is what makes replay exact."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.sketches import (
+        bloom_build,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.jobs import (
+        bloom_merge_sink,
+    )
+
+    schema = _stream_schema(spark, events_dir)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        events_dir
+    )
+    target = str(tmp_path / "bloom_target")
+    q = bloom_merge_sink(
+        stream, spark, target, key_col="user_id", checkpoint=str(tmp_path / "ck_bloom")
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(r["p"] for r in spark.read.parquet(target).collect())
+    want = sorted(
+        r["p"] for r in bloom_build(spark.read.parquet(events_dir), "user_id").collect()
+    )
+    assert got == want and len(got) > 0
