@@ -2949,3 +2949,103 @@ def ext_tpch_q6(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query("ext_scd2")
+def ext_scd2(spark, sf_dir):
+    """Type-2 slowly-changing-dimension history build: collapse each
+    user's event stream into (state, valid_from, valid_to) intervals that
+    open when event_type changes and close at the next change (NULL = the
+    current state) — the warehouse-history operator beside latest-wins
+    (type-1) and CDC snapshot-diff. One user_id shuffle; both windows
+    share the same (user_id × ts, event_id) sort, so Spark plans a single
+    sort per partition."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("next_ts", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        )
+    )
+
+
+@query("ext_chi2")
+def ext_chi2(spark, sf_dir):
+    """Chi-square independence test of event_type × day-of-week — the
+    feature-association statistic an EDA/feature-selection pass computes
+    per candidate column pair. Exactness: chi2 = n·Σ o²/(r·c) − n; each
+    cell's n·o²/(r·c) is ONE double expression over exact int64 totals
+    (all < 2^53, so the products are exact), rounded to nano-units and
+    summed as integers — the only order-dependent step (the sum) is
+    integer, hence engine-stable."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    n1 = cells.agg(F.sum("o").alias("n"))
+    contrib = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.round(
+                F.lit(1e9)
+                * F.col("n").cast("double")
+                * (F.col("o") * F.col("o")).cast("double")
+                / (F.col("r") * F.col("c")).cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("t"),
+            F.col("n"),
+        )
+    )
+    return contrib.groupBy("n").agg(F.sum("t").alias("s")).select(
+        F.round((F.col("s").cast("double") / 1e9) - F.col("n"), 4).alias("chi2"),
+        F.col("n").alias("n_events"),
+    )
+
+
+@query("ext_wilson_rates")
+def ext_wilson_rates(spark, sf_dir):
+    """Per-event-type high-value rate with the Wilson-score lower bound
+    (z=1.96) — the ranking-safe proportion estimate that doesn't let a
+    3-of-3 sample outrank 900-of-1000. All inputs are exact integer
+    counts; the bound is one fixed expression tree of IEEE-exact ops,
+    identical cross-engine at 4 decimals."""
+    z = 1.96
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") >= 50).cast("long")).alias("hits"),
+    )
+    nn = F.col("n").cast("double")
+    p = F.col("hits").cast("double") / nn
+    z2 = F.lit(z * z)
+    lower = (
+        p
+        + z2 / (2 * nn)
+        - F.lit(z)
+        * F.sqrt(p * (1 - p) / nn + z2 / (4 * nn * nn))
+    ) / (1 + z2 / nn)
+    return agg.select(
+        "event_type",
+        "n",
+        "hits",
+        F.round(p, 4).alias("rate"),
+        F.round(lower, 4).alias("wilson_lower"),
+    )

@@ -2451,3 +2451,53 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_quantity < 24
   AND CAST(ROUND(l_discount * 10000, 0) AS BIGINT) BETWEEN 500 AND 700
 """
+
+
+ORACLES["ext_scd2"] = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM changes ORDER BY user_id, valid_from
+"""
+
+ORACLES["ext_chi2"] = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+r_t AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+c_t AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+n_t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+contrib AS (
+  SELECT CAST(ROUND(1e9 * CAST(n AS DOUBLE) * CAST(o * o AS DOUBLE)
+              / CAST(r * c AS DOUBLE), 0) AS BIGINT) AS t, n
+  FROM cells JOIN r_t USING (event_type) JOIN c_t USING (dow) CROSS JOIN n_t)
+SELECT ROUND((CAST(SUM(t) AS DOUBLE) / 1e9) - n, 4) AS chi2,
+       n AS n_events
+FROM contrib GROUP BY n
+"""
+
+ORACLES["ext_wilson_rates"] = """
+WITH agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM events GROUP BY 1),
+d AS (
+  SELECT event_type, n, hits,
+         CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         CAST(n AS DOUBLE) AS nn
+  FROM agg)
+SELECT event_type, n, hits, ROUND(p, 4) AS rate,
+       ROUND((p + 3.8415999999999997 / (2 * nn)
+              - 1.96 * sqrt(p * (1 - p) / nn + 3.8415999999999997 / (4 * nn * nn)))
+             / (1 + 3.8415999999999997 / nn), 4) AS wilson_lower
+FROM d ORDER BY event_type
+"""
