@@ -3049,3 +3049,124 @@ def ext_wilson_rates(spark, sf_dir):
         F.round(p, 4).alias("rate"),
         F.round(lower, 4).alias("wilson_lower"),
     )
+
+
+@query("ext_hybrid_rrf")
+def ext_hybrid_rrf(spark, sf_dir):
+    """Hybrid search via Reciprocal-Rank Fusion: fuse the BM25 keyword
+    top-20 with the embedding-cosine top-20 as Σ 1/(60+rank) — the
+    RAG-stack standard for combining lexical and vector retrieval without
+    score calibration. Ranks are integers (ties broken on id), so the
+    fusion is engine-stable; both input rankings are the already-verified
+    q20/x2 surfaces. The two lists are ≤20 rows — the rank windows and
+    the full-outer merge are driver-tiny while each underlying retrieval
+    keeps its distributed plan."""
+    from pyspark.sql import Window
+
+    from ..search.bm25 import bm25_search
+    from ..search.index import build_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_search(spark, build_index(docs, cache=True), ["spark", "join"], k=20)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bmr = bm.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("rb")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 4) + F.lit(0.0)).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+    wv = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+    vr = cos.select(
+        "doc_id", F.row_number().over(wv).cast("long").alias("rv")
+    )
+    fused = bmr.join(vr, "doc_id", "full_outer")
+    rrf = F.coalesce(1.0 / (F.lit(60) + F.col("rb")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(60) + F.col("rv")), F.lit(0.0)
+    )
+    return (
+        fused.select("doc_id", "rb", "rv", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+@query("ext_percentile_bands")
+def ext_percentile_bands(spark, sf_dir):
+    """Per-type exact percentile bands (p25/p50/p75/p95/p99 of value) —
+    the latency-SLO panel shape, computed with the exact interpolating
+    percentile both engines define identically (the p50 column is the
+    already-verified ext_exact_median). One shuffle on the group key; the
+    per-group sort happens inside the aggregate buffer."""
+    e = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95, 0.99))")
+    return e.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 4).alias("p25"),
+        F.round(F.element_at(pct, 2), 4).alias("p50"),
+        F.round(F.element_at(pct, 3), 4).alias("p75"),
+        F.round(F.element_at(pct, 4), 4).alias("p95"),
+        F.round(F.element_at(pct, 5), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("ext_rolling_dau")
+def ext_rolling_dau(spark, sf_dir):
+    """Rolling 7-day distinct active users per day — the windowed-DISTINCT
+    aggregate plain window frames cannot express (count_distinct over a
+    moving frame): explode each day into the 7 days it contributes to
+    (day-grid join over per-day DISTINCT (day,user) pairs — bounded 7×
+    fan-out of the already-deduplicated day grain, never of raw events),
+    then one distinct-count per target day."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("src_d"), "user_id"
+    ).distinct()
+    days = du.select(F.col("src_d").alias("d")).distinct()
+    grid = days.select(
+        "d", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).select("d", F.date_sub(F.col("d"), F.col("off")).alias("src_d"))
+    rolled = grid.join(du, "src_d").groupBy("d").agg(
+        F.count_distinct("user_id").alias("dau7")
+    )
+    daily = du.groupBy(F.col("src_d").alias("d")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    return (
+        daily.join(rolled, "d")
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "dau", "dau7")
+    )
+
+
+@query("ext_reconcile_daily")
+def ext_reconcile_daily(spark, sf_dir):
+    """Daily signup-vs-purchase reconciliation via FULL OUTER join of the
+    two per-day aggregates — days where either side is absent survive with
+    zero-fill (the reconciliation-report shape; left/semi/anti are covered
+    elsewhere, this is the registry's full-outer face)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    s = e.filter(F.col("event_type") == "signup").groupBy(day).agg(
+        F.count("*").alias("n_signup")
+    )
+    p = e.filter(F.col("event_type") == "purchase").groupBy(day).agg(
+        F.count("*").alias("n_purchase")
+    )
+    return s.join(p, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_signup", F.lit(0)).alias("n_signup"),
+        F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+        (
+            F.coalesce("n_purchase", F.lit(0)) - F.coalesce("n_signup", F.lit(0))
+        ).alias("net"),
+    )

@@ -2501,3 +2501,90 @@ SELECT event_type, n, hits, ROUND(p, 4) AS rate,
              / (1 + 3.8415999999999997 / nn), 4) AS wilson_lower
 FROM d ORDER BY event_type
 """
+
+
+ORACLES["ext_hybrid_rrf"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+postings AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, token),
+dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM postings
+          WHERE token IN ('spark', 'join') GROUP BY token),
+scores AS (
+  SELECT p.doc_id,
+         SUM( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * {K1 + 1.0!r}
+              / (p.tf + {K1!r} * (1.0 - {B!r} + {B!r} * l.dl / s.avgdl)) ) AS raw
+  FROM postings p
+  JOIN dfreq d ON p.token = d.token
+  JOIN dlen l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id),
+bm AS (SELECT doc_id, ROUND(raw, 4) AS score FROM scores
+       ORDER BY score DESC, doc_id LIMIT 20),
+bmr AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rb
+        FROM bm),
+cos AS (SELECT e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS sim
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0 ORDER BY sim DESC, doc_id LIMIT 20),
+vr AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+                AS rv
+       FROM cos),
+fused AS (SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id, b.rb, v.rv
+          FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id)
+SELECT doc_id, rb, rv,
+       ROUND(COALESCE(1.0 / (60 + rb), 0.0)
+             + COALESCE(1.0 / (60 + rv), 0.0), 6) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+ORACLES["ext_percentile_bands"] = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.75), 4) AS p75,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["ext_rolling_dau"] = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS src_d, user_id
+  FROM events),
+days AS (SELECT DISTINCT src_d AS d FROM du),
+grid AS (
+  SELECT d, d - CAST(off AS INTEGER) AS src_d
+  FROM days CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off)),
+rolled AS (
+  SELECT g.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS dau7
+  FROM grid g JOIN du ON du.src_d = g.src_d GROUP BY g.d),
+daily AS (
+  SELECT src_d AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM du GROUP BY src_d)
+SELECT strftime(daily.d, '%Y-%m-%d') AS day, dau, dau7
+FROM daily JOIN rolled ON daily.d = rolled.d ORDER BY day
+"""
+
+ORACLES["ext_reconcile_daily"] = """
+WITH s AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_signup
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT COALESCE(s.day, p.day) AS day,
+       COALESCE(n_signup, 0) AS n_signup,
+       COALESCE(n_purchase, 0) AS n_purchase,
+       COALESCE(n_purchase, 0) - COALESCE(n_signup, 0) AS net
+FROM s FULL OUTER JOIN p ON s.day = p.day ORDER BY day
+"""
