@@ -3170,3 +3170,105 @@ def ext_reconcile_daily(spark, sf_dir):
             F.coalesce("n_purchase", F.lit(0)) - F.coalesce("n_signup", F.lit(0))
         ).alias("net"),
     )
+
+
+@query("ext_source_drift")
+def ext_source_drift(spark, sf_dir):
+    """Corpus-mix drift: Jensen-Shannon divergence between the token
+    distributions of two sources — the statistic a curation pipeline
+    monitors when an upstream feed changes character. Per-token JS
+    contributions are single double expressions over exact counts,
+    rounded to pico-units and summed as integers, so the divergence is
+    engine-stable; zero-count sides contribute exactly 0. One full-outer
+    token join; totals ride as a broadcast 1-row frame."""
+    from ..functions.text import tokenize_normalized
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tok = d.select(
+        "source", F.explode(tokenize_normalized(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    c0 = counts.filter(F.col("source") == "src0").select(
+        "token", F.col("c").alias("c0")
+    )
+    c1 = counts.filter(F.col("source") == "src1").select(
+        "token", F.col("c").alias("c1")
+    )
+    j = (
+        c0.join(c1, "token", "full_outer")
+        .na.fill(0, ["c0", "c1"])
+    )
+    tot = j.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    full = j.crossJoin(F.broadcast(tot))
+    p = F.col("c0").cast("double") / F.col("n0").cast("double")
+    q = F.col("c1").cast("double") / F.col("n1").cast("double")
+    m = (p + q) / 2
+    term = F.when(F.col("c0") > 0, 0.5 * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("c1") > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    scored = full.select(
+        "c0",
+        "c1",
+        F.round(term * 1e12, 0).cast("long").alias("t"),
+    )
+    return scored.agg(
+        F.round(F.sum("t").cast("double") / 1e12, 6).alias("js_divergence"),
+        F.sum((F.col("c0") > 0).cast("long")).alias("vocab_src0"),
+        F.sum((F.col("c1") > 0).cast("long")).alias("vocab_src1"),
+        F.sum(((F.col("c0") > 0) & (F.col("c1") > 0)).cast("long")).alias(
+            "vocab_shared"
+        ),
+    )
+
+
+@query("ext_k_anonymity")
+def ext_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (event_type, hour-of-day, value decaband): rows falling in groups
+    smaller than k are re-identifiable — the governance check beside PII
+    redaction before a dataset ships. One group pass + one integer
+    rollup; shares in floored basis points."""
+    e = load_table(spark, sf_dir, "events")
+    qid = [
+        F.col("event_type"),
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / 10).cast("long").alias("vband"),
+    ]
+    groups = e.groupBy(*qid).agg(F.count("*").alias("n"))
+    unsafe = F.col("n") < 5
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(unsafe.cast("long")).alias("n_unsafe_groups"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(unsafe, F.col("n")).otherwise(F.lit(0))).alias(
+            "n_unsafe_rows"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000 div sum(n)"
+            " AS BIGINT)"
+        ).alias("unsafe_bp"),
+    )
+
+
+@query("ext_label_balance")
+def ext_label_balance(spark, sf_dir):
+    """Training-label balance audit over the embedding corpus: per-class
+    counts, floored-bp shares, and signed deviation from the uniform
+    share — the first check before a classifier fine-tune (skewed labels
+    → reweight or resample). Single pass; the class-count scalar stays
+    in-plan as a broadcast 1-row frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per = emb.groupBy("label").agg(F.count("*").alias("n"))
+    tot = per.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_classes")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        F.expr("CAST(n * 10000 div total AS BIGINT)").alias("share_bp"),
+        F.expr(
+            "CAST(n * 10000 div total - 10000 div n_classes AS BIGINT)"
+        ).alias("dev_from_uniform_bp"),
+    )

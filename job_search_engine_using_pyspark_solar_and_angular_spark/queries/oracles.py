@@ -2588,3 +2588,67 @@ SELECT COALESCE(s.day, p.day) AS day,
        COALESCE(n_purchase, 0) - COALESCE(n_signup, 0) AS net
 FROM s FULL OUTER JOIN p ON s.day = p.day ORDER BY day
 """
+
+
+ORACLES["ext_source_drift"] = f"""
+WITH d2 AS (
+  SELECT source, unnest({TOKS}) AS token FROM documents
+  WHERE source IN ('src0', 'src1')),
+counts AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM d2 GROUP BY 1, 2),
+cc0 AS (SELECT token, c AS c0 FROM counts WHERE source = 'src0'),
+cc1 AS (SELECT token, c AS c1 FROM counts WHERE source = 'src1'),
+j AS (
+  SELECT COALESCE(cc0.c0, 0) AS c0, COALESCE(cc1.c1, 0) AS c1
+  FROM cc0 FULL OUTER JOIN cc1 ON cc0.token = cc1.token),
+tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+        FROM j),
+terms AS (
+  SELECT c0, c1,
+    CAST(ROUND((
+      CASE WHEN c0 > 0 THEN 0.5 * (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        * ln((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / (((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 + (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))) / 2))
+      ELSE 0.0 END
+      + CASE WHEN c1 > 0 THEN 0.5 * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        * ln((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             / (((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 + (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))) / 2))
+      ELSE 0.0 END) * 1e12, 0) AS BIGINT) AS t
+  FROM j CROSS JOIN tot)
+SELECT ROUND(CAST(SUM(t) AS DOUBLE) / 1e12, 6) AS js_divergence,
+       CAST(SUM(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_src0,
+       CAST(SUM(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_src1,
+       CAST(SUM(CASE WHEN c0 > 0 AND c1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_shared
+FROM terms
+"""
+
+ORACLES["ext_k_anonymity"] = """
+WITH groups AS (
+  SELECT event_type, hour(ts) AS hod,
+         CAST(FLOOR(value / 10) AS BIGINT) AS vband,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unsafe_groups,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_unsafe_rows,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000 // SUM(n) AS BIGINT)
+         AS unsafe_bp
+FROM groups
+"""
+
+ORACLES["ext_label_balance"] = """
+WITH per AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+             GROUP BY label),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_classes FROM per)
+SELECT label, n,
+       CAST(n * 10000 // total AS BIGINT) AS share_bp,
+       CAST(n * 10000 // total - 10000 // n_classes AS BIGINT)
+         AS dev_from_uniform_bp
+FROM per CROSS JOIN tot ORDER BY label
+"""
