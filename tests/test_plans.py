@@ -323,3 +323,43 @@ def test_sliding_window_is_single_shuffle_agg(spark):
     assert p.count("HashAggregate") >= 2
     assert "Join" not in p
     assert p.count("Exchange") == 1, p.count("Exchange")
+
+
+def test_tpch_q6_filters_push_to_scan(spark):
+    """Q6's ship-date range and quantity cap must reach the parquet scan as
+    pushed filters — the pure-scan query lives or dies on pruning."""
+    p = plan_of(spark, "ext_tpch_q6")
+    assert "l_shipdate" in p and "PushedFilters" in p
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", p) or "LessThan(l_quantity,24.0)" in p
+
+
+def test_bloom_probe_is_map_only(spark):
+    """Bloom probing must stay map-side: the bit set joins as ONE broadcast
+    row (nested-loop over a single row is free), and the exact-truth
+    reconciliation side is a broadcast hash join — no shuffle join anywhere."""
+    p = plan_of(spark, "ext_bloom_prune")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_more_like_this_broadcasts_target_and_takes_ordered(spark):
+    """MLT: target weight vector broadcast (never a doc x doc join) and the
+    final top-k compiled to TakeOrderedAndProject."""
+    p = plan_of(spark, "ext_more_like_this")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rolling_dau_grid_join_is_equi(spark):
+    """The 7-day grid join must be an equi-join on src_d, not a range
+    cross-join: no CartesianProduct in the plan."""
+    p = plan_of(spark, "ext_rolling_dau")
+    assert "CartesianProduct" not in p
+
+
+def test_triangles_joins_are_hash_equi(spark):
+    """Triangle census: wedge and closure joins are hash equi-joins on
+    vertex keys — never a cartesian edge x edge comparison."""
+    p = plan_of(spark, "ext_triangles")
+    assert "CartesianProduct" not in p
