@@ -84,6 +84,15 @@ HEADLINE = [
     # the reference's whole batch job (BASELINE.md Figure 10 workload shape):
     # nested flatten + 3-way split + latest-wins dedup + vocab regex filter
     "ext_preprocess_pipeline",
+    # round-2 late additions: canonical TPC-H scan-aggregates, the packed
+    # Bloom join filter, MLT doc-to-doc retrieval, hybrid RRF fusion, and
+    # the triangle census over the LSH similarity graph
+    "ext_tpch_q1",
+    "ext_tpch_q6",
+    "ext_bloom_prune",
+    "ext_more_like_this",
+    "ext_hybrid_rrf",
+    "ext_triangles",
 ]
 
 # BASELINE.md Fig. 10: reference preprocess ≈ 90 s per 100 MB raw JSON.
