@@ -3272,3 +3272,82 @@ def ext_label_balance(spark, sf_dir):
             "CAST(n * 10000 div total - 10000 div n_classes AS BIGINT)"
         ).alias("dev_from_uniform_bp"),
     )
+
+
+@query("ext_interval_merge")
+def ext_interval_merge(spark, sf_dir):
+    """Gaps-and-islands interval coalescing: give each event a 30-minute
+    activity span and merge every overlapping-or-touching span per user
+    into covered islands (start, end, n_events) — the classic
+    interval-union operator beside point-gap sessionize (an island closes
+    only when a span STARTS after the running max end, which handles
+    nested/out-of-order spans sessionize's pairwise gap cannot). Two
+    frames over ONE per-user sort; integer epoch arithmetic throughout."""
+    from pyspark.sql import Window
+
+    span = 1800
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("s"),
+        (F.col("ts").cast("timestamp").cast("long") + span).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = e.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    island = F.sum("new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("start_s"),
+            F.max("e").alias("end_s"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query("ext_ratio_to_report")
+def ext_ratio_to_report(spark, sf_dir):
+    """Share-of-total within a partition (Oracle's RATIO_TO_REPORT): each
+    event type's share of its day's traffic in floored basis points — the
+    partition-sum window ratio, integer-exact, one shuffle on the day key
+    shared by the agg and the window."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("day"))
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(n * 10000 div sum(n) OVER (PARTITION BY day) AS BIGINT)"
+        ).alias("share_bp"),
+    )
+
+
+@query("ext_recall_at_k")
+def ext_recall_at_k(spark, sf_dir):
+    """Recall@5 of the int8-quantized ANN tier against the exact cosine
+    top-5 — the accuracy metric every ANN deployment reports, here
+    computed between two already-verified deterministic rankings so the
+    metric itself is oracle-exact (the float-sensitive LSH/IVF tiers get
+    rows-only recall tests instead)."""
+    approx = QUERIES["ext_ann_quantized"](spark, sf_dir).select("vec_id")
+    exact = QUERIES["x2_cosine_topk"](spark, sf_dir).select("vec_id")
+    hit = approx.join(exact, "vec_id")
+    return hit.agg(
+        F.lit(5).cast("long").alias("k"),
+        F.count("*").alias("n_hit"),
+        F.round(F.count("*").cast("double") / 5.0, 4).alias("recall"),
+    )

@@ -2652,3 +2652,78 @@ SELECT label, n,
          AS dev_from_uniform_bp
 FROM per CROSS JOIN tot ORDER BY label
 """
+
+
+ORACLES["ext_interval_merge"] = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800 AS en
+  FROM events),
+f AS (
+  SELECT user_id, event_id, s, en,
+         CASE WHEN MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS ni
+  FROM ev),
+g AS (
+  SELECT user_id, s, en,
+         CAST(SUM(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS island
+  FROM f)
+SELECT user_id, island, MIN(s) AS start_s, MAX(en) AS end_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, island ORDER BY user_id, island
+"""
+
+ORACLES["ext_ratio_to_report"] = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT day, event_type, n,
+       CAST(n * 10000 // SUM(n) OVER (PARTITION BY day) AS BIGINT) AS share_bp
+FROM daily ORDER BY day, event_type
+"""
+
+ORACLES["ext_recall_at_k"] = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings WHERE vec_id <> 0),
+dq AS (
+  SELECT vec_id,
+    CASE WHEN mx = mn
+         THEN list_transform(embedding, x -> mn + 128.0 * 0.0)
+         ELSE list_transform(embedding, x ->
+           mn + (CAST(CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS INT) - 128 AS DOUBLE) + 128.0)
+                * ((mx - mn) / 255.0))
+    END AS approx
+  FROM s),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+coarse AS (
+  SELECT d.vec_id,
+         ROUND(list_cosine_similarity(d.approx, q.qv), 4) + 0.0 AS csim
+  FROM dq d, q
+  ORDER BY csim DESC, d.vec_id LIMIT 50),
+approx_top AS (
+  SELECT e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+           + 0.0 AS sim
+  FROM coarse c JOIN embeddings e USING (vec_id), q
+  ORDER BY sim DESC, e.vec_id LIMIT 5),
+exact_top AS (
+  SELECT e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+           + 0.0 AS sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY sim DESC, e.vec_id LIMIT 5),
+hit AS (SELECT a.vec_id FROM approx_top a JOIN exact_top x USING (vec_id))
+SELECT CAST(5 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / 5.0, 4) AS recall
+FROM hit
+"""
