@@ -265,3 +265,84 @@ def test_quantize_roundtrip_bound_property(spark, vals):
     orig = [float(x) for x in df.collect()[0]["embedding"]]  # float32-rounded
     err = max(abs(a - b) for a, b in zip(row["approx"], orig))
     assert err <= scale / 2 + 1e-9
+
+
+@given(
+    members=st.lists(st.integers(0, 10**6), min_size=1, max_size=40),
+    probes=st.lists(st.integers(0, 10**6), min_size=1, max_size=40),
+)
+@_SET
+def test_bloom_never_false_negative_property(spark, members, probes):
+    """For ANY member/probe sets: every member passes (no false negatives),
+    and a failing probe is NEVER a member (fails ⇒ truly absent)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m = spark.createDataFrame([(v,) for v in members], ["k"])
+    p = spark.createDataFrame([(v,) for v in set(probes) | set(members)], ["k"])
+    bits = bloom_build(m, "k", m_bits=1024, k=3)
+    out = {r["k"]: r["bloom_pass"] for r in bloom_probe(bits, p, "k", m_bits=1024, k=3).collect()}
+    mem = set(members)
+    assert all(out[v] for v in mem)
+    assert all(v not in mem for v, ok in out.items() if not ok)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10000)),  # (user, start)
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SET
+def test_interval_merge_islands_disjoint_and_cover(spark, rows):
+    """For ANY span set: per-user islands are non-overlapping, ordered,
+    separated by real gaps (> span), and their event counts sum to the
+    input row count."""
+    from pyspark.sql import Window
+
+    span = 100
+    df = spark.createDataFrame(
+        [(u, i, s, s + span) for i, (u, s) in enumerate(rows)],
+        ["user_id", "event_id", "s", "e"],
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "ni", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    )
+    islands = (
+        flagged.withColumn(
+            "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("a"), F.max("e").alias("b"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert sum(r["n"] for r in islands) == len(rows)
+    by_user = {}
+    for r in islands:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for spans in by_user.values():
+        spans.sort(key=lambda r: r["island"])
+        for prev, cur in zip(spans, spans[1:]):
+            assert cur["a"] > prev["b"]  # real gap between islands
+
+
+def test_triangle_count_complete_graph(spark):
+    """K_6 has C(6,3)=20 triangles, 15 edges, 6*C(5,2)=60 triplets,
+    clustering exactly 1.0."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    row = triangle_stats(
+        spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    ).collect()[0]
+    assert row["n_edges"] == 15
+    assert row["n_triangles"] == 20
+    assert row["n_triplets"] == 60
+    assert row["clustering"] == 1.0
