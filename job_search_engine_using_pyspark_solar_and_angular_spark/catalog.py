@@ -261,3 +261,23 @@ def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
         for p in leaves(df.schema)
     ]
     return df.select(*cols)
+
+
+def backfill_partition(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str = "day",
+) -> None:
+    """Idempotent partition backfill: overwrite ONLY the partitions present
+    in ``df``, leave every other partition untouched (dynamic partition
+    overwrite — the daily-job re-run primitive; a failed Tuesday re-runs
+    without clobbering Monday). Static overwrite mode would drop the whole
+    table; this scopes the overwrite to ``df``'s partition values, which is
+    what makes re-running a single day idempotent at any table size."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -3351,3 +3351,32 @@ def ext_recall_at_k(spark, sf_dir):
         F.count("*").alias("n_hit"),
         F.round(F.count("*").cast("double") / 5.0, 4).alias("recall"),
     )
+
+
+@query("ext_json_extract")
+def ext_json_extract(spark, sf_dir):
+    """Semi-structured JSON column processing: parse the events ``props``
+    JSON once with an explicit-schema ``from_json`` (one parse per row —
+    never per-field ``get_json_object`` re-parsing) and aggregate the
+    extracted field per event type: count, nulls, min/max, and the
+    integer-exact mean of k. The in-row JSON surface beside the S2
+    document-level JSON scan."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "k",
+        F.from_json(
+            F.col("props"), T.StructType([T.StructField("k", T.LongType())])
+        )["k"],
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_null"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.round(
+            F.sum("k").cast("double") / F.sum(F.col("k").isNotNull().cast("long")),
+            4,
+        ).alias("avg_k"),
+    )

@@ -2727,3 +2727,16 @@ SELECT CAST(5 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
        ROUND(CAST(COUNT(*) AS DOUBLE) / 5.0, 4) AS recall
 FROM hit
 """
+
+
+ORACLES["ext_json_extract"] = """
+WITH parsed AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       ROUND(CAST(SUM(k) AS DOUBLE)
+             / SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END), 4) AS avg_k
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""

@@ -281,3 +281,45 @@ def test_flatten_struct_on_tweet_schema(spark, tmp_path):
         f.dataType.typeName() == "struct" for f in flat.schema.fields
     )
     assert flat.count() == 3
+
+
+def test_backfill_partition_is_scoped_and_idempotent(spark, tmp_path):
+    """Dynamic partition overwrite: re-writing one day's partition must
+    leave other partitions byte-identical, and re-running the same
+    backfill must be a no-op on the data."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.catalog import (
+        backfill_partition,
+    )
+
+    path = str(tmp_path / "daily")
+    full = spark.createDataFrame(
+        [("2026-01-01", 1, 10.0), ("2026-01-01", 2, 20.0),
+         ("2026-01-02", 3, 30.0), ("2026-01-03", 4, 40.0)],
+        ["day", "id", "v"],
+    )
+    backfill_partition(spark, full, path)
+
+    # re-run day 2 with corrected data
+    fixed = spark.createDataFrame([("2026-01-02", 3, 99.0)], ["day", "id", "v"])
+    backfill_partition(spark, fixed, path)
+    got = {
+        (str(r["day"]), r["id"]): r["v"] for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2026-01-01", 1): 10.0,
+        ("2026-01-01", 2): 20.0,
+        ("2026-01-02", 3): 99.0,
+        ("2026-01-03", 4): 40.0,
+    }
+
+    # idempotence: same backfill again — same table
+    backfill_partition(spark, fixed, path)
+    again = {
+        (str(r["day"]), r["id"]): r["v"] for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
+
+    # partition pruning still works on the layout
+    pruned = spark.read.parquet(path).filter(F.col("day") == "2026-01-03")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
