@@ -3380,3 +3380,29 @@ def ext_json_extract(spark, sf_dir):
             4,
         ).alias("avg_k"),
     )
+
+
+@query("ext_tokenizer_fertility")
+def ext_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: characters per whitespace token
+    and per BPE-ish token — the statistic that prices a multilingual
+    corpus in tokens (a high chars/token language is cheap in tokens,
+    CJK-like scripts are expensive). Ratios from exact integer sums,
+    mirrored division order."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " ")).cast("long")
+    bpe = F.size(F.expr(r"regexp_extract_all(text, '(\\w+|[^\\w\\s])', 1)")).cast(
+        "long"
+    )
+    per = d.select("lang", F.length("text").cast("long").alias("nc"), ws.alias("nt"), bpe.alias("nb"))
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nc").alias("total_chars"),
+        F.sum("nt").alias("total_ws_tokens"),
+        F.round(F.sum("nc").cast("double") / F.sum("nt"), 4).alias(
+            "chars_per_ws_token"
+        ),
+        F.round(F.sum("nc").cast("double") / F.sum("nb"), 4).alias(
+            "chars_per_bpe_token"
+        ),
+    )

@@ -2740,3 +2740,18 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              / SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END), 4) AS avg_k
 FROM parsed GROUP BY event_type ORDER BY event_type
 """
+
+
+ORACLES["ext_tokenizer_fertility"] = r"""
+WITH per AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         CAST(len(regexp_extract_all(text, '(\w+|[^\w\s])', 1)) AS BIGINT) AS nb
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS total_chars,
+       CAST(SUM(nt) AS BIGINT) AS total_ws_tokens,
+       ROUND(CAST(SUM(nc) AS DOUBLE) / SUM(nt), 4) AS chars_per_ws_token,
+       ROUND(CAST(SUM(nc) AS DOUBLE) / SUM(nb), 4) AS chars_per_bpe_token
+FROM per GROUP BY lang ORDER BY lang
+"""
