@@ -3061,43 +3061,19 @@ def ext_hybrid_rrf(spark, sf_dir):
     q20/x2 surfaces. The two lists are ≤20 rows — the rank windows and
     the full-outer merge are driver-tiny while each underlying retrieval
     keeps its distributed plan."""
-    from pyspark.sql import Window
-
-    from ..search.bm25 import bm25_search
+    from ..search.api import search_hybrid
     from ..search.index import build_index
 
     docs = load_table(spark, sf_dir, "documents")
-    bm = bm25_search(spark, build_index(docs, cache=True), ["spark", "join"], k=20)
-    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    bmr = bm.select(
-        "doc_id", F.row_number().over(wb).cast("long").alias("rb")
-    )
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cos = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            (F.round(cosine(F.col("embedding"), F.col("qv")), 4) + F.lit(0.0)).alias(
-                "sim"
-            ),
-        )
-        .orderBy(F.col("sim").desc(), F.col("doc_id"))
-        .limit(20)
-    )
-    wv = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
-    vr = cos.select(
-        "doc_id", F.row_number().over(wv).cast("long").alias("rv")
-    )
-    fused = bmr.join(vr, "doc_id", "full_outer")
-    rrf = F.coalesce(1.0 / (F.lit(60) + F.col("rb")), F.lit(0.0)) + F.coalesce(
-        1.0 / (F.lit(60) + F.col("rv")), F.lit(0.0)
-    )
-    return (
-        fused.select("doc_id", "rb", "rv", F.round(rrf, 6).alias("rrf"))
-        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
-        .limit(10)
+    return search_hybrid(
+        spark,
+        build_index(docs, cache=True),
+        emb,
+        "spark join",
+        query_vec_id=0,
+        k=10,
+        pool=20,
     )
 
 

@@ -262,3 +262,73 @@ def snippets(
         .orderBy(id_col)
         .limit(k)
     )
+
+
+def related_docs(
+    docs: DataFrame,
+    doc_id,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Related-content endpoint (Solr's MLT handler shape): More-Like-This
+    top-k for a document, joined back to the full doc rows — the same
+    hits-are-tiny broadcast-back pattern as search_keyword."""
+    from .bm25 import more_like_this
+
+    hits = more_like_this(docs, doc_id, k=k, id_col=id_col, text_col=text_col)
+    return hits.join(docs, id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+
+
+def search_hybrid(
+    spark: SparkSession,
+    index: SearchIndex,
+    embeddings: DataFrame,
+    query: str,
+    query_vec_id,
+    k: int = 10,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval endpoint: BM25 over the query text fused with
+    cosine over a query vector by Reciprocal-Rank Fusion (1/(60+rank)) —
+    the RAG-stack front door. Both candidate pools are size ``pool``; the
+    fusion runs over ≤2·pool rows while each retrieval keeps its
+    distributed plan."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+
+    terms = tokenize_query(query)
+    bm = bm25_search(spark, index, terms, k=pool)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bmr = bm.select("doc_id", F.row_number().over(wb).cast("long").alias("rb"))
+    qv = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    cos = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            (F.round(cosine(F.col(vec_col), F.col("qv")), 4) + F.lit(0.0)).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), F.col("doc_id"))
+        .limit(pool)
+    )
+    wv = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+    vr = cos.select("doc_id", F.row_number().over(wv).cast("long").alias("rv"))
+    rrf = F.coalesce(1.0 / (F.lit(60) + F.col("rb")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(60) + F.col("rv")), F.lit(0.0)
+    )
+    return (
+        bmr.join(vr, "doc_id", "full_outer")
+        .select("doc_id", "rb", "rv", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(k)
+    )

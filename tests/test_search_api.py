@@ -257,3 +257,43 @@ def test_phrase_from_served_index_matches_direct(spark, tmp_path):
     plan = phrase_from_postings(served, ["window", "join"])._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan  # a real join ran
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_related_docs_envelope(spark):
+    """MLT endpoint: related docs for doc 1 — k rows, full doc columns, the
+    target itself excluded."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.api import (
+        related_docs,
+        to_envelope,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    env = to_envelope(related_docs(docs, 1, k=5))
+    assert env["count"] == 5 and env["status_code"] == 200
+    assert all(row["doc_id"] != 1 for row in env["data"])
+    assert all("text" in row and "sim" in row for row in env["data"])
+
+
+def test_search_hybrid_contains_both_modalities(spark):
+    """Hybrid fusion: the fused top-k must carry ranks from at least one of
+    the two sources per row, and any doc ranked top-3 by BOTH sources must
+    appear in the fused top-k."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.api import (
+        search_hybrid,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+        build_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = search_hybrid(
+        spark, build_index(docs, cache=True), emb, "spark join", 0, k=10, pool=20
+    ).collect()
+    assert 0 < len(out) <= 10
+    assert all(r["rb"] is not None or r["rv"] is not None for r in out)
+    both_top3 = [r["doc_id"] for r in out if (r["rb"] or 99) <= 3 and (r["rv"] or 99) <= 3]
+    fused_ids = {r["doc_id"] for r in out}
+    assert all(d in fused_ids for d in both_top3)
