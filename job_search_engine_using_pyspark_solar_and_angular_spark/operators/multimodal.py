@@ -152,3 +152,63 @@ def decode_real(media: DataFrame) -> DataFrame:
         "No image/audio codec libraries in this environment. "
         "Swap _decode_stub in extract_features for PIL/librosa/ffmpeg."
     )
+
+
+def audio_chunk_stub(
+    media: DataFrame,
+    sample_rate_hz: int = 16_000,
+    chunk_ms: int = 30_000,
+    overlap_ms: int = 5_000,
+) -> DataFrame:
+    """ASR-prep audio chunking contract: 1 audio row -> k overlapping
+    fixed-duration chunk rows (chunk_no, start_ms, end_ms, chunk_payload),
+    byte ranges computed from PCM16 framing (2 bytes/sample) — the
+    Whisper-style 30s/5s-overlap windowing. The chunk math is real and
+    deterministic (boundary/overlap invariants pinned in tests); a real
+    implementation only swaps the byte-slice for a codec-aware splitter
+    inside the same Arrow batch shape. Row-local fan-out: no shuffle until
+    a downstream operator keys on the chunks."""
+    bytes_per_ms = sample_rate_hz * 2 // 1000
+    step_ms = chunk_ms - overlap_ms
+    assert step_ms > 0, "overlap must be shorter than the chunk"
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("chunk_no", LongType(), False),
+            StructField("start_ms", LongType(), False),
+            StructField("end_ms", LongType(), False),
+            StructField("chunk_payload", BinaryType(), True),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, chunks, starts, ends, payloads = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                p = row["payload"] or b""
+                dur_ms = max(len(p) // max(bytes_per_ms, 1), 1)
+                cno, start = 0, 0
+                while start < dur_ms:
+                    end = min(start + chunk_ms, dur_ms)
+                    ids.append(row["media_id"])
+                    chunks.append(cno)
+                    starts.append(start)
+                    ends.append(end)
+                    payloads.append(
+                        p[start * bytes_per_ms : end * bytes_per_ms]
+                    )
+                    if end >= dur_ms:
+                        break
+                    start += step_ms
+                    cno += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_no": chunks,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                    "chunk_payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=out_schema)

@@ -690,3 +690,42 @@ def test_triangle_stats_known_graph(spark):
     assert row["n_triangles"] == 1
     assert row["n_triplets"] == 5
     assert abs(row["clustering"] - 0.6) < 1e-9
+
+
+def test_audio_chunk_contract(spark):
+    """Audio chunking plumbing: chunks tile each payload with the declared
+    overlap, byte ranges follow PCM16 framing, concatenating the
+    non-overlapped prefixes reconstructs the original payload."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        multimodal,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 4)
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    sr, chunk_ms, overlap_ms = 1000, 40, 10  # 2 bytes/ms framing
+    out = multimodal.audio_chunk_stub(
+        media, sample_rate_hz=sr, chunk_ms=chunk_ms, overlap_ms=overlap_ms
+    ).collect()
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    bpm = sr * 2 // 1000
+    by_media = {}
+    for r in sorted(out, key=lambda r: (r["media_id"], r["chunk_no"])):
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(orig)
+    step = chunk_ms - overlap_ms
+    for mid, chunks in by_media.items():
+        dur = max(len(orig[mid]) // bpm, 1)
+        rebuilt = b""
+        for i, c in enumerate(chunks):
+            assert c["chunk_no"] == i
+            assert c["start_ms"] == i * step
+            assert c["end_ms"] <= dur
+            assert bytes(c["chunk_payload"]) == orig[mid][
+                c["start_ms"] * bpm : c["end_ms"] * bpm
+            ]
+            take_to = (
+                c["end_ms"] if i == len(chunks) - 1 else chunks[i + 1]["start_ms"]
+            )
+            rebuilt += orig[mid][c["start_ms"] * bpm : take_to * bpm]
+        assert rebuilt == orig[mid][: dur * bpm]
+        assert chunks[-1]["end_ms"] == dur
