@@ -217,3 +217,34 @@ def read_tweets_stream(spark: SparkSession, path: str) -> DataFrame:
     ``Tweets_preprocessing.py:605-621``). English-only / keyword filters are
     applied downstream as ordinary filters (F7/F5)."""
     return spark.readStream.schema(tweet_schema()).json(path)
+
+
+def read_tweets_with_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Production JSONL ingest: PERMISSIVE parse with corrupt records routed
+    to a dead-letter frame instead of poisoning the batch (the reference's
+    multiLine read simply crashes on a malformed file). Returns
+    (valid, quarantined) — quarantined rows carry the raw line for replay
+    after an upstream fix.
+
+    A malformed line parses with every schema field null and the raw text
+    in ``_corrupt_record``; the split is one column predicate, so both
+    frames share the single scan and the valid side's pushdown is intact.
+    JSON Lines (not multiLine arrays) keeps the input splittable — at
+    100 TB one bad byte quarantines ONE line, not a whole file."""
+    schema = tweet_schema().add("_corrupt_record", T.StringType())
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).cache()  # Spark requires materializing before referencing _corrupt_record
+    from pyspark.sql import functions as F
+
+    bad = F.col("_corrupt_record").isNotNull()
+    valid = df.filter(~bad).drop("_corrupt_record")
+    quarantined = df.filter(bad).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return valid, quarantined

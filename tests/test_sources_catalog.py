@@ -323,3 +323,22 @@ def test_backfill_partition_is_scoped_and_idempotent(spark, tmp_path):
     pruned = spark.read.parquet(path).filter(F.col("day") == "2026-01-03")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_read_tweets_with_quarantine(spark, tmp_path):
+    """Malformed JSONL lines land in the dead-letter frame with their raw
+    text; valid lines parse fully; counts are conserved."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources.tweets import (
+        read_tweets_with_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    good1 = '{"id": 1, "text": "hello spark", "lang": "en"}'
+    bad = '{"id": 2, "text": "broken'
+    good2 = '{"id": 3, "text": "join me", "lang": "en"}'
+    p.write_text("\n".join([good1, bad, good2]) + "\n")
+    valid, quarantined = read_tweets_with_quarantine(spark, str(p))
+    v = valid.select("id", "text").collect()
+    q = quarantined.collect()
+    assert {r["id"] for r in v} == {1, 3}
+    assert len(q) == 1 and q[0]["raw_line"] == bad
