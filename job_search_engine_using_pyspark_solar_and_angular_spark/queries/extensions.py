@@ -3382,3 +3382,74 @@ def ext_tokenizer_fertility(spark, sf_dir):
             "chars_per_bpe_token"
         ),
     )
+
+
+@query("ext_growth_accounting")
+def ext_growth_accounting(spark, sf_dir):
+    """Monthly growth accounting: each month's active users split into
+    new (first-ever month), retained (also active the previous month), and
+    resurrected (active before, but not last month), plus churned (active
+    last month, gone this month) — the canonical MAU bridge
+    (new + retained + resurrected − churned rolls MAU forward). One
+    distinct (user, month) pass; self-join on the adjacent month; integer
+    month arithmetic (months_between on truncated dates is exact)."""
+    e = load_table(spark, sf_dir, "events")
+    um = e.select(
+        "user_id", F.date_trunc("month", "ts").alias("m")
+    ).distinct()
+    first = um.groupBy("user_id").agg(F.min("m").alias("m0"))
+    prev = um.select(
+        "user_id", F.add_months(F.col("m"), 1).alias("m")
+    ).withColumn("was_prev", F.lit(True))
+    cur = (
+        um.join(first, "user_id")
+        .join(prev, ["user_id", "m"], "left")
+        .select(
+            "m",
+            F.when(F.col("m") == F.col("m0"), F.lit("new"))
+            .when(F.col("was_prev"), F.lit("retained"))
+            .otherwise(F.lit("resurrected"))
+            .alias("status"),
+        )
+    )
+    active = cur.groupBy(
+        F.date_format("m", "yyyy-MM").alias("month"), "status"
+    ).agg(F.count("*").alias("n_users"))
+    churned = (
+        um.select("user_id", F.add_months(F.col("m"), 1).alias("m"))
+        .join(um, ["user_id", "m"], "left_anti")
+        .groupBy(F.date_format("m", "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("n_users"))
+        .withColumn("status", F.lit("churned"))
+        .select("month", "status", "n_users")
+    )
+    return active.unionByName(churned)
+
+
+@query("ext_peak_concurrency")
+def ext_peak_concurrency(spark, sf_dir):
+    """Peak concurrent activity per day via the sweep line: every 30-minute
+    activity span emits a +1 start and a −1 end boundary; the running sum
+    over time-ordered boundaries is the live-session count and its max is
+    the day's peak — the capacity number beside peak_hour's busiest-hour
+    count. Ties break ends-before-starts (a span ending exactly when
+    another starts does not overlap it). One day-partitioned sort."""
+    from pyspark.sql import Window
+
+    span = 1800
+    e = load_table(spark, sf_dir, "events")
+    s = F.col("ts").cast("timestamp").cast("long")
+    starts = e.select(
+        s.alias("t"), F.lit(1).alias("d"), "event_id"
+    )
+    ends = e.select(
+        (s + span).alias("t"), F.lit(-1).alias("d"), "event_id"
+    )
+    b = starts.unionByName(ends).withColumn(
+        "day", F.date_format(F.from_unixtime("t"), "yyyy-MM-dd")
+    )
+    w = Window.partitionBy("day").orderBy("t", "d", "event_id")
+    live = b.withColumn(
+        "live", F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return live.groupBy("day").agg(F.max("live").alias("peak_concurrent"))

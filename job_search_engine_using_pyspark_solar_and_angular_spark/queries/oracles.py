@@ -2755,3 +2755,50 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(CAST(SUM(nc) AS DOUBLE) / SUM(nb), 4) AS chars_per_bpe_token
 FROM per GROUP BY lang ORDER BY lang
 """
+
+
+ORACLES["ext_growth_accounting"] = """
+WITH um AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events),
+first_m AS (SELECT user_id, MIN(m) AS m0 FROM um GROUP BY user_id),
+prev AS (
+  SELECT user_id, m + INTERVAL 1 MONTH AS m, TRUE AS was_prev FROM um),
+cur AS (
+  SELECT um.m,
+         CASE WHEN um.m = f.m0 THEN 'new'
+              WHEN p.was_prev THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM um JOIN first_m f USING (user_id)
+  LEFT JOIN prev p ON p.user_id = um.user_id AND p.m = um.m),
+active AS (
+  SELECT strftime(m, '%Y-%m') AS month, status,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM cur GROUP BY 1, 2),
+churned AS (
+  SELECT strftime(n.m, '%Y-%m') AS month, 'churned' AS status,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM (SELECT user_id, m + INTERVAL 1 MONTH AS m FROM um) n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM um u2 WHERE u2.user_id = n.user_id AND u2.m = n.m)
+  GROUP BY 1)
+SELECT * FROM active UNION ALL SELECT * FROM churned
+ORDER BY month, status
+"""
+
+ORACLES["ext_peak_concurrency"] = """
+WITH b AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, 1 AS d, event_id FROM events
+  UNION ALL
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800, -1, event_id FROM events),
+b2 AS (
+  SELECT t, d, event_id,
+         strftime(to_timestamp(t), '%Y-%m-%d') AS day
+  FROM b),
+live AS (
+  SELECT day,
+         SUM(d) OVER (PARTITION BY day ORDER BY t, d, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM b2)
+SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrent
+FROM live GROUP BY day ORDER BY day
+"""
