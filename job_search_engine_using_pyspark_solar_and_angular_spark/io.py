@@ -101,3 +101,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     first-class front door (reference parity: SURVEY.md §3.3 notebook cell 4)."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def observe_metrics(df: DataFrame, name: str, **metrics):
+    """Attach in-flight pipeline metrics to a plan (Spark's Observation
+    API): named aggregate expressions evaluated DURING the job's single
+    pass — row counts, null counts, value sums — with no second scan and
+    no extra action (the anti-pattern this replaces is the reference's 18
+    ``count()`` re-executions, SURVEY §4.3). Returns (observed_df,
+    observation); read ``observation.get`` AFTER an action on the
+    observed frame.
+
+    Example:
+        df2, obs = observe_metrics(df, "ingest",
+                                   rows=F.count(F.lit(1)),
+                                   null_ids=F.sum(F.col("id").isNull().cast("long")))
+        df2.write.parquet(...)          # ONE pass
+        obs.get["rows"], obs.get["null_ids"]
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[v.alias(k) for k, v in metrics.items()]), obs

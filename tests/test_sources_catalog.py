@@ -342,3 +342,26 @@ def test_read_tweets_with_quarantine(spark, tmp_path):
     q = quarantined.collect()
     assert {r["id"] for r in v} == {1, 3}
     assert len(q) == 1 and q[0]["raw_line"] == bad
+
+
+def test_observe_metrics_single_pass(spark):
+    """Observation metrics materialize during the job's own action — counts
+    and conditional sums match a separate aggregation, with no second scan
+    issued by the helper itself."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import (
+        load_table,
+        observe_metrics,
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    df2, obs = observe_metrics(
+        e,
+        "ingest",
+        rows=F.count(F.lit(1)),
+        purchases=F.sum((F.col("event_type") == "purchase").cast("long")),
+    )
+    df2.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want_rows = e.count()
+    want_purch = e.filter(F.col("event_type") == "purchase").count()
+    assert got["rows"] == want_rows and got["purchases"] == want_purch
