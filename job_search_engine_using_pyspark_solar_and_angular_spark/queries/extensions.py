@@ -3453,3 +3453,26 @@ def ext_peak_concurrency(spark, sf_dir):
         "live", F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return live.groupBy("day").agg(F.max("live").alias("peak_concurrent"))
+
+
+@query("ext_ship_delay")
+def ext_ship_delay(spark, sf_dir):
+    """Order-to-ship latency per priority: whole-day lag between order
+    date and each line item's ship date — count, exact median, p95, max.
+    A fact⋈fact temporal join keyed on the order (the lineitem side
+    shuffles once on l_orderkey; orders arrives pre-aggregated at the
+    same grain), then integer day arithmetic."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long")
+    j = li.join(o, "l_orderkey").select(
+        "o_orderpriority", lag_days.alias("lag_d")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(lag_d, 0.5)"), 2).alias("median_days"),
+        F.round(F.expr("percentile(lag_d, 0.95)"), 2).alias("p95_days"),
+        F.max("lag_d").alias("max_days"),
+    )

@@ -1267,20 +1267,27 @@ SELECT user_id, est, true_c FROM est
 ORDER BY est DESC, user_id LIMIT 10
 """
 
+# the frame orders on WHOLE epoch seconds exactly like the Spark side's
+# cast("long") — ordering on raw ts would let sub-second components flip
+# frame membership at rows exactly 1h apart (first observed at sf0.1)
 ORACLES["ext_moving_avg"] = """
+WITH e AS (
+  SELECT event_id, event_type, value,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE user_id < 100)
 SELECT event_id, event_type,
   ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
-    PARTITION BY event_type ORDER BY ts
-    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    PARTITION BY event_type ORDER BY t
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     / (100.0 * COUNT(*) OVER (
-    PARTITION BY event_type ORDER BY ts
-    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)), 4)
+    PARTITION BY event_type ORDER BY t
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)), 4)
     AS trailing_avg_1h,
   COUNT(*) OVER (
-    PARTITION BY event_type ORDER BY ts
-    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    PARTITION BY event_type ORDER BY t
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     AS n_in_1h
-FROM events WHERE user_id < 100
+FROM e
 ORDER BY event_id
 """
 
@@ -2801,4 +2808,18 @@ live AS (
   FROM b2)
 SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrent
 FROM live GROUP BY day ORDER BY day
+"""
+
+
+ORACLES["ext_ship_delay"] = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(lag_d, 0.5), 2) AS median_days,
+       ROUND(quantile_cont(lag_d, 0.95), 2) AS p95_days,
+       MAX(lag_d) AS max_days
+FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
