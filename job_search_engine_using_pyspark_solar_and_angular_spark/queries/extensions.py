@@ -3476,3 +3476,45 @@ def ext_ship_delay(spark, sf_dir):
         F.round(F.expr("percentile(lag_d, 0.95)"), 2).alias("p95_days"),
         F.max("lag_d").alias("max_days"),
     )
+
+
+@query("ext_sql_correlated")
+def ext_sql_correlated(spark, sf_dir):
+    """Correlated scalar subquery through the SQL front door: events whose
+    value exceeds half their type's maximum — Catalyst decorrelates the
+    per-row subquery into a join on the grouped aggregate (never a per-row
+    re-scan). The threshold derives from MAX (exact) times an exact binary
+    constant, so the boundary is engine-stable — a correlated AVG would
+    hinge on float summation order."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        "SELECT event_id, event_type, ROUND(value, 2) AS v "
+        "FROM events_v e "
+        "WHERE value > 0.5 * (SELECT MAX(value) FROM events_v e2 "
+        "                     WHERE e2.event_type = e.event_type)"
+    )
+
+
+@query("ext_unpivot")
+def ext_unpivot(spark, sf_dir):
+    """Wide→long reshaping (unpivot/melt — the inverse of ext_pivot): pivot
+    per-day counts of three event types into wide columns, then melt back
+    to (day, event_type, n) rows. Exercises Spark's native unpivot
+    (Expand — one pass, no join); the oracle is the direct long-form
+    aggregate the round-trip must reproduce, zero-fill rows dropped."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    wide = (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    long = wide.unpivot(
+        ids=["day"],
+        values=["view", "click", "purchase"],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    return long.filter(F.col("n") > 0)

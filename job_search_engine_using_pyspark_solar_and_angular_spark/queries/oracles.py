@@ -2823,3 +2823,19 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
        MAX(lag_d) AS max_days
 FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+ORACLES["ext_sql_correlated"] = """
+SELECT event_id, event_type, ROUND(value, 2) AS v
+FROM events e
+WHERE value > 0.5 * (SELECT MAX(value) FROM events e2
+                     WHERE e2.event_type = e.event_type)
+ORDER BY event_id
+"""
+
+ORACLES["ext_unpivot"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_type IN ('view', 'click', 'purchase')
+GROUP BY 1, 2 ORDER BY day, event_type
+"""
