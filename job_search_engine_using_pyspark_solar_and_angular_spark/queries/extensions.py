@@ -3433,7 +3433,13 @@ def ext_peak_concurrency(spark, sf_dir):
     over time-ordered boundaries is the live-session count and its max is
     the day's peak — the capacity number beside peak_hour's busiest-hour
     count. Ties break ends-before-starts (a span ending exactly when
-    another starts does not overlap it). One day-partitioned sort."""
+    another starts does not overlap it). One day-partitioned sort.
+
+    Day-boundary semantics: the day partition scopes the sweep, so a span
+    crossing midnight counts toward ITS START day only (its stray −1 next
+    day can only push the running sum down, never affecting that day's
+    max) — "peak among sessions started that day". A cross-midnight-exact
+    variant seeds each day with its carried-over open-span count."""
     from pyspark.sql import Window
 
     span = 1800
