@@ -281,3 +281,55 @@ def backfill_partition(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def parquet_layout_report(path: str, stat_col: str | None = None) -> dict:
+    """Physical-layout diagnostics from parquet footers (pyarrow — metadata
+    only, zero data read): file/row-group/row counts, compressed bytes,
+    and per-row-group min/max for ``stat_col`` with the fraction of
+    row groups a point predicate could skip on average. This is the
+    observability half of the data-skipping story: write_zordered /
+    bucketed layouts claim better pruning — this measures the footers
+    that pruning actually uses."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _dirs, names in _os.walk(path):
+        files += [
+            _os.path.join(root, n) for n in names if n.endswith(".parquet")
+        ]
+    n_groups = n_rows = n_bytes = 0
+    ranges = []
+    for f in sorted(files):
+        md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            n_groups += 1
+            n_bytes += rg.total_byte_size
+            if stat_col is not None:
+                idx = {
+                    rg.column(i).path_in_schema: i for i in range(rg.num_columns)
+                }.get(stat_col)
+                if idx is not None:
+                    st = rg.column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        ranges.append((st.min, st.max))
+    report = {
+        "n_files": len(files),
+        "n_row_groups": n_groups,
+        "n_rows": n_rows,
+        "compressed_bytes": n_bytes,
+    }
+    if stat_col is not None and ranges:
+        lo = min(r[0] for r in ranges)
+        hi = max(r[1] for r in ranges)
+        width = (hi - lo) or 1
+        # expected fraction of row groups overlapping a uniform point probe
+        overlap = sum((r[1] - r[0]) / width for r in ranges) / len(ranges)
+        report["stat_col"] = stat_col
+        report["avg_point_overlap"] = round(float(overlap), 4)
+        report["skippable_fraction"] = round(1.0 - float(overlap), 4)
+    return report

@@ -3524,3 +3524,33 @@ def ext_unpivot(spark, sf_dir):
         valueColumnName="n",
     )
     return long.filter(F.col("n") > 0)
+
+
+@query("ext_benford")
+def ext_benford(spark, sf_dir):
+    """Benford first-digit audit over order totals: observed counts and
+    floored-bp shares per leading digit, with the expected Benford share
+    (log10(1+1/d), a fixed constant per digit) alongside — the classic
+    fabricated-numbers screen in financial QA. Leading digit extracted by
+    integer arithmetic on cents (no string parsing)."""
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    # strip trailing decimal magnitude: first digit of n = n div 10^floor(log10 n)
+    digit = F.expr(
+        "CAST(c div CAST(pow(10, floor(log10(CAST(c AS DOUBLE)))) AS BIGINT)"
+        " AS BIGINT)"
+    )
+    d = o.select(cents.alias("c")).filter(F.col("c") > 0).select(digit.alias("d"))
+    per = d.groupBy("d").agg(F.count("*").alias("n"))
+    tot = per.agg(F.sum("n").alias("total"))
+    expected = F.array(
+        *[F.lit(round(math.log10(1 + 1 / k) * 10000) / 10000.0) for k in range(1, 10)]
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.expr("CAST(n * 10000 div total AS BIGINT)").alias("share_bp"),
+        F.element_at(expected, F.col("d").cast("int")).alias("benford_share"),
+    )

@@ -2839,3 +2839,19 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
 FROM events WHERE event_type IN ('view', 'click', 'purchase')
 GROUP BY 1, 2 ORDER BY day, event_type
 """
+
+
+ORACLES["ext_benford"] = """
+WITH d AS (
+  SELECT CAST(c // CAST(pow(10, floor(log10(CAST(c AS DOUBLE)))) AS BIGINT)
+              AS BIGINT) AS d
+  FROM (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders)
+  WHERE c > 0),
+per AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY d),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM per)
+SELECT d, n,
+       CAST(n * 10000 // total AS BIGINT) AS share_bp,
+       CAST([0.301, 0.1761, 0.1249, 0.0969, 0.0792, 0.0669, 0.058, 0.0512,
+             0.0458][CAST(d AS INT)] AS DOUBLE) AS benford_share
+FROM per CROSS JOIN tot ORDER BY d
+"""

@@ -365,3 +365,27 @@ def test_observe_metrics_single_pass(spark):
     want_rows = e.count()
     want_purch = e.filter(F.col("event_type") == "purchase").count()
     assert got["rows"] == want_rows and got["purchases"] == want_purch
+
+
+def test_parquet_layout_report_measures_clustering(spark, tmp_path):
+    """Footer report: counts are exact, and a range-clustered layout shows a
+    higher skippable fraction on the cluster column than a random one."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.catalog import (
+        parquet_layout_report,
+    )
+
+    df = spark.range(0, 10000).withColumn(
+        "k", (F.col("id") * 2654435761) % 10000
+    )
+    rand_path = str(tmp_path / "rand")
+    df.repartition(8).write.parquet(rand_path)
+    sorted_path = str(tmp_path / "sorted")
+    df.repartitionByRange(8, "k").sortWithinPartitions("k").write.parquet(
+        sorted_path
+    )
+    r1 = parquet_layout_report(rand_path, "k")
+    r2 = parquet_layout_report(sorted_path, "k")
+    assert r1["n_rows"] == r2["n_rows"] == 10000
+    assert r1["n_files"] >= 8 and r2["n_files"] >= 8
+    assert r2["skippable_fraction"] > r1["skippable_fraction"]
+    assert r2["skippable_fraction"] > 0.8  # 8 disjoint ranges ≈ 7/8 skippable
