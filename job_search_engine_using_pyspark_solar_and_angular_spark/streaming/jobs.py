@@ -323,3 +323,39 @@ def bloom_merge_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_jsonl_with_quarantine(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of sources.read_tweets_with_quarantine: text-stream
+    the JSONL, parse each line once with explicit-schema ``from_json``,
+    and split on parse failure — (valid, quarantined) streams off ONE
+    file source. Parse failure is detected the PERMISSIVE way (a
+    ``_corrupt_record`` field inside the struct — ``from_json`` returns an
+    all-null struct for malformed input, so a null-struct test cannot
+    distinguish bad JSON from legitimately-null fields); quarantined rows
+    keep the raw line for replay. A poisoned line costs one row, never a
+    batch restart — the at-scale ingest posture for a continuously-
+    arriving corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema_c = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    lines = spark.readStream.format("text").load(path)
+    parsed = lines.select(
+        F.col("value").alias("raw_line"),
+        F.from_json(
+            "value",
+            schema_c,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("rec"),
+    )
+    bad = F.col("rec").isNull() | F.col("rec._corrupt_record").isNotNull()
+    valid = parsed.filter(~bad).select("rec.*").drop("_corrupt_record")
+    quarantined = parsed.filter(bad & (F.trim("raw_line") != "")).select(
+        "raw_line"
+    )
+    return valid, quarantined

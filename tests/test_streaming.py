@@ -720,3 +720,44 @@ def test_bloom_merge_sink_replay_parity(spark, events_dir, tmp_path):
         r["p"] for r in bloom_build(spark.read.parquet(events_dir), "user_id").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_jsonl_quarantine_split(spark, tmp_path):
+    """Streaming ingest quarantine: valid lines parse, malformed lines land
+    in the dead-letter stream with raw text, counts conserved."""
+    from pyspark.sql import types as T
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.jobs import (
+        stream_jsonl_with_quarantine,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    good1 = '{"id": 1, "text": "hello spark"}'
+    bad = '{"id": 2, "text": "broken'
+    good2 = '{"id": 3, "text": "join me"}'
+    (src / "a.jsonl").write_text("\n".join([good1, bad, good2]) + "\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    valid, quarantined = stream_jsonl_with_quarantine(spark, str(src), schema)
+    q1 = (
+        valid.writeStream.format("memory")
+        .queryName("sq_valid")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    q2 = (
+        quarantined.writeStream.format("memory")
+        .queryName("sq_bad")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q1.awaitTermination(60)
+    q2.awaitTermination(60)
+    v = spark.sql("SELECT * FROM sq_valid").collect()
+    b = spark.sql("SELECT * FROM sq_bad").collect()
+    assert {r["id"] for r in v} == {1, 3}
+    assert len(b) == 1 and b[0]["raw_line"] == bad
