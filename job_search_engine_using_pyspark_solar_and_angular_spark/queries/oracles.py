@@ -2855,3 +2855,198 @@ SELECT d, n,
              0.0458][CAST(d AS INT)] AS DOUBLE) AS benford_share
 FROM per CROSS JOIN tot ORDER BY d
 """
+
+# ---- TPC-H dossier completion (shape-faithful; see extensions.py note) ----
+
+_DISC_CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+
+ORACLES["ext_tpch_q4"] = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES["ext_tpch_q7"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       SUM({_DISC_CENTS}) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLES["ext_tpch_q8"] = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN ns.n_name = 'NATION_5' THEN {_DISC_CENTS}
+                      ELSE 0 END)
+             / SUM({_DISC_CENTS}), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["ext_tpch_q10"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       SUM({_DISC_CENTS}) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+ORACLES["ext_tpch_q12"] = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+            THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["ext_tpch_q13"] = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["ext_tpch_q14"] = f"""
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_CENTS}
+                              ELSE 0 END)
+             / SUM({_DISC_CENTS}), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+ORACLES["ext_tpch_q15"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_DISC_CENTS}) AS BIGINT) AS rc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, rc / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rc = (SELECT MAX(rc) FROM rev)
+ORDER BY s_suppkey
+"""
+
+ORACLES["ext_tpch_q17"] = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_qc,
+         CAST(COUNT(*) AS BIGINT) AS n_li
+  FROM lineitem GROUP BY l_partkey)
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             / 100.0 / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1' AND p_size < 10
+JOIN per_part ON l_partkey = pk
+WHERE CAST(ROUND(l_quantity * 100, 0) AS BIGINT) * 5 * n_li < sum_qc
+"""
+
+ORACLES["ext_tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey AS lk,
+         CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_qc
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) > 25000)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       sum_qc / 100.0 AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = lk
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+"""
+
+ORACLES["ext_tpch_q19"] = f"""
+SELECT SUM({_DISC_CENTS}) / 100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+# textbook EXISTS / NOT EXISTS form — independently derives the same
+# semantics the Spark side computes via the single per-order aggregate
+ORACLES["ext_tpch_q21"] = """
+WITH rws AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 365 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (
+  SELECT DISTINCT r1.l_orderkey, r1.l_suppkey
+  FROM rws r1
+  WHERE r1.is_late
+    AND EXISTS (SELECT 1 FROM rws r2
+                WHERE r2.l_orderkey = r1.l_orderkey
+                  AND r2.l_suppkey <> r1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM rws r3
+                    WHERE r3.l_orderkey = r1.l_orderkey
+                      AND r3.l_suppkey <> r1.l_suppkey
+                      AND r3.is_late)
+) q JOIN supplier ON q.l_suppkey = s_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+ORACLES["ext_tpch_q22"] = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bc
+  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+avg_pos AS (
+  SELECT CAST(SUM(bc) AS BIGINT) AS sum_bc,
+         CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM cust WHERE bc > 0)
+SELECT c_nationkey AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bc) AS BIGINT) / 100.0 AS totacctbal
+FROM cust, avg_pos
+WHERE bc * n_pos > sum_bc
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey ORDER BY cntrycode
+"""
