@@ -363,3 +363,50 @@ def test_triangles_joins_are_hash_equi(spark):
     vertex keys — never a cartesian edge x edge comparison."""
     p = plan_of(spark, "ext_triangles")
     assert "CartesianProduct" not in p
+
+
+def test_tpch_dossier_no_cartesian_or_nested_loop(spark):
+    """All 13 TPC-H-shape classics must stay hash/equi joins: the only
+    sanctioned non-equi edge is Q22's 1-row scalar broadcast."""
+    for q in (
+        "ext_tpch_q4", "ext_tpch_q7", "ext_tpch_q8", "ext_tpch_q10",
+        "ext_tpch_q12", "ext_tpch_q13", "ext_tpch_q14", "ext_tpch_q15",
+        "ext_tpch_q17", "ext_tpch_q18", "ext_tpch_q19", "ext_tpch_q21",
+    ):
+        p = plan_of(spark, q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    p = plan_of(spark, "ext_tpch_q4")
+    assert "LeftSemi" in p
+
+
+def test_tpch_q7_q8_dimensions_broadcast(spark):
+    """The two-role nation joins and every other dimension side broadcast;
+    at most the fact-fact lineitem⋈orders edge may shuffle."""
+    for q in ("ext_tpch_q7", "ext_tpch_q8"):
+        p = plan_of(spark, q)
+        assert p.count("BroadcastHashJoin") >= 4, q
+        assert p.count("SortMergeJoin") <= 1, q
+
+
+def test_tpch_topk_uses_take_ordered(spark):
+    for q in ("ext_tpch_q10", "ext_tpch_q18", "ext_tpch_q21"):
+        assert "TakeOrderedAndProject" in plan_of(spark, q), q
+
+
+def test_tpch_q19_or_of_ands_stays_hash_join(spark):
+    """Catalyst must extract the common equi-condition from the disjunctive
+    predicate — a nested-loop here is the classic Q19 failure mode."""
+    p = plan_of(spark, "ext_tpch_q19")
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p
+
+
+def test_tpch_q15_max_is_broadcast_not_window(spark):
+    """The scalar MAX joins back as a 1-row broadcast — no global Window."""
+    p = plan_of(spark, "ext_tpch_q15")
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
