@@ -130,3 +130,80 @@ def pagerank_int(
             .localCheckpoint()
         )
     return rank
+
+
+def bfs_distances(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Hop distances from the minimum-id node of the undirected ``pairs``
+    graph, bounded at ``max_hops`` (single-source BFS — "how far is every
+    near-dup from the cluster exemplar").
+
+    Exact by construction: distances are small integers and each round is
+    min(previous, neighbor+1) — the same join + min-agg shape as connected
+    components, so the BOUNDED run unrolls to chained SQL CTEs for the
+    oracle. Nodes not reached within ``max_hops`` are absent (not null) —
+    frontier semantics, not a full outer scan per round. The source is the
+    1-row MIN(doc_a) aggregate kept in-plan (broadcast-joined, never
+    collected to the driver); ``localCheckpoint`` per round cuts lineage.
+    """
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # doc_a < doc_b on every pair, so min(doc_a) IS the minimum node id
+    dist = pairs.agg(F.min(src).alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(max_hops):
+        nxt = dist.join(e, dist.node == e.a).select(
+            F.col("b").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def kcore(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    k: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded k-core peeling of the undirected ``pairs`` graph: drop nodes
+    with degree < k, restrict edges to survivors, repeat ``rounds`` times;
+    return (node, deg) of the surviving subgraph.
+
+    The k-core separates dense duplicate clusters (every member near-dups
+    with >= k others — safe to collapse aggressively) from incidental
+    pairwise matches. A full fixpoint needs data-dependent iteration; the
+    BOUNDED peel is deterministic and unrolls to SQL for the oracle, and in
+    practice 2-3 rounds reach the fixpoint on shallow similarity graphs
+    (each round is two semi joins + one degree agg, all on node keys).
+    """
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        keep = e.groupBy("a").agg(F.count("*").alias("d")).filter(F.col("d") >= k)
+        e = (
+            e.join(keep.select("a"), "a", "left_semi")
+            .join(
+                keep.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg"))

@@ -504,3 +504,55 @@ def remove_stopwords_by_lang(
     return df.select(
         F.col(id_col), pred.alias("lang_pred"), kept.alias("content_tokens")
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-LM surprisal per document: avg(-ln p(w2|w1)) with add-one
+    smoothing, p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V) — the order-1 step
+    up from ``unigram_logprob`` toward the KenLM-style perplexity filter
+    (repetitive boilerplate scores LOW because its transitions are corpus-
+    frequent; shuffled/garbled text scores HIGH even when its unigrams are
+    common — exactly the failure mode a unigram filter misses).
+
+    Shape: positional explode, bigrams by self-join on (doc_id, pos+1) —
+    co-partitioned, so the join shuffles the token stream once — then corpus
+    bigram counts, context counts, and the vocab-size scalar broadcast back.
+    Docs with < 2 tokens have no bigrams and are absent (frontier semantics,
+    same as the unigram pass which drops empty docs).
+    """
+    from ..io import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokenize_normalized(text_col)).alias("pos", "w"),
+        )
+        .persist()
+    )
+    nxt = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    bigrams = toks.join(nxt, ["doc_id", "pos"]).select(
+        "doc_id", F.col("w").alias("w1"), "w2"
+    ).persist()
+    big_c = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx_c = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.select("w").distinct().agg(F.count("*").alias("v"))
+    return (
+        bigrams.join(big_c, ["w1", "w2"])
+        .join(ctx_c, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+                ),
+                4,
+            ).alias("avg_surprisal"),
+        )
+    )

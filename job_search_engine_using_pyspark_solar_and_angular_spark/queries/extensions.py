@@ -3985,3 +3985,79 @@ def ext_tpch_q22(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+# ---- graph traversal + LM scoring + experimentation ----------------------
+
+
+@query("ext_bfs_distances")
+def ext_bfs_distances(spark, sf_dir):
+    """Single-source BFS over the LSH similarity graph: hop distance of
+    every near-dup from the minimum-id node, bounded at 4 hops — the third
+    iterative algorithm with an exact unrolled-CTE oracle (after connected
+    components and integer PageRank). Bounded-frontier semantics: unreached
+    nodes are absent, not null."""
+    from ..operators.graph import bfs_distances
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d)
+    return bfs_distances(pairs, max_hops=4).orderBy("node").withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+@query("ext_kcore")
+def ext_kcore(spark, sf_dir):
+    """Bounded 2-core peeling of the LSH similarity graph: nodes whose
+    every-member-matches->=2-others density marks a real duplicate cluster
+    rather than an incidental pairwise hit. Three peel rounds (fixpoint on
+    shallow similarity graphs), exact oracle by unrolling the rounds."""
+    from ..operators.graph import kcore
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d)
+    return kcore(pairs, k=2, rounds=3).orderBy("node").withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+@query("ext_bigram_surprisal")
+def ext_bigram_surprisal(spark, sf_dir):
+    """Bigram-LM surprisal (order-1 perplexity filter): avg -ln p(w2|w1)
+    with add-one smoothing over corpus transition counts. Catches garbled
+    token order that the unigram filter cannot."""
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.bigram_surprisal(d).orderBy("doc_id")
+
+
+@query("ext_ab_assignment")
+def ext_ab_assignment(spark, sf_dir):
+    """Deterministic experiment assignment: arm = md5(user_id) mod 2 —
+    stable across runs/engines with no stored assignment table — then the
+    per-arm exposure/conversion readout. The md5-bucket trick is the same
+    primitive the count-min/Bloom sketches use; conversion rate reported in
+    exact basis points (floor), sample-ratio check = per-arm user counts
+    side by side (a 50/50 split's SRM test is a chi-square away, ext_chi2)."""
+    from ..functions.hashing import md5_long
+
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    arm = (F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2))).alias("arm")
+    return (
+        users.groupBy(arm)
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            F.col("n_converted").cast("long").alias("n_converted"),
+            F.expr("n_converted * 10000 div n_users").alias("conv_bp"),
+        )
+        .orderBy("arm")
+    )

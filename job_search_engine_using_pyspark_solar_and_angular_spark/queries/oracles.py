@@ -3050,3 +3050,79 @@ WHERE bc * n_pos > sum_bc
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey ORDER BY cntrycode
 """
+
+# ---- graph traversal + LM scoring + experimentation ----------------------
+
+_BFS_EDGES = (
+    "e AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs)"
+)
+
+
+def _bfs_round(k: int) -> str:
+    """dist_k = min(dist_{k-1}, neighbor-of-dist_{k-1} + 1)."""
+    return (
+        f"d{k} AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM ("
+        f"SELECT node, dist FROM d{k-1} UNION ALL "
+        f"SELECT e.b AS node, d{k-1}.dist + 1 AS dist "
+        f"FROM d{k-1} JOIN e ON e.a = d{k-1}.node) GROUP BY node)"
+    )
+
+
+ORACLES["ext_bfs_distances"] = (
+    f"WITH {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, {_PAIRS_CTE}, "
+    f"{_BFS_EDGES}, "
+    "d0 AS (SELECT MIN(doc_a) AS node, CAST(0 AS BIGINT) AS dist FROM pairs), "
+    + ", ".join(_bfs_round(k) for k in (1, 2, 3, 4))
+    + " SELECT node AS doc_id, dist FROM d4 ORDER BY doc_id"
+)
+
+
+def _kcore_round(k: int, core: int = 2) -> str:
+    return (
+        f"k{k} AS (SELECT a FROM e{k-1} GROUP BY a HAVING COUNT(*) >= {core}), "
+        f"e{k} AS (SELECT a, b FROM e{k-1} "
+        f"WHERE a IN (SELECT a FROM k{k}) AND b IN (SELECT a FROM k{k}))"
+    )
+
+
+ORACLES["ext_kcore"] = (
+    f"WITH {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, {_PAIRS_CTE}, "
+    "e0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    + ", ".join(_kcore_round(k) for k in (1, 2, 3))
+    + " SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg "
+    "FROM e3 GROUP BY a ORDER BY doc_id"
+)
+
+ORACLES["ext_bigram_surprisal"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS w,
+         generate_subscripts({TOKS}, 1) AS pos
+  FROM documents),
+bigrams AS (
+  SELECT t1.doc_id, t1.w AS w1, t2.w AS w2
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+big_c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
+ctx_c AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-ln((c12 + 1) / CAST(c1 + v AS DOUBLE))), 4) AS avg_surprisal
+FROM bigrams b
+JOIN big_c USING (w1, w2) JOIN ctx_c USING (w1) CROSS JOIN vocab
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+ORACLES["ext_ab_assignment"] = f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id)
+SELECT {md5long("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) * 10000 // COUNT(*) AS BIGINT) AS conv_bp
+FROM users GROUP BY arm ORDER BY arm
+"""
