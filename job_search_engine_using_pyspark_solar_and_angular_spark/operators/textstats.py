@@ -556,3 +556,99 @@ def bigram_surprisal(
             ).alias("avg_surprisal"),
         )
     )
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction: learn the first ``rounds``
+    BPE merges from the corpus's word-frequency table and return the merge
+    table (round, pair, merged, freq) — the artifact a tokenizer trainer
+    ships. Runs the exact textbook algorithm (count adjacent symbol pairs
+    weighted by word frequency, merge the most frequent pair corpus-wide,
+    repeat), distributed and deterministically.
+
+    Exactness: ties on pair count break lexicographically; every count is an
+    integer; and the merge-application step uses the marker-string trick —
+    each word is the string ``_c1 _c2 ...`` (every symbol prefixed by ``_``,
+    which never occurs inside a [a-z0-9]+ token), so plain string
+    ``replace(sym, '_a _b', '_ab')`` applies the merge with the exact
+    leftmost-non-overlapping semantics BPE specifies ("_a _a _a" merges to
+    "_aa _a", not "_aa _aa"), identically in Spark and any SQL engine —
+    which makes the whole iterative algorithm unrollable to chained CTEs
+    for the oracle.
+
+    Scale shape per round: pair-explode of the VOCABULARY table (Zipf:
+    ~sqrt of corpus tokens, not the token stream), one partial+final agg,
+    a 1-row argmax broadcast back — the corpus is touched once ever, in
+    the initial word count. ``localCheckpoint`` per round keeps round k's
+    plan from embedding rounds 1..k-1.
+    """
+    from ..io import ensure_parallelism
+
+    words = (
+        ensure_parallelism(df)
+        .select(F.explode(tokenize_normalized(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .select(
+            F.concat(
+                F.lit("_"),
+                F.array_join(
+                    F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+                    " _",
+                ),
+            ).alias("sym"),
+            "wc",
+        )
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    merges = None
+    for r in range(1, rounds + 1):
+        arr = F.split("sym", " ")
+        pairs = (
+            words.select(arr.alias("l"), "wc")
+            # single-symbol words have no pairs; also guards Spark's
+            # sequence(1, 0), which is DESCENDING ([1, 0]), not empty
+            .filter(F.expr("size(l) >= 2"))
+            .select(
+                F.explode(F.expr("sequence(1, size(l) - 1)")).alias("i"),
+                "l",
+                "wc",
+            )
+            .select(
+                F.concat(
+                    F.element_at("l", F.col("i")),
+                    F.lit(" "),
+                    F.element_at("l", F.col("i") + 1),
+                ).alias("pair"),
+                "wc",
+            )
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("freq"))
+        )
+        best = (
+            pairs.orderBy(F.col("freq").desc(), F.col("pair"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "pair",
+                F.replace("pair", F.lit(" _"), F.lit("")).alias("merged"),
+                F.col("freq").cast("long").alias("freq"),
+            )
+            .localCheckpoint()
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        words = (
+            words.crossJoin(F.broadcast(best.select("pair", "merged")))
+            .select(
+                F.replace("sym", F.col("pair"), F.col("merged")).alias("sym"),
+                "wc",
+            )
+            .localCheckpoint()
+        )
+    return merges.orderBy("round")

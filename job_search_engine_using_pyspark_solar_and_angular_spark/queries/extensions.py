@@ -4061,3 +4061,14 @@ def ext_ab_assignment(spark, sf_dir):
         )
         .orderBy("arm")
     )
+
+
+@query("ext_bpe_merges")
+def ext_bpe_merges(spark, sf_dir):
+    """BPE vocabulary induction (first 3 merges + their corpus frequencies):
+    the tokenizer-trainer artifact, learned distributedly with the textbook
+    greedy algorithm. Iterative algorithm five with an exact unrolled-CTE
+    oracle — the marker-string merge trick gives identical leftmost-
+    non-overlapping replace semantics in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.bpe_merge_table(d, rounds=3)

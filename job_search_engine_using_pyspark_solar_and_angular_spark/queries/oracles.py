@@ -3126,3 +3126,31 @@ SELECT {md5long("CAST(user_id AS VARCHAR)")} % 2 AS arm,
        CAST(SUM(converted) * 10000 // COUNT(*) AS BIGINT) AS conv_bp
 FROM users GROUP BY arm ORDER BY arm
 """
+
+
+def _bpe_round(r: int) -> str:
+    """pair counts -> 1-row argmax -> leftmost-non-overlapping merge."""
+    return (
+        f"p{r} AS (SELECT l[i] || ' ' || l[i+1] AS pair, "
+        f"CAST(SUM(wc) AS BIGINT) AS freq "
+        f"FROM (SELECT string_split(sym, ' ') AS l, wc FROM w{r-1}) s, "
+        f"UNNEST(range(1, len(s.l))) AS u(i) GROUP BY 1), "
+        f"b{r} AS (SELECT pair, freq FROM p{r} ORDER BY freq DESC, pair LIMIT 1), "
+        f"w{r} AS (SELECT replace(sym, (SELECT pair FROM b{r}), "
+        f"replace((SELECT pair FROM b{r}), ' _', '')) AS sym, wc FROM w{r-1})"
+    )
+
+
+ORACLES["ext_bpe_merges"] = (
+    f"WITH toks AS (SELECT unnest({TOKS}) AS word FROM documents), "
+    "wf AS (SELECT word, COUNT(*) AS wc FROM toks GROUP BY word), "
+    "w0 AS (SELECT '_' || array_to_string("
+    "list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), "
+    "' _') AS sym, wc FROM wf), "
+    + ", ".join(_bpe_round(r) for r in (1, 2, 3))
+    + " SELECT * FROM ("
+    "SELECT CAST(1 AS BIGINT) AS round, pair, replace(pair, ' _', '') AS merged, freq FROM b1 "
+    "UNION ALL SELECT 2, pair, replace(pair, ' _', ''), freq FROM b2 "
+    "UNION ALL SELECT 3, pair, replace(pair, ' _', ''), freq FROM b3"
+    ") ORDER BY round"
+)

@@ -729,3 +729,29 @@ def test_audio_chunk_contract(spark):
             rebuilt += orig[mid][c["start_ms"] * bpm : take_to * bpm]
         assert rebuilt == orig[mid][: dur * bpm]
         assert chunks[-1]["end_ms"] == dur
+
+
+def test_bpe_merge_table_textbook_semantics(spark):
+    """Pin the two BPE subtleties: (1) leftmost-non-overlapping merge —
+    'aaaa' after learning (a,a) becomes 'aa aa', NOT 'aaa a' or overlap-
+    counted; (2) lexicographic tie-break on equal pair counts."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.textstats import (
+        bpe_merge_table,
+    )
+
+    # corpus: 'aaaa' x3 -> pair (a,a) freq 9 dominates round 1.
+    # round 2 sees each word as 'aa aa' -> pair (aa,aa) freq 3.
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    rows = bpe_merge_table(df, rounds=2).collect()
+    assert [(r["round"], r["pair"], r["merged"], r["freq"]) for r in rows] == [
+        (1, "_a _a", "_aa", 9),
+        (2, "_aa _aa", "_aaaa", 3),
+    ]
+
+    # tie-break: 'ab' and 'aa' each once -> pairs (a,b)x1 and (a,a)x1;
+    # lexicographically '_a _a' < '_a _b' wins.
+    df2 = spark.createDataFrame([(1, "ab aa")], "doc_id long, text string")
+    rows2 = bpe_merge_table(df2, rounds=1).collect()
+    assert rows2[0]["pair"] == "_a _a" and rows2[0]["freq"] == 1
