@@ -426,3 +426,88 @@ def simhash_near_dups(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring repeated-span detection — the k-token-gram form of
+    "dedup by long exact substrings" (suffix-array dedup's distributed
+    cousin): for every document, the maximal token spans whose every
+    k-gram also occurs in >= ``min_docs`` distinct documents. Returns
+    (doc_id, span_start, span_end, span_tokens) in token positions.
+
+    Pipeline: per-doc k-gram hashes built IN-ARRAY (one transform over the
+    token array — no token-stream self-join), exploded once; grams kept if
+    their distinct-doc count reaches ``min_docs`` (left-semi back onto the
+    positions); then covered intervals [pos, pos+k-1] merge into maximal
+    spans with the gaps-and-islands running-max — the same rewrite
+    ext_interval_merge uses, partitioned per doc so the window never goes
+    corpus-wide. Every step is exact integers/md5, so the whole operator
+    has a DuckDB oracle.
+
+    At 100 TB: the gram table is the big intermediate (|tokens| rows of
+    16-byte hashes); the distinct-doc filter is a partial+final agg on the
+    hash key, and nothing wider than (hash, doc, pos) ever shuffles. The
+    suffix-array construction of Lee et al. finds spans >= L directly;
+    k-gram cover with k = L finds the same spans (any repeated substring of
+    length >= L contains a repeated L-gram at every offset) at the cost of
+    a k-token resolution floor on span ends.
+    """
+    from ..functions.text import tokenize_normalized
+    from ..io import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+    )
+    grams = (
+        toks.filter(F.size("tk") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {k} + 1), "
+                    f"i -> md5(concat_ws(' ', slice(tk, i, {k}))))"
+                )
+            ).alias("pos0", "h"),
+        )
+        # posexplode is 0-based; token positions below are 1-based
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        .persist()
+    )
+    rep = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = grams.join(rep, "h", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + k - 1).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = covered.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )

@@ -4072,3 +4072,14 @@ def ext_bpe_merges(spark, sf_dir):
     non-overlapping replace semantics in both engines."""
     d = load_table(spark, sf_dir, "documents")
     return textstats.bpe_merge_table(d, rounds=3)
+
+
+@query("ext_repeated_spans")
+def ext_repeated_spans(spark, sf_dir):
+    """Exact-substring repeated spans (suffix-array dedup's k-gram cousin):
+    maximal token spans whose every 8-gram occurs in >= 2 distinct docs —
+    the span-level complement to document-level near-dedup (cut the span,
+    keep the doc). Islands merge per doc; exact md5/int pipeline."""
+    return dedup.repeated_spans(
+        load_table(spark, sf_dir, "documents"), k=8, min_docs=2
+    )

@@ -3154,3 +3154,36 @@ ORACLES["ext_bpe_merges"] = (
     "UNION ALL SELECT 3, pair, replace(pair, ' _', ''), freq FROM b3"
     ") ORDER BY round"
 )
+
+
+ORACLES["ext_repeated_spans"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(tk[i:i+7], ' ')) AS h
+  FROM (SELECT doc_id, tk FROM toks WHERE len(tk) >= 8) s,
+       UNNEST(range(1, len(s.tk) - 8 + 2)) AS u(i)),
+rep AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+covered AS (
+  SELECT doc_id, pos, pos + 7 AS "end"
+  FROM grams WHERE h IN (SELECT h FROM rep)),
+flagged AS (
+  SELECT doc_id, pos, "end",
+         CASE WHEN MAX("end") OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > MAX("end") OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM covered),
+islands AS (
+  SELECT doc_id, pos, "end",
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX("end") AS BIGINT) AS span_end,
+       CAST(MAX("end") - MIN(pos) + 1 AS BIGINT) AS span_tokens
+FROM islands GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
