@@ -4083,3 +4083,30 @@ def ext_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(
         load_table(spark, sf_dir, "documents"), k=8, min_docs=2
     )
+
+
+@query("ext_variant_extract")
+def ext_variant_extract(spark, sf_dir):
+    """Open-schema semi-structured processing via Spark 4's VARIANT type:
+    ``parse_json`` ingests ``props`` once into the binary variant encoding
+    (no schema declared — the schema-on-read complement to
+    ext_json_extract's explicit-schema from_json), then ``variant_get``
+    path extraction feeds a typed aggregate. At scale, variant columns
+    shred to parquet and path extraction prunes like any struct field;
+    this is the engine's ingestion answer for heterogeneous JSON where the
+    schema isn't known at write time. Percentile band of k per event type
+    with exact integer compares."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_high"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

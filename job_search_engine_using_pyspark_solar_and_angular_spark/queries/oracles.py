@@ -3187,3 +3187,12 @@ SELECT doc_id,
 FROM islands GROUP BY doc_id, island
 ORDER BY doc_id, span_start
 """
+
+
+ORACLES["ext_variant_extract"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -1,0 +1,99 @@
+"""Custom Python Data Source (Spark 4 DataSource API): the extension
+contract for formats Spark has no native reader for.
+
+The reference ingests its corpus through an external indexer process
+(`Main/SolrIndexer.java` walks files and pushes documents row by row);
+the Spark-4-native equivalent of "teach the engine a new format" is a
+``pyspark.sql.datasource.DataSource`` — registered once per session,
+then ``spark.read.format("tweets_jsonl")`` behaves like any built-in
+source: lazy, partitioned, schema-first, usable in SQL via a temp view.
+
+``TweetsJsonlDataSource`` reads the flattened tweet-export JSONL this
+repo's preprocess pipeline writes: one InputPartition PER FILE (files are
+the natural split unit of line-delimited JSON; a production source would
+further split by byte ranges exactly like Spark's native text source),
+each partition streaming its lines through ``json.loads`` and yielding
+tuples in declared-schema order.
+
+This is deliberately the EXTENSION HOOK demo, not the hot path: for
+formats Spark already reads natively (JSON/CSV/parquet), the native
+reader is JVM-side and faster — pinned by the parity test
+(tests/test_sources_catalog.py) which requires this source to return
+row-identical frames to ``spark.read.json`` with the same schema. The
+value is the contract: partition planning on the driver, per-partition
+iterators on executors, no driver-side data movement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+
+def flat_jsonl_schema() -> T.StructType:
+    """id/text/lang/created_ts — the minimal flat export contract."""
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("created_ts", T.StringType()),
+        ]
+    )
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TweetsJsonlReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("tweets_jsonl: 'path' option is required")
+
+    def partitions(self):
+        # one partition per file: planned driver-side from listing only
+        # (never file contents); executors open their own file handles
+        if os.path.isdir(self._path):
+            files = sorted(
+                os.path.join(self._path, f)
+                for f in os.listdir(self._path)
+                if f.endswith((".json", ".jsonl"))
+            )
+        else:
+            files = [self._path]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        names = [f.name for f in self._schema.fields]
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                yield tuple(rec.get(n) for n in names)
+
+
+class TweetsJsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tweets_jsonl"
+
+    def schema(self) -> T.StructType:
+        return flat_jsonl_schema()
+
+    def reader(self, schema: T.StructType) -> TweetsJsonlReader:
+        return TweetsJsonlReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotent session registration; after this,
+    ``spark.read.format("tweets_jsonl").option("path", dir)`` works."""
+    spark.dataSource.register(TweetsJsonlDataSource)

@@ -389,3 +389,35 @@ def test_parquet_layout_report_measures_clustering(spark, tmp_path):
     assert r1["n_files"] >= 8 and r2["n_files"] >= 8
     assert r2["skippable_fraction"] > r1["skippable_fraction"]
     assert r2["skippable_fraction"] > 0.8  # 8 disjoint ranges ≈ 7/8 skippable
+
+
+def test_python_datasource_matches_native_json(spark, tmp_path):
+    """S-family extension hook: the custom Spark-4 Python DataSource must
+    return row-identical frames to the native JSON reader (same schema) —
+    and remain lazily partitioned (one partition per file)."""
+    import json as _json
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources import pyds
+
+    d = tmp_path / "jsonl"
+    d.mkdir()
+    rows = [
+        {"id": i, "text": f"doc {i}", "lang": "en" if i % 2 else "es",
+         "created_ts": f"2020-01-0{1 + i % 9} 00:00:00"}
+        for i in range(20)
+    ]
+    for part in range(2):
+        with open(d / f"part-{part}.jsonl", "w") as fh:
+            for r in rows[part * 10:(part + 1) * 10]:
+                fh.write(_json.dumps(r) + "\n")
+
+    pyds.register(spark)
+    custom = (
+        spark.read.format("tweets_jsonl").option("path", str(d)).load()
+    )
+    native = spark.read.schema(pyds.flat_jsonl_schema()).json(str(d))
+    assert custom.schema == native.schema
+    a = sorted(map(tuple, custom.collect()))
+    b = sorted(map(tuple, native.collect()))
+    assert a == b and len(a) == 20
+    assert custom.rdd.getNumPartitions() == 2
