@@ -4110,3 +4110,53 @@ def ext_variant_extract(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query("ext_sql_pipe")
+def ext_sql_pipe(spark, sf_dir):
+    """SQL pipe syntax (Spark 4 |> operator chains) through the front door:
+    the TPC-H Q1-shaped pricing aggregate written as a linear FROM |> WHERE
+    |> AGGREGATE |> ORDER BY pipeline. Same Catalyst plan as the classic
+    form — the surface matters for users porting dplyr/Kusto/BigQuery-pipe
+    workloads; the oracle is the classic-SQL spelling of the same query."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        "FROM lineitem "
+        "|> WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "|> AGGREGATE CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qc, "
+        "CAST(COUNT(*) AS BIGINT) AS n GROUP BY l_returnflag, l_linestatus "
+        "|> ORDER BY l_returnflag, l_linestatus"
+    )
+
+
+@query("ext_sql_recursive_bfs")
+def ext_sql_recursive_bfs(spark, sf_dir):
+    """Recursive CTE through the SQL front door (Spark 4.1 WITH RECURSIVE):
+    single-source hop-bounded BFS over the LSH similarity graph — the SAME
+    recursive SQL text DuckDB runs as the oracle, so the parity check is a
+    direct cross-engine recursive-CTE comparison. UNION ALL recursion
+    enumerates walks, the hop bound (< 4) caps them, and the outer MIN
+    collapses walks to distances — semantically identical to the DataFrame
+    ``graph.bfs_distances`` loop (UNION-distinct recursion, which would
+    enumerate nodes instead of walks, is not yet supported by Spark's
+    recursive CTEs; at scale the DataFrame loop with its per-round distinct
+    IS the production form, this is the SQL-surface twin)."""
+    d = load_table(spark, sf_dir, "documents")
+    dedup.minhash_lsh_candidates(d).createOrReplaceTempView("lsh_pairs")
+    return spark.sql(_RECURSIVE_BFS_SQL)
+
+
+_RECURSIVE_BFS_SQL = """
+WITH RECURSIVE reach(node, dist) AS (
+  SELECT MIN(doc_a), 0 FROM lsh_pairs
+  UNION ALL
+  SELECT e.b, reach.dist + 1
+  FROM reach
+  JOIN (SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+        UNION ALL SELECT doc_b, doc_a FROM lsh_pairs) e
+    ON e.a = reach.node
+  WHERE reach.dist < 4
+)
+SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS dist
+FROM reach GROUP BY node ORDER BY doc_id
+"""

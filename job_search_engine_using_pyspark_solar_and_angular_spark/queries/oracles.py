@@ -3196,3 +3196,29 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+ORACLES["ext_sql_pipe"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["ext_sql_recursive_bfs"] = (
+    f"WITH RECURSIVE {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, "
+    f"{_PAIRS_CTE}, "
+    "reach(node, dist) AS ("
+    "  SELECT MIN(doc_a), 0 FROM pairs"
+    "  UNION ALL"
+    "  SELECT e.b, reach.dist + 1 FROM reach"
+    "  JOIN (SELECT doc_a AS a, doc_b AS b FROM pairs"
+    "        UNION ALL SELECT doc_b, doc_a FROM pairs) e"
+    "    ON e.a = reach.node"
+    "  WHERE reach.dist < 4) "
+    "SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS dist "
+    "FROM reach GROUP BY node ORDER BY doc_id"
+)
