@@ -29,7 +29,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 
@@ -92,8 +97,77 @@ class TweetsJsonlDataSource(DataSource):
     def reader(self, schema: T.StructType) -> TweetsJsonlReader:
         return TweetsJsonlReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: T.StructType):
+        return TweetsJsonlStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     """Idempotent session registration; after this,
     ``spark.read.format("tweets_jsonl").option("path", dir)`` works."""
     spark.dataSource.register(TweetsJsonlDataSource)
+
+
+class TweetsJsonlStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the custom source: micro-batch tailing of a
+    growing JSONL directory, offset = sorted file list position + byte
+    offset within the newest file. ``SimpleDataSourceStreamReader`` is the
+    driver-side variant (reads happen on the driver, suited to control-rate
+    feeds like the reference's tweet poller — the reference polls the
+    Twitter API on one node too, `Main/TwitterConsumer.java`); bulk
+    replayable history belongs to the partitioned batch reader above.
+
+    Offsets are JSON dicts (the contract requires dict-typed offsets), so
+    restart-from-checkpoint resumes at an exact (file, byte) position —
+    exactly-once delivery into an idempotent sink."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("tweets_jsonl stream: 'path' option is required")
+
+    def _files(self):
+        if not os.path.isdir(self._path):
+            return [self._path] if os.path.exists(self._path) else []
+        return sorted(
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if f.endswith((".json", ".jsonl"))
+        )
+
+    def initialOffset(self):
+        return {"file_idx": 0, "byte": 0}
+
+    def latestOffset(self):
+        files = self._files()
+        if not files:
+            return {"file_idx": 0, "byte": 0}
+        return {
+            "file_idx": len(files) - 1,
+            "byte": os.path.getsize(files[-1]),
+        }
+
+    def read(self, start):
+        end = self.latestOffset()
+        return list(self._rows_between(start, end)), end
+
+    def readBetweenOffsets(self, start, end):
+        return list(self._rows_between(start, end))
+
+    def _rows_between(self, start, end):
+        files = self._files()
+        names = [f.name for f in self._schema.fields]
+        for idx in range(start["file_idx"], min(end["file_idx"] + 1, len(files))):
+            lo = start["byte"] if idx == start["file_idx"] else 0
+            hi = end["byte"] if idx == end["file_idx"] else os.path.getsize(files[idx])
+            if hi <= lo:
+                continue
+            with open(files[idx], "rb") as fh:
+                fh.seek(lo)
+                chunk = fh.read(hi - lo)
+            for line in chunk.decode("utf-8").splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                yield tuple(rec.get(n) for n in names)

@@ -761,3 +761,54 @@ def test_stream_jsonl_quarantine_split(spark, tmp_path):
     b = spark.sql("SELECT * FROM sq_bad").collect()
     assert {r["id"] for r in v} == {1, 3}
     assert len(b) == 1 and b[0]["raw_line"] == bad
+
+
+def test_python_datasource_stream_tails_jsonl(spark, tmp_path):
+    """The custom source's streaming half: micro-batch tailing of a growing
+    JSONL directory with (file, byte) offsets — rows appended between
+    triggers arrive exactly once."""
+    import json as _json
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources import pyds
+
+    d = tmp_path / "feed"
+    d.mkdir()
+
+    def write_batch(name, lo, hi):
+        with open(d / name, "w") as fh:
+            for i in range(lo, hi):
+                fh.write(_json.dumps({"id": i, "text": f"t {i}", "lang": "en",
+                                      "created_ts": "2020-01-01 00:00:00"}) + "\n")
+
+    write_batch("b0.jsonl", 0, 5)
+    pyds.register(spark)
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    stream = (
+        spark.readStream.format("tweets_jsonl").option("path", str(d)).load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got1 = {r.id for r in spark.read.parquet(str(out)).collect()}
+    assert got1 == set(range(5))
+
+    # grow the feed; a second availableNow run picks up ONLY the new rows
+    write_batch("b1.jsonl", 5, 9)
+    q2 = (
+        spark.readStream.format("tweets_jsonl").option("path", str(d)).load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    assert {r.id for r in rows} == set(range(9))
+    assert len(rows) == 9  # exactly once: no replays of batch 0
