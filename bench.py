@@ -93,6 +93,16 @@ HEADLINE = [
     "ext_more_like_this",
     "ext_hybrid_rrf",
     "ext_triangles",
+    # session-3 additions: the completed TPC-H dossier's heaviest members
+    # (grouped-fact HAVING, two-quantifier decorrelation, outer-join
+    # distribution), BPE vocabulary induction, exact-substring repeated
+    # spans, and BFS over the similarity graph
+    "ext_tpch_q18",
+    "ext_tpch_q21",
+    "ext_tpch_q13",
+    "ext_bpe_merges",
+    "ext_repeated_spans",
+    "ext_bfs_distances",
 ]
 
 # BASELINE.md Fig. 10: reference preprocess ≈ 90 s per 100 MB raw JSON.
