@@ -755,3 +755,43 @@ def test_bpe_merge_table_textbook_semantics(spark):
     df2 = spark.createDataFrame([(1, "ab aa")], "doc_id long, text string")
     rows2 = bpe_merge_table(df2, rounds=1).collect()
     assert rows2[0]["pair"] == "_a _a" and rows2[0]["freq"] == 1
+
+
+def test_star_cc_matches_hashmin_on_hard_graphs(spark):
+    """The O(log n) large-star/small-star CC must label-match the hash-min
+    loop on: a 20-node chain (worst case for hash-min: diameter rounds), a
+    clique, two disjoint components, and the real LSH candidate graph."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_lsh_candidates,
+    )
+
+    def labels(df):
+        return sorted((r["node"], r["cluster_id"]) for r in df.collect())
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "doc_a long, doc_b long"
+    )
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(1, 7) for b in range(a + 1, 7)],
+        "doc_a long, doc_b long",
+    )
+    two = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)],
+        "doc_a long, doc_b long",
+    )
+    for g in (chain, clique, two):
+        assert labels(connected_components_star(g)) == labels(
+            connected_components(g)
+        )
+    # every chain node labels to the minimum (1)
+    assert labels(connected_components_star(chain)) == [
+        (i, 1) for i in range(1, 21)
+    ]
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_candidates(docs)
+    assert labels(connected_components_star(pairs)) == labels(
+        connected_components(pairs)
+    )
