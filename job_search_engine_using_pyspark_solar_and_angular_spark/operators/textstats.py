@@ -575,11 +575,17 @@ def bpe_merge_table(
     integer; and the merge-application step uses the marker-string trick —
     each word is the string ``_c1 _c2 ...`` (every symbol prefixed by ``_``,
     which never occurs inside a [a-z0-9]+ token), so plain string
-    ``replace(sym, '_a _b', '_ab')`` applies the merge with the exact
-    leftmost-non-overlapping semantics BPE specifies ("_a _a _a" merges to
-    "_aa _a", not "_aa _aa"), identically in Spark and any SQL engine —
-    which makes the whole iterative algorithm unrollable to chained CTEs
-    for the oracle.
+    ``replace`` applies the merge with the exact leftmost-non-overlapping
+    semantics BPE specifies ("_a _a _a" merges to "_aa _a", not "_aa _aa"),
+    identically in Spark and any SQL engine — which makes the whole
+    iterative algorithm unrollable to chained CTEs for the oracle.
+    The replace is done on the space-TERMINATED form (``sym || ' '`` with
+    pattern ``pair || ' '`` and replacement ``merged || ' '``): without the
+    terminator, a pattern whose last symbol is a proper prefix of the
+    actual next symbol matches across the boundary (``replace('_ab _ab',
+    '_ab _a', ...)`` would fire and orphan the trailing ``b``). The leading
+    ``_`` pins match starts to symbol boundaries; the trailing space pins
+    match ends.
 
     Scale shape per round: pair-explode of the VOCABULARY table (Zipf:
     ~sqrt of corpus tokens, not the token stream), one partial+final agg,
@@ -646,7 +652,13 @@ def bpe_merge_table(
         words = (
             words.crossJoin(F.broadcast(best.select("pair", "merged")))
             .select(
-                F.replace("sym", F.col("pair"), F.col("merged")).alias("sym"),
+                F.rtrim(
+                    F.replace(
+                        F.concat("sym", F.lit(" ")),
+                        F.concat(F.col("pair"), F.lit(" ")),
+                        F.concat(F.col("merged"), F.lit(" ")),
+                    )
+                ).alias("sym"),
                 "wc",
             )
             .localCheckpoint()

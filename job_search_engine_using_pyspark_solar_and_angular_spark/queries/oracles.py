@@ -3136,8 +3136,8 @@ def _bpe_round(r: int) -> str:
         f"FROM (SELECT string_split(sym, ' ') AS l, wc FROM w{r-1}) s, "
         f"UNNEST(range(1, len(s.l))) AS u(i) GROUP BY 1), "
         f"b{r} AS (SELECT pair, freq FROM p{r} ORDER BY freq DESC, pair LIMIT 1), "
-        f"w{r} AS (SELECT replace(sym, (SELECT pair FROM b{r}), "
-        f"replace((SELECT pair FROM b{r}), ' _', '')) AS sym, wc FROM w{r-1})"
+        f"w{r} AS (SELECT rtrim(replace(sym || ' ', (SELECT pair FROM b{r}) || ' ', "
+        f"replace((SELECT pair FROM b{r}), ' _', '') || ' ')) AS sym, wc FROM w{r-1})"
     )
 
 

@@ -346,3 +346,118 @@ def test_triangle_count_complete_graph(spark):
     assert row["n_triangles"] == 20
     assert row["n_triplets"] == 60
     assert row["clustering"] == 1.0
+
+
+def _bpe_reference(texts: list[str], rounds: int):
+    """Pure-Python textbook BPE on the word-frequency table — an
+    implementation independent of both the Spark operator and its SQL
+    oracle (leftmost-non-overlapping merge, lexicographic tie-break)."""
+    import re
+    from collections import Counter
+
+    words: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            w = re.sub(r"[^a-z0-9]", "", w.lower())
+            if w:
+                words[w] += 1
+    syms = {tuple("_" + c for c in w): c_ for w, c_ in words.items()}
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs: Counter = Counter()
+        for s, wc in syms.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += wc
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), freq = best
+        merged = a + b[1:]
+        merges.append((r, f"{a} {b}", merged, freq))
+        new_syms: dict = {}
+        for s, wc in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_syms[tuple(out)] = new_syms.get(tuple(out), 0) + wc
+        syms = new_syms
+    return merges
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=1, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    rounds=st.integers(1, 3),
+)
+@_SET
+def test_bpe_matches_python_reference(spark, texts, rounds):
+    """Triangulation: Spark BPE vs a pure-Python textbook implementation
+    (the DuckDB oracle is the third, SQL-unrolled derivation). Tiny 'ab x'
+    alphabet maximizes merge collisions, overlap runs ('aaaa'), and ties."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.textstats import (
+        bpe_merge_table,
+    )
+
+    want = _bpe_reference(texts, rounds)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["round"], r["pair"], r["merged"], r["freq"])
+        for r in bpe_merge_table(df, rounds=rounds).collect()
+    ]
+    assert got == want[: len(got)]
+    # fewer rows than rounds only when the corpus ran out of pairs
+    if len(got) < rounds:
+        assert len(want) < rounds or not want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=30),
+        min_size=2,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+@_SET
+def test_repeated_spans_invariants(spark, docs, k):
+    """Every reported span: (1) is at least k tokens, (2) merges maximal —
+    no two spans of one doc touch or overlap, (3) every k-window inside it
+    occurs in >= 2 distinct docs (verified by an independent Python scan)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    spans = repeated_spans(df, k=k, min_docs=2).collect()
+
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for i, d in enumerate(docs):
+        for p in range(len(d) - k + 1):
+            gram_docs[tuple(d[p:p + k])].add(i)
+
+    per_doc = defaultdict(list)
+    for r in spans:
+        per_doc[r["doc_id"]].append((r["span_start"], r["span_end"]))
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1 >= k
+        d = docs[r["doc_id"]]
+        for p in range(r["span_start"] - 1, r["span_end"] - k + 1):
+            assert len(gram_docs[tuple(d[p:p + k])]) >= 2
+    for doc_id, ss in per_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1 + 1  # maximal: a gap separates consecutive spans
