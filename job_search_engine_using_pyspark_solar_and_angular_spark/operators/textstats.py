@@ -593,6 +593,17 @@ def bpe_merge_table(
     the initial word count. ``localCheckpoint`` per round keeps round k's
     plan from embedding rounds 1..k-1.
     """
+    merges, _ = _bpe_learn(df, text_col, rounds)
+    return merges.orderBy("round")
+
+
+def _bpe_learn(df: DataFrame, text_col: str, rounds: int):
+    """Shared BPE trainer: returns ``(merges, vocab)`` where ``merges`` is
+    the (round, pair, merged, freq) table and ``vocab`` is the word-grain
+    encoding table (word, sym, wc) AFTER all learned merges were applied —
+    i.e. the tokenizer's word→symbols map. Applying at vocabulary grain is
+    the 100 TB shape: the corpus token stream is never re-walked per round;
+    encoding a corpus is then one join against this Zipf-sized table."""
     from ..io import ensure_parallelism
 
     words = (
@@ -601,6 +612,7 @@ def bpe_merge_table(
         .groupBy("word")
         .agg(F.count("*").alias("wc"))
         .select(
+            "word",
             F.concat(
                 F.lit("_"),
                 F.array_join(
@@ -612,7 +624,6 @@ def bpe_merge_table(
         )
         .localCheckpoint()
     )
-    spark = df.sparkSession
     merges = None
     for r in range(1, rounds + 1):
         arr = F.split("sym", " ")
@@ -649,9 +660,14 @@ def bpe_merge_table(
             .localCheckpoint()
         )
         merges = best if merges is None else merges.unionByName(best)
+        # out of pairs: stop — the crossJoin below would otherwise wipe
+        # the vocab table (anything × empty = empty)
+        if best.isEmpty():
+            break
         words = (
             words.crossJoin(F.broadcast(best.select("pair", "merged")))
             .select(
+                "word",
                 F.rtrim(
                     F.replace(
                         F.concat("sym", F.lit(" ")),
@@ -663,4 +679,40 @@ def bpe_merge_table(
             )
             .localCheckpoint()
         )
-    return merges.orderBy("round")
+    return merges, words
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus — the tokenizer's
+    ENCODE half beside ``bpe_merge_table``'s train half. Per document:
+    whitespace-word count and the BPE symbol count after ``rounds`` merges
+    (chars-per-word minus one per merge fired inside each word's tokens).
+
+    Scale shape: merges are applied once at VOCABULARY grain (inside
+    ``_bpe_learn`` — the word table, Zipf ~sqrt of token mass), then the
+    corpus token stream joins that word→n_symbols map; AQE broadcasts the
+    vocab side when it fits, so encoding 100 TB is one map-side join plus
+    the per-doc agg — the token stream is never re-walked per merge round.
+    """
+    _, vocab = _bpe_learn(df, text_col, rounds)
+    vocab_n = vocab.select(
+        "word", F.size(F.split("sym", " ")).alias("n_sym")
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_normalized(text_col)).alias("word"),
+    )
+    return (
+        toks.join(vocab_n, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

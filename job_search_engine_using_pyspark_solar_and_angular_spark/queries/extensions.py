@@ -4074,6 +4074,19 @@ def ext_bpe_merges(spark, sf_dir):
     return textstats.bpe_merge_table(d, rounds=3)
 
 
+@query("ext_bpe_encode")
+def ext_bpe_encode(spark, sf_dir):
+    """The ENCODE half of the BPE tokenizer: apply the merges
+    ``ext_bpe_merges`` learned back to every document and report the
+    per-doc whitespace-word and BPE-symbol counts. Merges are applied once
+    at vocabulary grain (Zipf-sized word table), then the corpus token
+    stream takes ONE join against that word→n_symbols map — the token
+    stream is never re-walked per merge round, which is what makes
+    encoding affordable at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.bpe_encode_stats(d, rounds=3)
+
+
 @query("ext_repeated_spans")
 def ext_repeated_spans(spark, sf_dir):
     """Exact-substring repeated spans (suffix-array dedup's k-gram cousin):

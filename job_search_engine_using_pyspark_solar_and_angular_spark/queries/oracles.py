@@ -3136,23 +3136,37 @@ def _bpe_round(r: int) -> str:
         f"FROM (SELECT string_split(sym, ' ') AS l, wc FROM w{r-1}) s, "
         f"UNNEST(range(1, len(s.l))) AS u(i) GROUP BY 1), "
         f"b{r} AS (SELECT pair, freq FROM p{r} ORDER BY freq DESC, pair LIMIT 1), "
-        f"w{r} AS (SELECT rtrim(replace(sym || ' ', (SELECT pair FROM b{r}) || ' ', "
+        f"w{r} AS (SELECT word, rtrim(replace(sym || ' ', (SELECT pair FROM b{r}) || ' ', "
         f"replace((SELECT pair FROM b{r}), ' _', '') || ' ')) AS sym, wc FROM w{r-1})"
     )
 
 
-ORACLES["ext_bpe_merges"] = (
-    f"WITH toks AS (SELECT unnest({TOKS}) AS word FROM documents), "
+_BPE_CTES = (
+    f"toks AS (SELECT unnest({TOKS}) AS word FROM documents), "
     "wf AS (SELECT word, COUNT(*) AS wc FROM toks GROUP BY word), "
-    "w0 AS (SELECT '_' || array_to_string("
+    "w0 AS (SELECT word, '_' || array_to_string("
     "list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), "
     "' _') AS sym, wc FROM wf), "
     + ", ".join(_bpe_round(r) for r in (1, 2, 3))
-    + " SELECT * FROM ("
+)
+
+ORACLES["ext_bpe_merges"] = (
+    f"WITH {_BPE_CTES}"
+    " SELECT * FROM ("
     "SELECT CAST(1 AS BIGINT) AS round, pair, replace(pair, ' _', '') AS merged, freq FROM b1 "
     "UNION ALL SELECT 2, pair, replace(pair, ' _', ''), freq FROM b2 "
     "UNION ALL SELECT 3, pair, replace(pair, ' _', ''), freq FROM b3"
     ") ORDER BY round"
+)
+
+ORACLES["ext_bpe_encode"] = (
+    f"WITH {_BPE_CTES}, "
+    "vocab AS (SELECT word, len(string_split(sym, ' ')) AS n_sym FROM w3), "
+    f"dtoks AS (SELECT doc_id, unnest({TOKS}) AS word FROM documents) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+    "CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens "
+    "FROM dtoks JOIN vocab USING (word) "
+    "GROUP BY doc_id ORDER BY doc_id"
 )
 
 

@@ -361,11 +361,12 @@ def _bpe_reference(texts: list[str], rounds: int):
             w = re.sub(r"[^a-z0-9]", "", w.lower())
             if w:
                 words[w] += 1
-    syms = {tuple("_" + c for c in w): c_ for w, c_ in words.items()}
+    sym_of = {w: tuple("_" + c for c in w) for w in words}
     merges = []
     for r in range(1, rounds + 1):
         pairs: Counter = Counter()
-        for s, wc in syms.items():
+        for w, wc in words.items():
+            s = sym_of[w]
             for i in range(len(s) - 1):
                 pairs[(s[i], s[i + 1])] += wc
         if not pairs:
@@ -374,8 +375,7 @@ def _bpe_reference(texts: list[str], rounds: int):
         (a, b), freq = best
         merged = a + b[1:]
         merges.append((r, f"{a} {b}", merged, freq))
-        new_syms: dict = {}
-        for s, wc in syms.items():
+        for w, s in sym_of.items():
             out, i = [], 0
             while i < len(s):
                 if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
@@ -384,9 +384,8 @@ def _bpe_reference(texts: list[str], rounds: int):
                 else:
                     out.append(s[i])
                     i += 1
-            new_syms[tuple(out)] = new_syms.get(tuple(out), 0) + wc
-        syms = new_syms
-    return merges
+            sym_of[w] = tuple(out)
+    return merges, sym_of
 
 
 @given(
@@ -402,11 +401,14 @@ def test_bpe_matches_python_reference(spark, texts, rounds):
     """Triangulation: Spark BPE vs a pure-Python textbook implementation
     (the DuckDB oracle is the third, SQL-unrolled derivation). Tiny 'ab x'
     alphabet maximizes merge collisions, overlap runs ('aaaa'), and ties."""
+    import re
+
     from job_search_engine_using_pyspark_solar_and_angular_spark.operators.textstats import (
+        bpe_encode_stats,
         bpe_merge_table,
     )
 
-    want = _bpe_reference(texts, rounds)
+    want, sym_of = _bpe_reference(texts, rounds)
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
@@ -418,6 +420,19 @@ def test_bpe_matches_python_reference(spark, texts, rounds):
     # fewer rows than rounds only when the corpus ran out of pairs
     if len(got) < rounds:
         assert len(want) < rounds or not want
+
+    # encode half: per-doc word/BPE-symbol counts vs the same reference
+    expect = {}
+    for i, t in enumerate(texts):
+        ws = [re.sub(r"[^a-z0-9]", "", w.lower()) for w in t.split(" ")]
+        ws = [w for w in ws if w]
+        if ws:
+            expect[i] = (len(ws), sum(len(sym_of[w]) for w in ws))
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_stats(df, rounds=rounds).collect()
+    }
+    assert enc == expect
 
 
 @given(
