@@ -716,3 +716,81 @@ def bpe_encode_stats(
         )
         .orderBy("doc_id")
     )
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document, from three integer counts so the
+    score is engine-exact: words (normalized tokens), sentences (runs of
+    [.!?], floored at 1), syllables (vowel groups ``[aeiouy]+`` — the
+    standard heuristic). Score in floored MILLI-units via pure integer
+    arithmetic: 206835 - (1015*w) div s - (84600*sy) div w; every division
+    operand is positive, so Spark's truncating ``div`` == DuckDB's
+    flooring ``//``. Row-local (no shuffle); docs with zero words are
+    dropped (frontier semantics, same as the token passes). The
+    readability band completes the quality family
+    (length/punct/stopword/repetition/entropy)."""
+    c = F.col(text_col)
+    w = F.size(tokenize_normalized(text_col))
+    s = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    sy = F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), F.lit(0)))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            w.cast("long").alias("n_words"),
+            s.cast("long").alias("n_sentences"),
+            sy.cast("long").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            (
+                F.lit(206835)
+                - F.expr("1015 * n_words div n_sentences")
+                - F.expr("84600 * n_syllables div n_words")
+            ).cast("long").alias("flesch_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# UTF-8-decoded-as-Latin-1 damage: 'Ã'/'Â' + a Latin-1 tail byte (é → Ã©),
+# or the 'â€' lead pair of smart-quote/dash mojibake (’ → â€™). Java regex
+# spelling; the DuckDB oracle states the RE2 \\x{..} spelling of the same set.
+MOJIBAKE_RE = "Ã[\u0080-\u00ff]|Â[\u0080-\u00ff]|â€"
+# C0 control characters except NUL/tab/newline/CR (NUL is excluded so the
+# same pattern is statable as a SQL string literal).
+CTRL_RE = "[\u0001-\u0008\u000b\u000c\u000e-\u001f]"
+
+
+def encoding_audit(
+    df: DataFrame, text_col: str = "text", by: str = "source"
+) -> DataFrame:
+    """Encoding-damage audit per corpus slice: replacement characters
+    (U+FFFD — a decoder already gave up), UTF-8-as-Latin-1 mojibake
+    sequences, and stray C0 control characters. One scan, one tiny
+    group-by — the ingest-health panel beside the quality/dq audits.
+    Clean synthetic fixtures report zeros; detection is proven on planted
+    damage in tests (same pattern as the split-leakage audit)."""
+    c = F.col(text_col)
+    n_repl = F.regexp_count(c, F.lit("�"))
+    n_moji = F.regexp_count(c, F.lit(MOJIBAKE_RE))
+    n_ctrl = F.regexp_count(c, F.lit(CTRL_RE))
+    damaged = (n_repl + n_moji + n_ctrl) > 0
+    return (
+        df.groupBy(F.col(by).alias(by))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(damaged.cast("long")).cast("long").alias("n_damaged"),
+            F.sum(n_repl).cast("long").alias("n_repl_chars"),
+            F.sum(n_moji).cast("long").alias("n_mojibake"),
+            F.sum(n_ctrl).cast("long").alias("n_ctrl_chars"),
+        )
+        .orderBy(by)
+    )

@@ -4087,6 +4087,28 @@ def ext_bpe_encode(spark, sf_dir):
     return textstats.bpe_encode_stats(d, rounds=3)
 
 
+@query("ext_readability")
+def ext_readability(spark, sf_dir):
+    """Flesch reading-ease per document from three integer counts (words /
+    sentence runs / vowel-group syllables); the score itself is computed in
+    floored milli-units with pure integer arithmetic, so it is bit-identical
+    cross-engine. Row-local — at 100 TB this runs at scan speed inside
+    whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.readability(d)
+
+
+@query("ext_encoding_audit")
+def ext_encoding_audit(spark, sf_dir):
+    """Encoding-damage audit per source: U+FFFD replacement characters,
+    UTF-8-as-Latin-1 mojibake sequences (Ã/Â + Latin-1 tail, â€ pairs),
+    stray C0 control characters. One scan + a tiny group-by. The clean
+    synthetic fixture reports zeros; detection is proven on planted damage
+    in tests/test_operators.py (split-leakage-audit pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.encoding_audit(d)
+
+
 @query("ext_repeated_spans")
 def ext_repeated_spans(spark, sf_dir):
     """Exact-substring repeated spans (suffix-array dedup's k-gram cousin):

@@ -3159,6 +3159,39 @@ ORACLES["ext_bpe_merges"] = (
     ") ORDER BY round"
 )
 
+ORACLES["ext_readability"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         len({TOKS}) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST(206835 - (1015 * n_words) // n_sentences
+                   - (84600 * n_syllables) // n_words AS BIGINT) AS flesch_milli
+FROM t WHERE n_words > 0 ORDER BY doc_id
+"""
+
+# RE2 spelling of operators.textstats.MOJIBAKE_RE / CTRL_RE
+ORACLES["ext_encoding_audit"] = r"""
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(text, '�')) AS nr,
+         len(regexp_extract_all(text,
+             'Ã[\x{0080}-\x{00ff}]|Â[\x{0080}-\x{00ff}]|â€')) AS nm,
+         len(regexp_extract_all(text,
+             '[\x{01}-\x{08}\x{0b}\x{0c}\x{0e}-\x{1f}]')) AS nc
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN nr + nm + nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_damaged,
+       CAST(SUM(nr) AS BIGINT) AS n_repl_chars,
+       CAST(SUM(nm) AS BIGINT) AS n_mojibake,
+       CAST(SUM(nc) AS BIGINT) AS n_ctrl_chars
+FROM d GROUP BY source ORDER BY source
+"""
+
 ORACLES["ext_bpe_encode"] = (
     f"WITH {_BPE_CTES}, "
     "vocab AS (SELECT word, len(string_split(sym, ' ')) AS n_sym FROM w3), "

@@ -795,3 +795,60 @@ def test_star_cc_matches_hashmin_on_hard_graphs(spark):
     assert labels(connected_components_star(pairs)) == labels(
         connected_components(pairs)
     )
+
+
+def test_encoding_audit_detects_planted_damage(spark):
+    """Zeros on clean text; each damage class counted on planted rows."""
+    rows = [
+        (0, "perfectly clean text", "web"),
+        (1, "caf\u00c3\u00a9 menu", "web"),          # 'cafe\u0301' as UTF-8-in-Latin-1
+        (2, "it\u00e2\u20ac\u2122s broken", "web"),  # smart quote mojibake
+        (3, "lost \ufffd bytes \ufffd here", "feed"),
+        (4, "ctrl\u0001char", "feed"),
+        (5, "fine again", "feed"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: r.asDict()
+        for r in textstats.encoding_audit(df).collect()
+    }
+    assert got["web"] == {
+        "source": "web", "n_docs": 3, "n_damaged": 2,
+        "n_repl_chars": 0, "n_mojibake": 2, "n_ctrl_chars": 0,
+    }
+    assert got["feed"] == {
+        "source": "feed", "n_docs": 3, "n_damaged": 2,
+        "n_repl_chars": 2, "n_mojibake": 0, "n_ctrl_chars": 1,
+    }
+
+
+def test_readability_hand_computed(spark):
+    """Flesch milli-score against an independent hand computation."""
+    texts = {
+        0: "The cat sat on the mat. It was happy!",
+        1: "no punctuation here at all",
+        2: "!!!",  # zero words -> dropped
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts.values())],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           textstats.readability(df).collect()}
+    assert sorted(got) == [0, 1]
+
+    import re
+    for i, t in texts.items():
+        ws = [re.sub(r"[^a-z0-9]", "", w.lower()) for w in t.split(" ")]
+        ws = [w for w in ws if w]
+        if not ws:
+            assert i not in got
+            continue
+        w = len(ws)
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        sy = len(re.findall(r"[aeiouy]+", t.lower()))
+        flesch = 206835 - (1015 * w) // s - (84600 * sy) // w
+        assert got[i] == {
+            "doc_id": i, "n_words": w, "n_sentences": s,
+            "n_syllables": sy, "flesch_milli": flesch,
+        }

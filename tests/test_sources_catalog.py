@@ -421,3 +421,22 @@ def test_python_datasource_matches_native_json(spark, tmp_path):
     b = sorted(map(tuple, native.collect()))
     assert a == b and len(a) == 20
     assert custom.rdd.getNumPartitions() == 2
+
+
+def test_orc_roundtrip_typed(spark, tmp_path):
+    """ORC interchange (S-family widening): both fixture shapes —
+    scalar-typed documents and array<float> embeddings — survive an ORC
+    sink/scan round-trip with schema and values intact. ORC is the one
+    columnar interchange format Spark ships besides parquet (Avro needs
+    the external spark-avro module, absent here — import-gated out)."""
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    for name, df in (("docs", docs), ("emb", emb)):
+        path = str(tmp_path / name)
+        df.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        assert back.schema == df.schema
+        assert (
+            sorted(map(str, df.collect()), key=str)
+            == sorted(map(str, back.collect()), key=str)
+        )
