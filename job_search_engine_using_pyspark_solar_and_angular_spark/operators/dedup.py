@@ -437,9 +437,15 @@ def repeated_spans(
 ) -> DataFrame:
     """Exact-substring repeated-span detection — the k-token-gram form of
     "dedup by long exact substrings" (suffix-array dedup's distributed
-    cousin): for every document, the maximal token spans whose every
-    k-gram also occurs in >= ``min_docs`` distinct documents. Returns
-    (doc_id, span_start, span_end, span_tokens) in token positions.
+    cousin): for every document, the maximal contiguous token runs in
+    which EVERY TOKEN is covered by at least one k-gram that also occurs
+    in >= ``min_docs`` distinct documents. Returns (doc_id, span_start,
+    span_end, span_tokens) in token positions. (Note the semantics are
+    token-COVERAGE runs, the cut-these-tokens signal — not "every
+    k-window inside the span is repeated": two touching repeated windows
+    merge across an intervening non-repeated window start, e.g. windows
+    [1,2] and [3,4] fuse into [1,4] even though the window starting at 2
+    is unique. Pinned by the coverage/maximality property test.)
 
     Pipeline: per-doc k-gram hashes built IN-ARRAY (one transform over the
     token array — no token-stream self-join), exploded once; grams kept if

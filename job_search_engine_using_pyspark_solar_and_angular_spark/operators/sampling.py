@@ -173,3 +173,16 @@ def weighted_sample(
 
     ``weight_bps`` must be an integer-valued column in [0, 10000]."""
     return df.filter(_bucket(F.col(key_col), salt) < weight_bps)
+
+
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int = 5, salt: str = ""
+) -> DataFrame:
+    """Add a ``fold`` column in [0, k): deterministic k-fold cross-validation
+    assignment by key hash. Every key lands in exactly one fold (partition of
+    the key space — no leakage between a fold's train and eval side by
+    construction), identically on every run and layout; ``salt`` draws an
+    independent folding. Row-local, no shuffle."""
+    return df.withColumn(
+        "fold", (_bucket(F.col(key_col), salt) % F.lit(k)).cast("long")
+    )

@@ -616,6 +616,26 @@ def ext_train_test_split(spark, sf_dir):
     )
 
 
+@query("ext_kfold")
+def ext_kfold(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment (md5-bucket mod k —
+    every doc in exactly one fold on every run and layout, so no
+    train/eval leakage by construction) with the per-fold balance panel:
+    doc count and exact char mass. Row-local assignment + one tiny agg."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.kfold_assign(d, "doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("fold")
+    )
+
+
 @query("ext_stratified_sample")
 def ext_stratified_sample(spark, sf_dir):
     """Per-event-type deterministic downsampling (class rebalancing): views
@@ -4112,7 +4132,7 @@ def ext_encoding_audit(spark, sf_dir):
 @query("ext_repeated_spans")
 def ext_repeated_spans(spark, sf_dir):
     """Exact-substring repeated spans (suffix-array dedup's k-gram cousin):
-    maximal token spans whose every 8-gram occurs in >= 2 distinct docs —
+    maximal token runs covered by 8-grams occurring in >= 2 distinct docs —
     the span-level complement to document-level near-dedup (cut the span,
     keep the doc). Islands merge per doc; exact md5/int pipeline."""
     return dedup.repeated_spans(

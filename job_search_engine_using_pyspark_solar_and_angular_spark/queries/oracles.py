@@ -686,6 +686,13 @@ ORACLES["ext_train_test_split"] = (
     "FROM documents ORDER BY doc_id"
 )
 
+ORACLES["ext_kfold"] = (
+    f"SELECT ({md5long('CAST(doc_id AS VARCHAR)')} % 10000) % 5 AS fold, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+    "FROM documents GROUP BY fold ORDER BY fold"
+)
+
 ORACLES["ext_stratified_sample"] = (
     "SELECT event_id, event_type FROM events "
     f"WHERE {md5long('CAST(event_id AS VARCHAR)')} % 10000 < "
