@@ -1364,6 +1364,50 @@ def ext_outliers(spark, sf_dir):
     )
 
 
+@query("ext_mad_outliers")
+def ext_mad_outliers(spark, sf_dir):
+    """Robust outlier panel per event type: median / MAD (median absolute
+    deviation) with the |x - med| > 3·MAD rule — the heavy-tail-proof
+    complement to ext_outliers' 3-sigma test (one wild value shifts a mean
+    and explodes a stddev; it moves a median by at most one rank).
+
+    Integer-exact trick: work in DOUBLED cents. The median of an even
+    count interpolates halfway between two values, so over even integers
+    it is always integral — percentile(2·cents, 0.5) and the second-level
+    percentile(2·|dev|, 0.5) are exact BIGINTs in both engines, and the
+    outlier test cross-multiplies to 2·dev > 3·mad4 with no floats
+    anywhere. Two grouped medians + two broadcast joins of the tiny
+    per-type stats — the event scan is the only big input, touched twice
+    (Spark's exact percentile needs the full group either way)."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        (F.round(F.col("value") * 100, 0) * 2).cast("long").alias("dc"),
+    )
+    m1 = base.groupBy("event_type").agg(
+        F.percentile("dc", 0.5).cast("long").alias("med2")
+    )
+    d = base.join(F.broadcast(m1), "event_type").withColumn(
+        "dev2", F.abs(F.col("dc") - F.col("med2")) * 2
+    )
+    m2 = d.groupBy("event_type").agg(
+        F.percentile("dev2", 0.5).cast("long").alias("mad4")
+    )
+    return (
+        d.join(F.broadcast(m2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (F.col("dev2") > 3 * F.col("mad4")).cast("long")
+            ).cast("long").alias("n_outliers"),
+            (F.max("med2") * 500).cast("long").alias("med_millicents"),
+            (F.max("mad4") * 250).cast("long").alias("mad_millicents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("ext_minhash_est_jaccard")
 def ext_minhash_est_jaccard(spark, sf_dir):
     """Signature-based Jaccard ESTIMATION next to the exact value — the step

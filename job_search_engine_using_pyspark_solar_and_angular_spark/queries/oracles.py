@@ -1985,6 +1985,25 @@ SELECT month,
 FROM li GROUP BY 1 ORDER BY 1
 """
 
+ORACLES["ext_mad_outliers"] = """
+WITH b AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) * 2 AS BIGINT) AS dc
+  FROM events),
+m1 AS (SELECT event_type, CAST(MEDIAN(dc) AS BIGINT) AS med2
+       FROM b GROUP BY event_type),
+d AS (SELECT b.event_type, dc, med2, ABS(dc - med2) * 2 AS dev2
+      FROM b JOIN m1 USING (event_type)),
+m2 AS (SELECT event_type, CAST(MEDIAN(dev2) AS BIGINT) AS mad4
+       FROM d GROUP BY event_type)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(MAX(med2) * 500 AS BIGINT) AS med_millicents,
+       CAST(MAX(mad4) * 250 AS BIGINT) AS mad_millicents
+FROM d JOIN m2 USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
 ORACLES["ext_exact_median"] = """
 SELECT event_type, ROUND(MEDIAN(value), 4) AS median_value,
        CAST(COUNT(*) AS BIGINT) AS n
