@@ -103,6 +103,12 @@ HEADLINE = [
     "ext_bpe_merges",
     "ext_repeated_spans",
     "ext_bfs_distances",
+    # session-4 additions: BPE encode (vocab-grain apply + one corpus
+    # join), the scan-speed text audits, and the doubled-cents MAD panel
+    "ext_bpe_encode",
+    "ext_readability",
+    "ext_encoding_audit",
+    "ext_mad_outliers",
 ]
 
 # BASELINE.md Fig. 10: reference preprocess ≈ 90 s per 100 MB raw JSON.

@@ -156,8 +156,10 @@ def bfs_distances(
         .distinct()
         .localCheckpoint()
     )
-    # doc_a < doc_b on every pair, so min(doc_a) IS the minimum node id
-    dist = pairs.agg(F.min(src).alias("node")).select(
+    # doc_a < doc_b on every pair, so the graph-wide min node id is
+    # min(a) over the CHECKPOINTED edge table — aggregating `pairs`
+    # here would re-run the whole upstream (LSH) build a second time
+    dist = e.agg(F.min("a").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
     for _ in range(max_hops):
