@@ -733,10 +733,10 @@ def readability(
     (length/punct/stopword/repetition/entropy)."""
     c = F.col(text_col)
     w = F.size(tokenize_normalized(text_col))
-    s = F.greatest(
-        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
-    )
-    sy = F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), F.lit(0)))
+    # regexp_count, not size(regexp_extract_all(...)): same value, but no
+    # per-row match-array materialization on the hot scan path
+    s = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    sy = F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+"))
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
