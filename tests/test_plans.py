@@ -410,3 +410,32 @@ def test_tpch_q15_max_is_broadcast_not_window(spark):
     p = plan_of(spark, "ext_tpch_q15")
     assert "Window" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_mad_outliers_stats_broadcast(spark):
+    """Both per-type stat tables (median, MAD) join back by BROADCAST —
+    the event scan must never sort-merge against a handful-of-rows agg."""
+    p = plan_of(spark, "ext_mad_outliers")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_text_audits_are_scan_speed(spark):
+    """readability / encoding_audit: no join, no window, no Python; the
+    only exchange is the audit's tiny group-by (none for readability)."""
+    p = plan_of(spark, "ext_readability")
+    assert "Join" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    p = plan_of(spark, "ext_encoding_audit")
+    assert "Join" not in p and "Window" not in p
+    assert "partial_count" in p or "HashAggregate" in p  # partial+final agg
+
+
+def test_bpe_encode_single_corpus_join(spark):
+    """The encode side joins the token stream against the vocab map once;
+    no cartesian anywhere (the trainer's 1-row argmax crossJoins are
+    broadcast nested loops over ONE row, which is fine — but a real
+    CartesianProduct would mean the vocab apply regressed)."""
+    p = plan_of(spark, "ext_bpe_encode")
+    assert "CartesianProduct" not in p
