@@ -7,6 +7,7 @@ at 100 TB these run at scan speed inside whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -480,6 +481,30 @@ def ngram_udtf_class(n: int = 2):
                 yield i, " ".join(toks[i : i + n])
 
     return NgramUDTF
+
+
+def geomean_grouped_agg_udf():
+    """Grouped-AGGREGATE Pandas UDF (Arrow series → scalar) — the fourth
+    and last cell of the §2.10 extension matrix (scalar pandas_udf hooks:
+    S10/N6/N7; table function: ngram_udtf_class; grouped-map
+    applyInPandas: Theil–Sen). Returns a geometric-mean aggregate usable
+    in ``groupBy(...).agg(...)`` and over unbounded windows.
+
+    NOT used by any registered query: the native column form
+    ``exp(avg(ln(x)))`` is the hot path (whole-stage codegen, partial+final
+    agg); the test suite pins both forms equal to 6 decimals, so swapping
+    in a genuinely-not-expressible aggregate (a model scorer, an exotic
+    sketch) changes plumbing, not plans. Grouped-agg UDFs ship the whole
+    group to one worker as an Arrow batch — no partial aggregation — so
+    at 100 TB they are for small-group grains only."""
+
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    return geomean
 
 
 def remove_stopwords_by_lang(

@@ -852,3 +852,25 @@ def test_readability_hand_computed(spark):
             "doc_id": i, "n_words": w, "n_sentences": s,
             "n_syllables": sy, "flesch_milli": flesch,
         }
+
+
+def test_grouped_agg_pandas_udf_matches_native(spark):
+    """§2.10 matrix, grouped-AGG cell: the pandas geometric-mean aggregate
+    equals the native exp(avg(ln(x))) column form to 6 decimals, per group
+    — swapping a not-SQL-expressible aggregate in changes plumbing, not
+    plans (the native form stays the hot path)."""
+    e = load_table(spark, SF_DIR, "events").filter(F.col("value") > 0)
+    gm = textstats.geomean_grouped_agg_udf()
+    got = {
+        r["event_type"]: r["g"]
+        for r in e.groupBy("event_type").agg(gm("value").alias("g")).collect()
+    }
+    want = {
+        r["event_type"]: r["g"]
+        for r in e.groupBy("event_type")
+        .agg(F.exp(F.avg(F.log("value"))).alias("g"))
+        .collect()
+    }
+    assert sorted(got) == sorted(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, k
