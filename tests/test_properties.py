@@ -491,3 +491,43 @@ def test_repeated_spans_invariants(spark, docs, k):
     for doc_id in got:
         got[doc_id].sort()
     assert dict(got) == dict(want)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    tokens=st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                    min_size=1, max_size=10),
+    dictionary=st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                        min_size=1, max_size=8, unique=True),
+)
+@_SET
+def test_spell_correct_matches_bruteforce(spark, tokens, dictionary):
+    """Triangulation: the SymSpell delete-key join must find EXACTLY the
+    lev<=1 dictionary candidates brute force finds (the delete-1 keys
+    cover substitution/insertion/deletion; transpositions are lev 2 and
+    must be filtered), with the (dist, word) tie-break."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.textstats import (
+        spell_correct,
+    )
+
+    df = spark.createDataFrame([(0, " ".join(tokens))], "doc_id long, text string")
+    got = {
+        r["pos"]: (r["token"], r["corrected"])
+        for r in spell_correct(df, dictionary).collect()
+    }
+    for pos, tok in enumerate(tokens):
+        cands = sorted(
+            (( _lev(tok, w), w) for w in dictionary if _lev(tok, w) <= 1),
+        )
+        want = cands[0][1] if cands else tok
+        assert got[pos] == (tok, want), (pos, tok, cands)
+    assert len(got) == len(tokens)
