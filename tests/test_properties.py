@@ -531,3 +531,94 @@ def test_spell_correct_matches_bruteforce(spark, tokens, dictionary):
         want = cands[0][1] if cands else tok
         assert got[pos] == (tok, want), (pos, tok, cands)
     assert len(got) == len(tokens)
+
+
+def _winnow_ref(text: str, k: int, w: int) -> set:
+    """Textbook winnowing (Schleimer et al. MOSS): clean, hash every k-char
+    gram (md5-prefix int64, the engine's hash), min per sliding window of
+    w grams; short docs (with >= 1 gram) yield the global min."""
+    import hashlib
+    import re
+
+    ct = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+    n = len(ct)
+    if n < k:
+        return set()
+    grams = [
+        int(hashlib.md5(ct[i:i + k].encode()).hexdigest()[:15], 16)
+        for i in range(n - k + 1)
+    ]
+    if len(grams) < w:
+        return {min(grams)}
+    return {min(grams[i:i + w]) for i in range(len(grams) - w + 1)}
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c.A!", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@_SET
+def test_winnowing_matches_python_reference(spark, texts):
+    """Triangulation: Spark sliding-window winnowing vs the textbook Python
+    implementation (the DuckDB oracle is the SQL third derivation). The
+    alphabet mixes case/punct/spaces to exercise the clean chain, and
+    lengths straddle the short-doc (< one window) boundary."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprints(df, k=3, window=2).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    want = {
+        i: fps
+        for i, t in enumerate(texts)
+        if (fps := _winnow_ref(t, 3, 2))
+    }
+    assert got == want
+
+
+@given(
+    raw_edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=16,
+    ),
+    iters=st.integers(1, 3),
+)
+@_SET
+def test_pagerank_matches_python_reference(spark, raw_edges, iters):
+    """Triangulation: the distributed integer PageRank vs an independent
+    Python implementation of the same exact-arithmetic spec (truncating
+    div everywhere, micro-unit mass) on arbitrary small graphs — the SQL
+    oracle shares the unrolled formula, this does not share the join/agg
+    mechanics."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.graph import (
+        SCALE,
+        pagerank_int,
+    )
+
+    edges = sorted({(a, b) for a, b in raw_edges if a < b})
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["rank"] for r in pagerank_int(pairs, iters=iters).collect()}
+
+    und = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    nodes = sorted({a for a, _ in und})
+    deg = {a: sum(1 for x, _ in und if x == a) for a in nodes}
+    n = len(nodes)
+    base = (15 * (SCALE // n)) // 100
+    rank = {a: SCALE // n for a in nodes}
+    for _ in range(iters):
+        inc = {a: 0 for a in nodes}
+        for a, b in und:
+            inc[b] += rank[a] // deg[a]
+        rank = {a: base + (85 * inc[a]) // 100 for a in nodes}
+    assert got == rank
