@@ -622,3 +622,60 @@ def test_pagerank_matches_python_reference(spark, raw_edges, iters):
             inc[b] += rank[a] // deg[a]
         rank = {a: base + (85 * inc[a]) // 100 for a in nodes}
     assert got == rank
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=1, max_size=24),
+        min_size=2,
+        max_size=6,
+    ),
+)
+@_SET
+def test_simhash_near_dups_match_python_all_pairs(spark, texts):
+    """Triangulation: the pigeonhole block self-join must return EXACTLY the
+    pairs a brute-force all-pairs Python scan finds at hamming <= 3 — the
+    subtle property is completeness (a pair within distance h must share
+    at least one exact chunk), which the SQL oracle derives the same way
+    but this reference does not."""
+    import hashlib
+    import re
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+
+    def sh_ref(t: str) -> int | None:
+        toks = [re.sub(r"[^a-z0-9]", "", w.lower()) for w in t.split(" ")]
+        toks = [w for w in toks if w]
+        if not toks:
+            return None
+        tf: dict = {}
+        for w in toks:
+            tf[w] = tf.get(w, 0) + 1
+        fp = 0
+        for i in range(32):
+            s = 0
+            for w, c in tf.items():
+                h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                s += c if (h >> i) & 1 else -c
+            if s > 0:
+                fp |= 1 << i
+        return fp
+
+    fps = {i: sh_ref(t) for i, t in enumerate(texts)}
+    want = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps
+        for b in fps
+        if a < b and fps[a] is not None and fps[b] is not None
+        and bin(fps[a] ^ fps[b]).count("1") <= 3
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dups(df, max_hamming=3).collect()
+    )
+    assert got == want
