@@ -186,3 +186,40 @@ def kfold_assign(
     return df.withColumn(
         "fold", (_bucket(F.col(key_col), salt) % F.lit(k)).cast("long")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-LM alpha = 0.5
+    smoothing of mBERT/XLM-R): per group, raw token-mass share and the
+    sqrt-smoothed share — low-resource groups are upsampled relative to
+    their raw mass, high-resource groups downsampled.
+
+    Exactness: token masses are exact integer sums; the smoothed weight is
+    floor(sqrt(mass)) — IEEE double sqrt is correctly rounded and the
+    masses are far below 2^53, so the floor is engine-identical — and both
+    share columns are floored basis points of integer ratios. One scan,
+    one tiny group-by, a 1-row total kept in-plan (broadcast, never
+    collected)."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    per = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("sum_tokens"),
+    ).withColumn("w", F.floor(F.sqrt(F.col("sum_tokens"))).cast("long"))
+    # the `over ()` totals window runs on the group-count-sized frame
+    # (one row per language), never the corpus — totals stay in-plan
+    return (
+        per.select(
+            group_col,
+            "n_docs",
+            "sum_tokens",
+            F.expr("sum_tokens * 10000 div sum(sum_tokens) over ()").alias(
+                "raw_bp"
+            ),
+            F.expr("w * 10000 div sum(w) over ()").alias("smooth_bp"),
+        )
+        .orderBy(group_col)
+    )

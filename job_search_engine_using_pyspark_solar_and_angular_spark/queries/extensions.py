@@ -616,6 +616,20 @@ def ext_train_test_split(spark, sf_dir):
     )
 
 
+@query("ext_temperature_mix")
+def ext_temperature_mix(spark, sf_dir):
+    """Temperature-scaled language mixture (the multilingual-LM alpha=0.5
+    smoothing): per language, raw token-mass share vs the sqrt-smoothed
+    share in floored basis points — low-resource languages upsampled,
+    high-resource downsampled. Exact: integer masses, engine-identical
+    floor(sqrt), integer-ratio shares; totals kept in-plan via a window
+    over the language-count-sized frame."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mix(d, "lang")
+
+
 @query("ext_kfold")
 def ext_kfold(spark, sf_dir):
     """Deterministic 5-fold cross-validation assignment (md5-bucket mod k —

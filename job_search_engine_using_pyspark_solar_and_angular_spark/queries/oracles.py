@@ -686,6 +686,18 @@ ORACLES["ext_train_test_split"] = (
     "FROM documents ORDER BY doc_id"
 )
 
+ORACLES["ext_temperature_mix"] = """
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+  FROM documents GROUP BY lang),
+w AS (SELECT *, CAST(FLOOR(SQRT(sum_tokens)) AS BIGINT) AS w FROM per)
+SELECT lang, n_docs, sum_tokens,
+       CAST(sum_tokens * 10000 // SUM(sum_tokens) OVER () AS BIGINT) AS raw_bp,
+       CAST(w * 10000 // SUM(w) OVER () AS BIGINT) AS smooth_bp
+FROM w ORDER BY lang
+"""
+
 ORACLES["ext_kfold"] = (
     f"SELECT ({md5long('CAST(doc_id AS VARCHAR)')} % 10000) % 5 AS fold, "
     "CAST(COUNT(*) AS BIGINT) AS n_docs, "
