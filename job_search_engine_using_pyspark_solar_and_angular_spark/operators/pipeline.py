@@ -630,3 +630,24 @@ def incremental_agg_refresh(
         F.broadcast(touched), old_states.bucket == touched.bucket, "left_anti"
     )
     return kept.unionByName(rebuilt)
+
+
+def pseudonymize(
+    df: DataFrame, cols: list[str], salt: str = "pseud"
+) -> DataFrame:
+    """Deterministic keyed pseudonymization: replace each listed identifier
+    column with a salted md5-prefix int64 token. The governance op beside
+    text-level ``redact_pii``: same raw id → same token EVERYWHERE (across
+    tables, runs, and layouts), so joins and grouping survive
+    pseudonymization — referential integrity is the whole point; rotating
+    ``salt`` severs linkability to earlier releases. Row-local, no
+    shuffle, scan-speed; exactly reproducible in SQL via the shared md5
+    scheme."""
+    from ..functions.hashing import md5_long
+
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, md5_long(F.concat(F.col(c).cast("string"), F.lit(salt)))
+        )
+    return out

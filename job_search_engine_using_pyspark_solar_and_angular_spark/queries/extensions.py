@@ -616,6 +616,32 @@ def ext_train_test_split(spark, sf_dir):
     )
 
 
+@query("ext_pseudonymize")
+def ext_pseudonymize(spark, sf_dir):
+    """Keyed pseudonymization for training-data release: user ids replaced
+    by salted md5 tokens (same id → same token across tables/runs/layouts,
+    so grouping and joins survive; rotate the salt to sever linkability).
+    The demo aggregates per PSEUDONYMOUS user — top-20 most active with
+    purchase counts — proving analytics still work on the released ids.
+    Row-local transform + one group-by; exact oracle via the shared md5
+    scheme."""
+    from ..operators import pipeline as pl
+
+    e = load_table(spark, sf_dir, "events")
+    p = pl.pseudonymize(e, ["user_id"])
+    return (
+        p.groupBy(F.col("user_id").alias("user_token"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).cast("long").alias("n_purchases"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_token")
+        .limit(20)
+    )
+
+
 @query("ext_temperature_mix")
 def ext_temperature_mix(spark, sf_dir):
     """Temperature-scaled language mixture (the multilingual-LM alpha=0.5

@@ -686,6 +686,16 @@ ORACLES["ext_train_test_split"] = (
     "FROM documents ORDER BY doc_id"
 )
 
+_PSEUD_TOKEN = md5long("CAST(user_id AS VARCHAR) || 'pseud'")
+ORACLES["ext_pseudonymize"] = (
+    f"SELECT {_PSEUD_TOKEN} AS user_token, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_purchases "
+    "FROM events GROUP BY user_token "
+    "ORDER BY n_events DESC, user_token LIMIT 20"
+)
+
 ORACLES["ext_temperature_mix"] = """
 WITH per AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

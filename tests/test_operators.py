@@ -874,3 +874,20 @@ def test_grouped_agg_pandas_udf_matches_native(spark):
     assert sorted(got) == sorted(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6, k
+
+
+def test_pseudonymize_referential_integrity(spark):
+    """Same id -> same token across DataFrames (joins survive); rotating
+    the salt severs linkability; tokens never collide on the fixture ids."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.pipeline import (
+        pseudonymize,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(50)], "user_id long")
+    b = spark.createDataFrame([(i,) for i in range(25, 75)], "user_id long")
+    pa = pseudonymize(a, ["user_id"])
+    pb = pseudonymize(b, ["user_id"])
+    assert pa.join(pb, "user_id").count() == 25  # overlap survives as tokens
+    assert pa.select("user_id").distinct().count() == 50  # injective here
+    rotated = pseudonymize(a, ["user_id"], salt="release2")
+    assert pa.join(rotated, "user_id").count() == 0  # unlinkable
