@@ -359,3 +359,51 @@ def stream_jsonl_with_quarantine(
         "raw_line"
     )
     return valid, quarantined
+
+
+def hll_merge_sink(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    target_path: str,
+    group_col: str,
+    value_col: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Incremental per-group distinct-count maintenance via foreachBatch —
+    the third sketch sink beside count-min (counter add) and Bloom (bit-set
+    union): sketch each micro-batch with ``hll_sketch_agg``, union into the
+    persisted per-group sketches with ``hll_union_agg``, atomic-swap write.
+    HLL union is register-max, so union-of-sketches == sketch-of-union and
+    the maintained estimate is EXACTLY the one a single batch build over
+    all rows ever seen would report (replay parity pinned in tests), while
+    state stays (groups × sketch-size) no matter the stream volume."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        b = batch.groupBy(group_col).agg(
+            F.hll_sketch_agg(value_col).alias("sketch")
+        )
+        try:
+            existing = spark.read.parquet(target_path).select(
+                group_col, "sketch"
+            )
+            merged = (
+                existing.unionByName(b)
+                .groupBy(group_col)
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+            )
+        except Exception:  # first batch: no sketch table yet
+            merged = b
+        out = merged.withColumn(
+            "est_distinct", F.hll_sketch_estimate("sketch").cast("long")
+        )
+        tmp = target_path + "__staging"
+        out.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -812,3 +812,43 @@ def test_python_datasource_stream_tails_jsonl(spark, tmp_path):
     rows = spark.read.parquet(str(out)).collect()
     assert {r.id for r in rows} == set(range(9))
     assert len(rows) == 9  # exactly once: no replays of batch 0
+
+
+def test_hll_merge_sink_replay_parity(spark, events_dir, tmp_path):
+    """HLL sketches maintained incrementally (one register-max union per
+    micro-batch) == a single batch build over all rows: union-of-sketches
+    is sketch-of-union for HLL, so the streaming estimates are exact
+    replicas of the batch ones."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.jobs import (
+        hll_merge_sink,
+    )
+
+    schema = _stream_schema(spark, events_dir)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(events_dir)
+    target = str(tmp_path / "hll_target")
+    q = hll_merge_sink(
+        stream, spark, target, group_col="event_type", value_col="user_id",
+        checkpoint=str(tmp_path / "ck_hll"),
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["event_type"], r["est_distinct"])
+        for r in spark.read.parquet(target).collect()
+    )
+    want = sorted(
+        (r["event_type"], r["est"])
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("est")
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
