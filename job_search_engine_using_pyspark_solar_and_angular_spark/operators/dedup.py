@@ -184,6 +184,14 @@ def minhash_lsh_candidates(
         ]
     )
     banded = sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+    return candidates_from_buckets(banded)
+
+
+def candidates_from_buckets(banded: DataFrame) -> DataFrame:
+    """Candidate pairs from a persisted LSH bucket table (doc_id, band,
+    band_key): self-join within (band, band_key) only, doc_a < doc_b,
+    distinct. Split out so a MAINTAINED bucket table (refresh_lsh_buckets)
+    serves candidate queries without re-sketching the corpus."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -196,6 +204,79 @@ def minhash_lsh_candidates(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_bucket_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The persistable LSH similarity index: (doc_id, band, band_key) bucket
+    rows. Identical derivation to the in-session path of
+    ``minhash_lsh_candidates`` (same signatures, same band keys) — write it
+    once, answer candidate queries from it, and maintain it incrementally
+    with ``refresh_lsh_buckets``."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, shingle_n, num_perm)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+
+
+def refresh_lsh_buckets(
+    old_buckets: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """CDC-driven maintenance of the LSH bucket table — the similarity-side
+    twin of ``search.index.delta_refresh``: diff the corpus snapshots
+    (``pipeline.snapshot_diff``), drop bucket rows of removed/changed docs,
+    re-sketch ONLY added/changed docs, pass everything else through
+    untouched. Exactness is structural: a doc's signature depends on its
+    own text alone, so delta refresh is provably identical to a full
+    rebuild on the new snapshot (pinned in tests).
+
+    At 100 TB this turns nightly re-sketching of the whole corpus into a
+    job sized by the day's churn: the diff ships (key, digest) pairs, the
+    touched-id set broadcasts into an anti-join, and only changed text is
+    shingled and hashed."""
+    from .pipeline import snapshot_diff
+
+    delta = snapshot_diff(
+        old_docs.select(id_col, text_col),
+        new_docs.select(id_col, text_col),
+        [id_col],
+    ).persist()
+    touched = delta.select(F.col(id_col).alias("doc_id"))
+    kept = old_buckets.join(F.broadcast(touched), "doc_id", "left_anti")
+    to_add = new_docs.join(
+        F.broadcast(
+            delta.filter(F.col("change") != "removed").select(id_col)
+        ),
+        id_col,
+    )
+    added = minhash_bucket_table(
+        to_add, id_col, text_col, shingle_n, num_perm, bands
+    )
+    return kept.unionByName(added)
 
 
 def connected_components(

@@ -891,3 +891,31 @@ def test_pseudonymize_referential_integrity(spark):
     assert pa.select("user_id").distinct().count() == 50  # injective here
     rotated = pseudonymize(a, ["user_id"], salt="release2")
     assert pa.join(rotated, "user_id").count() == 0  # unlinkable
+
+
+def test_lsh_bucket_delta_refresh_equals_rebuild(spark):
+    """CDC-maintained LSH bucket table == full rebuild on the new snapshot
+    (signatures are per-doc, so delta refresh is structurally exact), and
+    candidates served from the maintained table == the direct path."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") < 40)
+    # new snapshot: drop 0-4, change 5-9 (append a token), add 40-49
+    new = (
+        d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 50))
+        .unionByName(
+            d.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
+                "doc_id", F.concat("text", F.lit(" changed")).alias("text")
+            )
+        )
+    )
+    old_buckets = dedup.minhash_bucket_table(old)
+    refreshed = dedup.refresh_lsh_buckets(old_buckets, old, new)
+    rebuilt = dedup.minhash_bucket_table(new)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    served = sorted(
+        map(tuple, dedup.candidates_from_buckets(refreshed).collect())
+    )
+    direct = sorted(map(tuple, dedup.minhash_lsh_candidates(new).collect()))
+    assert served == direct
