@@ -440,3 +440,40 @@ def test_orc_roundtrip_typed(spark, tmp_path):
             sorted(map(str, df.collect()), key=str)
             == sorted(map(str, back.collect()), key=str)
         )
+
+
+def test_jsonl_roundtrip_typed(spark, tmp_path):
+    """JSON-lines interchange: the third text sink beside CSV (arrays via
+    to_json) and parquet — schema-carrying round-trip for scalar and
+    array<float> shapes with an explicit read schema (no inference scan)."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    path = str(tmp_path / "emb_jsonl")
+    emb.write.mode("overwrite").json(path)
+    back = spark.read.schema(emb.schema).json(path)
+    assert back.schema == emb.schema
+    assert sorted(map(str, emb.collect())) == sorted(map(str, back.collect()))
+
+
+def test_parquet_codec_zstd_smaller_and_readable(spark, tmp_path):
+    """Storage-cost lever at 100 TB: zstd parquet must round-trip exactly
+    and beat uncompressed size on the text corpus (codec is a write option,
+    not a schema change — readers are oblivious)."""
+    import os
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    sizes = {}
+    for codec in ("uncompressed", "zstd"):
+        p = str(tmp_path / codec)
+        docs.coalesce(1).write.mode("overwrite").option(
+            "compression", codec
+        ).parquet(p)
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+        back = spark.read.parquet(p)
+        assert sorted(map(str, back.collect())) == sorted(
+            map(str, docs.collect())
+        )
+    assert sizes["zstd"] < sizes["uncompressed"]
