@@ -207,3 +207,57 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return b.join(s, on=[key, "__salt"], how=how).drop("__salt")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity-resolution fuzzy EQUI-join: match rows whose string keys are
+    within levenshtein ``max_dist`` (currently 1), via symmetric delete-key
+    blocking on BOTH tables — the table-to-table generalization of the
+    SymSpell spell corrector (there the right side was a driver-side
+    dictionary; here both sides are DataFrames of any size).
+
+    Shape: each side explodes into (delete-key, value) rows — n+1 keys per
+    value at distance 1 — then ONE equi-join on the block key, exact
+    levenshtein verify, distinct. Never a cross join; blocking keys are
+    near-unique for natural-language strings, so block groups stay small
+    the same way LSH bands do (a hot key means near-identical values —
+    exactly the rows you want matched). Returns the distinct matched pairs
+    (left_col, right_col, dist).
+
+    Completeness at distance 1 is structural (deletion/insertion/
+    substitution all share a delete-1 key; transpositions are lev 2 and
+    are filtered by the verify) — pinned against brute force in tests."""
+    if max_dist != 1:
+        raise NotImplementedError("fuzzy_join currently supports max_dist=1")
+
+    def keys(df: DataFrame, col: str) -> DataFrame:
+        c = F.col(col)
+        dels = F.expr(
+            f"transform(sequence(1, length({col})), "
+            f"i -> concat(substring({col}, 1, i-1), substring({col}, i+1)))"
+        )
+        return df.select(col).where(c.isNotNull()).distinct().select(
+            c.alias("v"),
+            F.explode(F.array_union(dels, F.array(c))).alias("bkey"),
+        )
+
+    lk = keys(left, left_col).withColumnRenamed("v", "lv")
+    rk = keys(right, right_col).withColumnRenamed("v", "rv")
+    return (
+        lk.join(rk, "bkey")
+        .select("lv", "rv")
+        .distinct()
+        .withColumn("dist", F.levenshtein("lv", "rv"))
+        .filter(F.col("dist") <= 1)
+        .select(
+            F.col("lv").alias(left_col),
+            F.col("rv").alias(right_col),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )

@@ -679,3 +679,34 @@ def test_simhash_near_dups_match_python_all_pairs(spark, texts):
         for r in simhash_near_dups(df, max_hamming=3).collect()
     )
     assert got == want
+
+
+@given(
+    lvals=st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                   min_size=1, max_size=8),
+    rvals=st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                   min_size=1, max_size=8),
+)
+@_SET
+def test_fuzzy_join_matches_bruteforce(spark, lvals, rvals):
+    """Triangulation: delete-key-blocked fuzzy join == brute-force all-pairs
+    lev<=1 matching (completeness is the property blocking could break)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        fuzzy_join,
+    )
+
+    lf = spark.createDataFrame([(v,) for v in lvals], "name string")
+    rf = spark.createDataFrame([(v,) for v in rvals], "alias string")
+    got = sorted(
+        (r["name"], r["alias"], r["dist"])
+        for r in fuzzy_join(lf, rf, "name", "alias").collect()
+    )
+    want = sorted(
+        {
+            (a, b, _lev(a, b))
+            for a in set(lvals)
+            for b in set(rvals)
+            if _lev(a, b) <= 1
+        }
+    )
+    assert got == want
