@@ -642,6 +642,47 @@ def ext_pseudonymize(spark, sf_dir):
     )
 
 
+@query("ext_typo_pairs")
+def ext_typo_pairs(spark, sf_dir):
+    """Typo-cluster discovery: lev-1 pairs within the corpus VOCABULARY via
+    the delete-key-blocked fuzzy self-join (never a cross join; the blocked
+    pair set is provably complete at distance 1 — triangulated against
+    brute force in tests). The corpus-cleaning signal a normalization pass
+    feeds on: near-identical frequent tokens are merge candidates. Top-20
+    by combined frequency, deterministic tie-break."""
+    from ..functions.text import tokenize_normalized
+    from ..operators.joins import fuzzy_join
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokenize_normalized("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    pairs = fuzzy_join(
+        tf.select(F.col("tok").alias("tok_a")),
+        tf.select(F.col("tok").alias("tok_b")),
+        "tok_a",
+        "tok_b",
+    ).filter(F.col("tok_a") < F.col("tok_b"))
+    ca = tf.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = tf.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(ca, "tok_a")
+        .join(cb, "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            (F.col("c_a") + F.col("c_b")).cast("long").alias("c_sum"),
+        )
+        .orderBy(F.col("c_sum").desc(), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
 @query("ext_temperature_mix")
 def ext_temperature_mix(spark, sf_dir):
     """Temperature-scaled language mixture (the multilingual-LM alpha=0.5

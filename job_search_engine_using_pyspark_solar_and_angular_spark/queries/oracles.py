@@ -696,6 +696,17 @@ ORACLES["ext_pseudonymize"] = (
     "ORDER BY n_events DESC, user_token LIMIT 20"
 )
 
+ORACLES["ext_typo_pairs"] = f"""
+WITH tf AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest({TOKS}) AS tok FROM documents) GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.c AS c_a, b.c AS c_b
+  FROM tf a JOIN tf b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1)
+SELECT tok_a, tok_b, c_a, c_b, c_a + c_b AS c_sum
+FROM pairs ORDER BY c_sum DESC, tok_a, tok_b LIMIT 20
+"""
+
 ORACLES["ext_temperature_mix"] = """
 WITH per AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
