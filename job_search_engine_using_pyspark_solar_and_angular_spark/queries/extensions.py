@@ -4340,3 +4340,27 @@ WITH RECURSIVE reach(node, dist) AS (
 SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS dist
 FROM reach GROUP BY node ORDER BY doc_id
 """
+
+
+_LATERAL_SQL = """
+SELECT u.user_id, e.event_id,
+       CAST(unix_seconds(e.ts) AS BIGINT) AS ts_epoch
+FROM (SELECT DISTINCT user_id FROM events_lat WHERE user_id < 20) u,
+LATERAL (SELECT event_id, ts FROM events_lat e
+         WHERE e.user_id = u.user_id
+         ORDER BY ts DESC, event_id LIMIT 3) e
+ORDER BY u.user_id, ts_epoch DESC, e.event_id
+"""
+
+
+@query("ext_sql_lateral")
+def ext_sql_lateral(spark, sf_dir):
+    """LATERAL correlated subquery through the SQL front door: 3 most
+    recent events per user written as a correlated per-row subquery with
+    ORDER BY + LIMIT — Catalyst decorrelates it to the same join +
+    windowed-rank shape as the DataFrame top_k_per_group, so the SQL
+    surface costs nothing at scale. The oracle is near-identical SQL in
+    DuckDB (epoch extraction spelled per engine), a direct cross-engine
+    LATERAL comparison."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_lat")
+    return spark.sql(_LATERAL_SQL)

@@ -696,6 +696,16 @@ ORACLES["ext_pseudonymize"] = (
     "ORDER BY n_events DESC, user_token LIMIT 20"
 )
 
+ORACLES["ext_sql_lateral"] = """
+SELECT u.user_id, e.event_id,
+       CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS ts_epoch
+FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u,
+LATERAL (SELECT event_id, ts FROM events e
+         WHERE e.user_id = u.user_id
+         ORDER BY ts DESC, event_id LIMIT 3) e
+ORDER BY u.user_id, ts_epoch DESC, e.event_id
+"""
+
 ORACLES["ext_typo_pairs"] = f"""
 WITH tf AS (
   SELECT tok, CAST(COUNT(*) AS BIGINT) AS c

@@ -439,3 +439,11 @@ def test_bpe_encode_single_corpus_join(spark):
     CartesianProduct would mean the vocab apply regressed)."""
     p = plan_of(spark, "ext_bpe_encode")
     assert "CartesianProduct" not in p
+
+
+def test_sql_lateral_decorrelates(spark):
+    """The LATERAL ORDER BY/LIMIT subquery must decorrelate to a windowed
+    rank + hash join — never a per-row nested-loop or cartesian execution."""
+    p = plan_of(spark, "ext_sql_lateral")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "Window" in p
