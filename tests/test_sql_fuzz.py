@@ -74,13 +74,23 @@ def _query(draw):
     where = draw(_predicate)
     aggs = draw(_aggs)
     grouped = draw(st.booleans())
+    joined = draw(st.booleans())
+    frm = "events"
+    if joined:
+        # dimension join + a predicate that touches the joined side
+        frm = "events JOIN customer ON user_id = c_custkey"
+        where = f"({where} AND c_custkey < {draw(st.integers(50, 500))})"
     if grouped:
+        having = ""
+        if draw(st.booleans()):
+            having = f" HAVING COUNT(*) > {draw(st.integers(0, 5))}"
         return (
             "SELECT event_type, " + ", ".join(aggs)
-            + f" FROM events WHERE {where} GROUP BY event_type"
+            + f" FROM {frm} WHERE {where} GROUP BY event_type"
+            + having
             + " ORDER BY event_type"
         )
-    return "SELECT " + ", ".join(aggs) + f" FROM events WHERE {where}"
+    return "SELECT " + ", ".join(aggs) + f" FROM {frm} WHERE {where}"
 
 
 @given(sql=_query())
@@ -88,6 +98,7 @@ def _query(draw):
 def test_sql_differential_fuzz(spark, ddb, sql):
     """The same SQL text must produce identical rows on both engines."""
     load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    load_table(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
     s = spark.sql(sql)
     s_cols = s.columns
     s_rows = [tuple(r) for r in s.collect()]
