@@ -2742,6 +2742,47 @@ def ext_error_rate(spark, sf_dir):
     )
 
 
+@query("ext_fk_profile")
+def ext_fk_profile(spark, sf_dir):
+    """Referential-integrity profile of the warehouse FK graph: for each
+    declared child→parent key pair, child rows, orphan rows (left-anti on
+    the parent key), and coverage in floored basis points. The
+    join-planning statistic that decides whether an inner join silently
+    drops rows; each leg is one anti-join against a broadcastable parent
+    key set. All-green on the consistent fixture; the detection path is
+    the same anti-join the dq audits use."""
+    fks = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for child, ck, parent, pk in fks:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias(ck)
+        ).distinct()
+        orphans = c.join(F.broadcast(p), ck, "left_anti")
+        parts.append(
+            c.agg(F.count("*").alias("n_child")).crossJoin(
+                orphans.agg(F.count("*").alias("n_orphans"))
+            ).select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                F.expr(
+                    "(n_child - n_orphans) * 10000 div n_child"
+                ).alias("coverage_bp"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("fk")
+
+
 @query("ext_catalog_summary")
 def ext_catalog_summary(spark, sf_dir):
     """Catalog summary: row count per fixture table in one result — the

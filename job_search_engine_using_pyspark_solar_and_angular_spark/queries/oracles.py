@@ -696,6 +696,35 @@ ORACLES["ext_pseudonymize"] = (
     "ORDER BY n_events DESC, user_token LIMIT 20"
 )
 
+
+def _fk_leg(child, ck, parent, pk):
+    return (
+        f"SELECT '{child}.{ck}->{parent}.{pk}' AS fk, "
+        f"CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child, "
+        f"CAST((SELECT COUNT(*) FROM {child} c WHERE NOT EXISTS "
+        f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS BIGINT) AS n_orphans, "
+        f"CAST(((SELECT COUNT(*) FROM {child}) - (SELECT COUNT(*) FROM {child} c "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}))) "
+        f"* 10000 // (SELECT COUNT(*) FROM {child}) AS BIGINT) AS coverage_bp"
+    )
+
+
+ORACLES["ext_fk_profile"] = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        _fk_leg(*t)
+        for t in [
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+        ]
+    )
+    + ") ORDER BY fk"
+)
+
+
 ORACLES["ext_sql_lateral"] = """
 SELECT u.user_id, e.event_id,
        CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS ts_epoch
