@@ -213,6 +213,10 @@ def dedup_lines(
     step): drop every line that occurs in more than ``max_doc_freq``
     documents (nav menus, copyright footers, cookie banners), keep the rest
     in original order. Returns (doc_id, cleaned, n_lines, n_dropped).
+    Boundary convention (shared with the SQL oracle and pinned by the
+    triangulation test): lines come from ``split(text, sep)``, so an
+    EMPTY text counts as one empty line — split cannot distinguish ""
+    from a single blank line.
 
     Plan: posexplode lines -> line doc-frequency on md5(line) (16-byte
     shuffle keys, never line bodies) -> broadcast-join the SMALL dropped-line

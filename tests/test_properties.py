@@ -710,3 +710,48 @@ def test_fuzzy_join_matches_bruteforce(spark, lvals, rvals):
         }
     )
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["nav", "foot", "a", "b", "cc", "dd d"]),
+                 min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    max_df=st.integers(1, 3),
+)
+@_SET
+def test_dedup_lines_matches_python_reference(spark, docs, max_df):
+    """Triangulation: inter-document line dedup (drop lines in > max_df
+    docs, ordered reassembly) vs a direct Python reference — order
+    preservation and duplicate-line-within-one-doc semantics (doc
+    frequency counts distinct DOCS, not occurrences) are the subtle
+    parts."""
+    from collections import Counter
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.pipeline import (
+        dedup_lines,
+    )
+
+    texts = ["\n".join(d) for d in docs]
+    # reference lines via the same split convention both engines share:
+    # an empty text is ONE empty line ("".split sep -> [""])
+    split_docs = [t.split("\n") for t in texts]
+    dfreq = Counter()
+    for d in split_docs:
+        for line in set(d):
+            dfreq[line] += 1
+    want = {}
+    for i, d in enumerate(split_docs):
+        kept = [ln for ln in d if dfreq[ln] <= max_df]
+        want[i] = ("\n".join(kept), len(d), len(d) - len(kept))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_lines"], r["n_dropped"])
+        for r in dedup_lines(df, max_doc_freq=max_df).collect()
+    }
+    assert got == want
