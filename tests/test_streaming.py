@@ -852,3 +852,47 @@ def test_hll_merge_sink_replay_parity(spark, events_dir, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_static_join_replay_parity(spark, events_dir, tmp_path):
+    """Stream-STATIC dimension enrichment (the in-stream analog of the
+    batch broadcast join): streamed events joined to the static customer
+    dim replay to exactly the batch join — the static side is re-read per
+    micro-batch by Spark, no watermark needed."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+
+    schema = _stream_schema(spark, events_dir)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(events_dir)
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    out = str(tmp_path / "enriched")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(events_dir)
+            .join(dim, "user_id")
+            .select("event_id", "user_id", "c_mktsegment")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
