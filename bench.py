@@ -109,6 +109,10 @@ HEADLINE = [
     "ext_readability",
     "ext_encoding_audit",
     "ext_mad_outliers",
+    # late session-4: delete-key fuzzy self-join over the vocabulary and
+    # the decorrelated LATERAL top-3-per-user
+    "ext_typo_pairs",
+    "ext_sql_lateral",
 ]
 
 # BASELINE.md Fig. 10: reference preprocess ≈ 90 s per 100 MB raw JSON.
