@@ -424,6 +424,7 @@ def pack_sequences(
     budget: int = 512,
     shards: int = 16,
     salt: str = "pack",
+    cost_col: str | None = None,
 ) -> DataFrame:
     """Concatenate-and-chunk sequence packing: lay documents end-to-end in
     deterministic shuffled order (per shard) and cut the token stream every
@@ -434,9 +435,18 @@ def pack_sequences(
     This is the standard LLM packing semantics (no padding, documents may
     straddle window boundaries). All math is integer/window arithmetic over a
     per-shard running sum — one shuffle on shard, exact in any engine.
-    Zero-token documents are excluded (nothing to pack)."""
+    Zero-token documents are excluded (nothing to pack).
+
+    ``cost_col`` generalizes the per-document token cost beyond the text
+    tokenizer — a multimodal trainer packs by text tokens PLUS per-image/
+    per-audio patch budgets (the VLM interleaved-packing shape); pass the
+    precomputed integer cost column and the window math is unchanged."""
     h = _shard_hash(id_col, salt)
-    n_tok = F.size(tokenize_normalized(text_col))
+    n_tok = (
+        F.col(cost_col).cast("long")
+        if cost_col is not None
+        else F.size(tokenize_normalized(text_col))
+    )
     base = (
         df.select(F.col(id_col), h.alias("h"), n_tok.alias("n_tokens"))
         .filter(F.col("n_tokens") > 0)

@@ -2742,6 +2742,31 @@ def ext_error_rate(spark, sf_dir):
     )
 
 
+@query("ext_pack_multimodal")
+def ext_pack_multimodal(spark, sf_dir):
+    """Multimodal (VLM-style) sequence packing: per-document cost = text
+    tokens + 64 patch-tokens per attached image (image count derived
+    deterministically as doc_id % 4 — the fixture has no media-reference
+    column; the COST PATH is the real contract), packed into 1024-token
+    context windows by the same exact integer window math as
+    ext_pack_sequences. The cost_col generalization is what a real
+    interleaved text+image trainer feeds."""
+    from ..functions.text import tokenize_normalized
+    from ..operators import pipeline as pl
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (
+            F.size(tokenize_normalized("text"))
+            + (F.col("doc_id") % 4) * 64
+        ).cast("long").alias("cost"),
+    )
+    return pl.pack_sequences(
+        d, budget=1024, shards=8, salt="mmpack", cost_col="cost"
+    )
+
+
 @query("ext_fk_profile")
 def ext_fk_profile(spark, sf_dir):
     """Referential-integrity profile of the warehouse FK graph: for each

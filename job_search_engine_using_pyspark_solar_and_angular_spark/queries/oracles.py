@@ -913,6 +913,28 @@ SELECT doc_id, shard,
 FROM c ORDER BY doc_id
 """
 
+ORACLES["ext_pack_multimodal"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         {md5long("CAST(doc_id AS VARCHAR) || 'mmpack'")} AS h,
+         CAST(len({TOKS}) + (doc_id % 4) * 64 AS BIGINT) AS n_tokens
+  FROM documents
+),
+f AS (SELECT *, CAST(h % 8 AS BIGINT) AS shard FROM base WHERE n_tokens > 0),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (
+    PARTITION BY shard ORDER BY h, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM f
+)
+SELECT doc_id, shard,
+  CAST(FLOOR((cum - n_tokens) / 1024) AS BIGINT) AS seq_id,
+  CAST((cum - n_tokens) % 1024 AS BIGINT) AS tok_start,
+  n_tokens,
+  CAST(FLOOR((cum - 1) / 1024) - FLOOR((cum - n_tokens) / 1024) + 1 AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id
+"""
+
 # transitive closure over the symmetric LSH pair graph: cluster_id = MIN
 # reachable node (every edge endpoint reaches itself through any neighbor
 # round-trip, so MIN(b) includes the node's own id's component minimum)
