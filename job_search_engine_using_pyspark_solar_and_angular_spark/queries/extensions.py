@@ -2742,6 +2742,40 @@ def ext_error_rate(spark, sf_dir):
     )
 
 
+@query("ext_curriculum")
+def ext_curriculum(spark, sf_dir):
+    """Curriculum schedule at shard granularity: the epoch-shuffle shards
+    ranked easiest-first by mean quality (integer basis points, floored
+    mean) — the train-on-clean-data-first ordering a curriculum trainer
+    consumes, composed from two verified pieces (corpus_shuffle shard
+    assignment + the quality score). The rank window runs over the
+    8-row shard frame, never the corpus."""
+    from pyspark.sql import Window
+
+    from ..operators.pipeline import corpus_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    shards = corpus_shuffle(d, shards=8).select("doc_id", "shard")
+    q = textstats.quality_score(d).select(
+        "doc_id",
+        F.round(F.col("quality") * 10000, 0).cast("long").alias("q_bp"),
+    )
+    per = (
+        shards.join(q, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("sum(q_bp) div count(*)").alias("mean_q_bp"),
+        )
+    )
+    pos = F.row_number().over(
+        Window.orderBy(F.col("mean_q_bp").desc(), "shard")
+    )
+    return per.select(
+        "shard", "n_docs", "mean_q_bp", pos.cast("long").alias("curriculum_pos")
+    ).orderBy("curriculum_pos")
+
+
 @query("ext_pack_multimodal")
 def ext_pack_multimodal(spark, sf_dir):
     """Multimodal (VLM-style) sequence packing: per-document cost = text

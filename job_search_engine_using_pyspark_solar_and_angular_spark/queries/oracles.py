@@ -913,6 +913,35 @@ SELECT doc_id, shard,
 FROM c ORDER BY doc_id
 """
 
+ORACLES["ext_curriculum"] = f"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(list_filter({TOKS}, t -> t IN {EN_PROFILE_SQL})) AS n_stop,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+  FROM documents),
+ratios AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS sr
+  FROM feat),
+q AS (
+  SELECT doc_id,
+         CAST(ROUND(ROUND(GREATEST(LEAST(
+           (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.5 ELSE 0.0 END)
+           + LEAST(sr * 2.0, 0.5) - LEAST(pr * 2.0, 0.25), 1.0), 0.0), 4) * 10000, 0) AS BIGINT) AS q_bp
+  FROM ratios),
+per AS (
+  SELECT {md5long("CAST(doc_id AS VARCHAR) || 'shuffle'")} % 8 AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(q_bp) // COUNT(*) AS BIGINT) AS mean_q_bp
+  FROM q JOIN documents USING (doc_id) GROUP BY shard)
+SELECT shard, n_docs, mean_q_bp,
+       CAST(ROW_NUMBER() OVER (ORDER BY mean_q_bp DESC, shard) AS BIGINT)
+         AS curriculum_pos
+FROM per ORDER BY curriculum_pos
+"""
 ORACLES["ext_pack_multimodal"] = f"""
 WITH base AS (
   SELECT doc_id,
