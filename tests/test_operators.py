@@ -919,3 +919,35 @@ def test_lsh_bucket_delta_refresh_equals_rebuild(spark):
     )
     direct = sorted(map(tuple, dedup.minhash_lsh_candidates(new).collect()))
     assert served == direct
+
+
+def test_incremental_dedup_check_matches_full_corpus(spark):
+    """The new-vs-old candidate set from the maintained bucket table must
+    equal the full-corpus LSH candidates restricted to new x old pairs —
+    with planted duplicates across the boundary actually found."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") < 400)
+    # new batch: fresh docs plus exact copies of two old docs (planted dups)
+    new = d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)).unionByName(
+        d.filter(F.col("doc_id") < 2).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    old_buckets = dedup.minhash_bucket_table(old)
+    got = sorted(
+        map(tuple, dedup.incremental_dedup_check(new, old_buckets).collect())
+    )
+    full = dedup.minhash_lsh_candidates(old.unionByName(new))
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    old_ids = {r["doc_id"] for r in old.select("doc_id").collect()}
+    want = set()
+    for r in full.collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if a in new_ids and b in old_ids:
+            want.add((a, b))
+        elif b in new_ids and a in old_ids:
+            want.add((b, a))
+    assert got == sorted(want)
+    # the planted cross-boundary copies must be caught
+    caught = {(n, o) for n, o in got}
+    assert (10000, 0) in caught and (10001, 1) in caught
