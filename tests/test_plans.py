@@ -447,3 +447,17 @@ def test_sql_lateral_decorrelates(spark):
     p = plan_of(spark, "ext_sql_lateral")
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     assert "Window" in p
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
+    """AQE must be live, not just configured: after execution the adaptive
+    final plan shows the post-shuffle coalesce (32 configured partitions
+    collapsed to match the tiny grouped output) — the runtime re-plan that
+    keeps small-stage task counts sane at any configured parallelism."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+
+    df = load_table(spark, SF_DIR, "events").groupBy("event_type").count()
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    assert "AQEShuffleRead coalesced" in p
