@@ -755,3 +755,48 @@ def test_dedup_lines_matches_python_reference(spark, docs, max_df):
         for r in dedup_lines(df, max_doc_freq=max_df).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 120)),  # (user, epoch s)
+        min_size=1,
+        max_size=30,
+    ),
+    gap=st.integers(1, 20),
+)
+@_SET
+def test_sessionize_matches_python_reference(spark, rows, gap):
+    """Triangulation: gap-sum sessionize vs a direct Python splitter —
+    session boundaries (strict >gap), tie-on-timestamp invariance, and
+    per-session aggregates. The SQL oracle shares the gap-sum derivation;
+    this reference does not."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        sessionize,
+    )
+
+    df = spark.createDataFrame(rows, "user_id long, t long").select(
+        "user_id", F.col("t").cast("timestamp").alias("ts")
+    )
+    got = sorted(
+        (r["user_id"], r["session_idx"], r["n_events"],
+         int(r["session_start"].timestamp()), int(r["session_end"].timestamp()))
+        for r in sessionize(df, gap_seconds=gap).collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    want = []
+    for u, ts in by_user.items():
+        ts.sort()
+        idx, cur = 0, []
+        for prev, t in zip([None] + ts[:-1], ts):
+            if prev is None or t - prev > gap:
+                if cur:
+                    want.append((u, idx, len(cur), cur[0], cur[-1]))
+                idx += 1
+                cur = [t]
+            else:
+                cur.append(t)
+        want.append((u, idx, len(cur), cur[0], cur[-1]))
+    assert got == sorted(want)
