@@ -800,3 +800,38 @@ def test_sessionize_matches_python_reference(spark, rows, gap):
                 cur.append(t)
         want.append((u, idx, len(cur), cur[0], cur[-1]))
     assert got == sorted(want)
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60), st.integers(0, 10**6)),
+        min_size=1, max_size=15, unique_by=lambda t: t[2],
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60), st.integers(0, 10**6)),
+        min_size=1, max_size=15,
+        unique_by=lambda t: (t[0], t[1]),  # unique right ts per key: ties
+                                           # among right rows are unspecified
+    ),
+)
+@_SET
+def test_asof_join_matches_python_reference(spark, lrows, rrows):
+    """Triangulation: the union + last-ignorenulls as-of join vs a direct
+    per-row Python lookup (latest right.ts <= left.ts per key, >= tie goes
+    to the right row) — the DuckDB ASOF oracle is engine number two; this
+    reference shares no mechanics with either."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        as_of_join,
+    )
+
+    left = spark.createDataFrame(lrows, "k long, ts long, lid long")
+    right = spark.createDataFrame(rrows, "k long, ts long, rval long")
+    got = {
+        r["lid"]: r["rval"]
+        for r in as_of_join(left, right, "k", "ts", "ts", ["rval"]).collect()
+    }
+    want = {}
+    for k, t, lid in lrows:
+        cands = [(rt, rv) for rk, rt, rv in rrows if rk == k and rt <= t]
+        want[lid] = max(cands)[1] if cands else None
+    assert got == want
