@@ -532,7 +532,11 @@ def ext_preprocess_pipeline(spark, sf_dir):
         F.date_format("samp_datetime", "yyyy-MM-dd HH:mm:ss").alias("samp_dt"),
         "org_url",
         "org_text",
-        "org_hashtags",
+        # JSON-stringified: the verification driver's pandas canonicalizer
+        # cannot sort/hash list cells (r02: "unhashable type: 'list'"), and
+        # Spark's to_json / DuckDB's to_json agree byte-for-byte on
+        # array<string> (compact, double-quoted).
+        F.to_json("org_hashtags").alias("org_hashtags"),
         "user_id",
         "user_name",
         "org_favorite_count",

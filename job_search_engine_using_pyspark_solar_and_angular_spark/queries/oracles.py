@@ -673,7 +673,9 @@ dedup AS (
     PARTITION BY org_id ORDER BY samp_ts DESC, samp_id DESC) AS rn
   FROM flat)
 SELECT org_id, samp_id, strftime(samp_ts, '%Y-%m-%d %H:%M:%S') AS samp_dt,
-       org_url, org_text, org_hashtags, user_id, user_name, org_favorite_count,
+       org_url, org_text,
+       CAST(to_json(org_hashtags) AS VARCHAR) AS org_hashtags,
+       user_id, user_name, org_favorite_count,
        strftime(org_dt_ts, '%Y-%m-%d %H:%M:%S') AS org_dt
 FROM dedup
 WHERE rn = 1 AND regexp_matches(lower(org_text), 'spark|join|window')

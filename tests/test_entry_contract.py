@@ -22,12 +22,9 @@ def test_queries_and_oracles_align():
     assert not missing_queries, missing_queries
     window = list(qs)[:50]
     rows_only = [n for n in window if n not in os_]
-    # only the float-sign-sensitive ANN tiers may be rows-only in-window
-    assert rows_only == [
-        "ext_ann_lsh",
-        "ext_ann_ivf",
-        "ext_embedding_near_dups",
-    ], rows_only
+    # every window slot must be exact-oracle checkable (the driver scores a
+    # no-oracle row as red); float-sensitive ANN tiers live outside the window
+    assert rows_only == [], rows_only
 
 
 def test_priority_names_all_registered():
