@@ -603,9 +603,17 @@ def ext_ann_ivf_trained(spark, sf_dir):
 
 @query("ext_embedding_near_dups")
 def ext_embedding_near_dups(spark, sf_dir):
-    """Embedding near-dup pairs within LSH buckets (rows-only check)."""
+    """Embedding near-dup pairs within LSH buckets (rows-only check).
+
+    threshold=0.25 is derived from the test fixture's similarity
+    distribution: the synthetic embeddings are near-orthogonal (max pairwise
+    cosine ~0.51, p99 ~0.29 at sf0.01), so the production default of 0.95
+    returns an empty set and verifies nothing. 0.25 yields a stable
+    ~50-pair result at sf0.001-0.01 that actually exercises the bucket
+    self-join + refine + threshold path; the planted-pair recall test in
+    tests/test_operators.py pins semantics at realistic thresholds."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, threshold=0.9)
+    return similarity.embedding_near_dups(emb, threshold=0.25)
 
 
 @query("ext_train_test_split")

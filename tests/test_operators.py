@@ -241,6 +241,22 @@ def test_embedding_near_dups_bucket_cap_bounds_skew(spark):
         assert (i, i + 1) in got, f"identical pair ({i},{i+1}) lost by refinement"
 
 
+def test_ext_embedding_near_dups_nonempty_on_fixture(spark):
+    """The registry entry must return a nonempty pair set on the synthetic
+    fixture (r02 regression: threshold 0.9 returned 0 rows at the driver's
+    sf0.01, so its rows-only check verified nothing). The fixture embeddings
+    are near-orthogonal, hence the fixture-derived threshold in the entry."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        QUERIES,
+    )
+
+    rows = QUERIES["ext_embedding_near_dups"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["sim"] >= 0.25
+
+
 def test_spell_correct_semantics(spark):
     """N6 contract: distance-1 misspellings correct to the dictionary word,
     exact dictionary hits win at distance 0 (never 'corrected' to a
