@@ -1326,6 +1326,41 @@ def ext_ann_quantized(spark, sf_dir):
     return similarity.quantized_rerank_topk(corpus, q, k=5, m=50)
 
 
+@query("ext_ann_lsh_quantized")
+def ext_ann_lsh_quantized(spark, sf_dir):
+    """The EXACT-oracle twin of the LSH ANN family: sign-random-projection
+    buckets computed over int8-quantized codes with Rademacher +-1 planes
+    (Charikar-style SimHash for cosine), so bucket assignment is pure
+    integer arithmetic — order-independent and hash-checkable — unlike the
+    float-hyperplane tier (ext_ann_lsh, rows-only). Candidates are the
+    query's bucket; final ranking is round-4 cosine on the full-precision
+    column with id tie-breaks. Reference analog: Solr's ranked retrieval
+    (``Ranking Model/src/main/java/Main/SolrRanker.java:66-91``) as the
+    nearest-neighbour serving surface."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qrow = emb.filter(F.col("vec_id") == 0)
+    cb = similarity.lsh_bucket_int8(
+        similarity.quantize_int8(corpus).join(corpus, "vec_id"), num_planes=4
+    )
+    qb = similarity.lsh_bucket_int8(
+        similarity.quantize_int8(qrow), num_planes=4
+    ).select(F.col("bucket").alias("qbucket"))
+    qv = qrow.select(F.col("embedding").alias("qv"))
+    return (
+        cb.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 4) + F.lit(0.0)).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
 @query("ext_heavy_hitters")
 def ext_heavy_hitters(spark, sf_dir):
     """Count-min heavy hitters: build the (4×256)-counter sketch over

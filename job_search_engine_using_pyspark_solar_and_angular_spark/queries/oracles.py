@@ -13,6 +13,7 @@ sign bits are float-order-sensitive).
 from __future__ import annotations
 
 from ..operators.dedup import _MINHASH_PARAMS
+from ..operators.similarity import rademacher_plane
 from ..search.bm25 import B, K1
 
 # ---- shared SQL fragments -------------------------------------------------
@@ -1378,6 +1379,42 @@ SELECT e.vec_id,
        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) + 0.0 AS sim
 FROM coarse c JOIN embeddings e USING (vec_id), q
 ORDER BY sim DESC, e.vec_id LIMIT 5
+"""
+
+# integer-exact mirror of lsh_bucket_int8: Rademacher +-1 planes over int8
+# codes, generated from the SAME operators.similarity.rademacher_plane the
+# Spark plan uses, so the two sides cannot drift.
+_RADEMACHER_BITS = "\n       + ".join(
+    "CASE WHEN list_sum(list_transform(list_zip(c, ["
+    + ",".join(str(v) for v in rademacher_plane(j, 64))
+    + "]::INT[]), z -> z[1]*z[2])) >= 0 THEN " + str(1 << j) + " ELSE 0 END"
+    for j in range(4)
+)
+ORACLES["ext_ann_lsh_quantized"] = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings),
+codes AS (
+  SELECT vec_id, embedding,
+    CASE WHEN mx = mn THEN list_transform(embedding, x -> 0)
+         ELSE list_transform(embedding, x ->
+           CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS INT) - 128)
+    END AS c
+  FROM s),
+buck AS (
+  SELECT vec_id, embedding,
+       {_RADEMACHER_BITS}
+       AS bucket
+  FROM codes),
+q AS (SELECT bucket AS qbucket, CAST(embedding AS DOUBLE[]) AS qv
+      FROM buck WHERE vec_id = 0)
+SELECT b.vec_id,
+       ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv), 4) + 0.0 AS sim
+FROM buck b, q
+WHERE b.vec_id <> 0 AND b.bucket = q.qbucket
+ORDER BY sim DESC, b.vec_id LIMIT 5
 """
 
 ORACLES["ext_heavy_hitters"] = f"""

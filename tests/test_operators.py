@@ -241,6 +241,48 @@ def test_embedding_near_dups_bucket_cap_bounds_skew(spark):
         assert (i, i + 1) in got, f"identical pair ({i},{i+1}) lost by refinement"
 
 
+def test_lsh_bucket_int8_matches_python_reference(spark):
+    """Integer-exact LSH: bucket bits equal signs of <codes, rademacher_j>
+    computed independently in plain Python, and identical vectors always
+    share a bucket (no float sensitivity by construction)."""
+    import math
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        lsh_bucket_int8,
+        quantize_int8,
+        rademacher_plane,
+    )
+
+    vecs = [
+        (0, [math.sin(0.3 * d) for d in range(64)]),
+        (1, [math.sin(0.3 * d) for d in range(64)]),  # identical to 0
+        (2, [math.cos(0.7 * d) - 0.4 for d in range(64)]),
+        (3, [float((d * 37) % 11 - 5) for d in range(64)]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in lsh_bucket_int8(quantize_int8(df), num_planes=4).collect()
+    }
+
+    def py_codes(x):
+        mn, mx = min(x), max(x)
+        if mx == mn:
+            return [0] * len(x)
+        return [int(math.floor((v - mn) * 255.0 / (mx - mn) + 0.5)) - 128 for v in x]
+
+    planes = [rademacher_plane(j, 64) for j in range(4)]
+    for vid, x in vecs:
+        c = py_codes(x)
+        want = sum(
+            (1 << j)
+            for j in range(4)
+            if sum(ci * pi for ci, pi in zip(c, planes[j])) >= 0
+        )
+        assert got[vid] == want, (vid, got[vid], want)
+    assert got[0] == got[1]
+
+
 def test_ext_embedding_near_dups_nonempty_on_fixture(spark):
     """The registry entry must return a nonempty pair set on the synthetic
     fixture (r02 regression: threshold 0.9 returned 0 rows at the driver's
