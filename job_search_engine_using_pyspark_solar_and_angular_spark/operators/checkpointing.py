@@ -1,0 +1,33 @@
+"""Lineage cutting for iterative algorithms (connected components, PageRank,
+BFS, k-core): each round must not embed the plans of rounds 1..k-1.
+
+Two modes:
+
+- ``checkpoint_dir=None`` (default): ``localCheckpoint`` — executor-local
+  block storage, no filesystem round-trip, the right choice for tests and
+  short interactive jobs. NOT fault-tolerant: on a real cluster the loss of
+  one executor discards its blocks and kills the job.
+- ``checkpoint_dir="hdfs://..."``: reliable ``df.checkpoint()`` to a shared
+  filesystem. An executor loss mid-iteration recomputes from the last
+  checkpoint instead of failing — what a 1000-executor, hours-long 100 TB
+  closure job needs. Costs one write+read of the round's output per cut.
+
+Both modes are eager (materialize now), so the convergence-check aggregates
+that follow read materialized data either way and per-round results are
+identical — pinned by tests/test_operators.py::test_checkpoint_modes_agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def lineage_cut(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Materialize ``df`` and return a lineage-free DataFrame."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    # setCheckpointDir is idempotent and cheap; set it per cut so callers
+    # need no session-level setup and two jobs can use different dirs.
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)

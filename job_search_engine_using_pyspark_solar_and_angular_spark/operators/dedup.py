@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_61, md5_long, token_ngrams
 from ..functions.text import tokenize_normalized
+from .checkpointing import lineage_cut
 
 # Deterministic universal-hash parameters for MinHash permutations (small odd
 # constants; see functions.hashing.minhash_value for the exactness argument).
@@ -317,6 +318,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected candidate-pair graph by
     hash-min label propagation: every node's label converges to the MINIMUM
@@ -327,7 +329,7 @@ def connected_components(
     a near-dedup pipeline: pairs are not transitive, clusters are. Iterative
     (the one algorithm family Catalyst cannot express in a single plan):
     each round is one join + one min-agg, both keyed on node, with
-    ``localCheckpoint`` cutting the lineage so round k's plan does not embed
+    ``lineage_cut`` cutting the lineage so round k's plan does not embed
     rounds 1..k-1. Rounds needed = component diameter; near-dup clusters are
     shallow (dup groups share most shingles, so LSH connects them densely),
     so convergence is typically 2-4 rounds. For adversarially long chain
@@ -342,18 +344,18 @@ def connected_components(
     # persist pairs so the symmetric union reads it once, then checkpoint
     # edges so NO later round's plan reaches back into the pair pipeline
     pairs_p = pairs.persist()
-    edges = (
+    edges = lineage_cut(
         pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs_p.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     pairs_p.unpersist()
-    labels = (
+    labels = lineage_cut(
         edges.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("cluster_id", F.col("node"))
-        .localCheckpoint()
+        .withColumn("cluster_id", F.col("node")),
+        checkpoint_dir,
     )
     # convergence via label-sum monotonicity: each node's label is
     # non-increasing (min over a set containing itself), so the total is
@@ -366,11 +368,11 @@ def connected_components(
         nbr = edges.join(
             labels, edges["b"] == labels["node"]
         ).select(F.col("a").alias("node"), "cluster_id")
-        labels = (
+        labels = lineage_cut(
             labels.unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .agg(F.min("cluster_id").alias("cluster_id")),
+            checkpoint_dir,
         )
         new_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if new_sum == prev_sum:
@@ -638,6 +640,7 @@ def connected_components_star(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
@@ -662,11 +665,11 @@ def connected_components_star(
     treat it as the driver-side fixpoint test it is).
     """
     pairs_p = pairs.persist()
-    edges = (
+    edges = lineage_cut(
         pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs_p.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     pairs_p.unpersist()
 
@@ -702,7 +705,7 @@ def connected_components_star(
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
         )
-        edges = sym(ls).localCheckpoint()
+        edges = lineage_cut(sym(ls), checkpoint_dir)
         # small-star: v <= u -> (v, m), plus (u, m)
         with_m = edges.join(mins(edges), "a")
         ss = (
@@ -710,7 +713,7 @@ def connected_components_star(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(with_m.select("a", F.col("m").alias("b")))
         )
-        edges = sym(ss).localCheckpoint()
+        edges = lineage_cut(sym(ss), checkpoint_dir)
         cur = sig(edges)
         if cur == prev:
             break

@@ -20,7 +20,8 @@ irrelevant for ranking and the price of exactness.
 
 Scale shape per iteration: one join edges⋈ranks on the source key + one
 sum-shuffle on the destination key — identical to the connected-components
-round shape (operators/dedup.py), with ``localCheckpoint`` cutting lineage
+round shape (operators/dedup.py), with ``lineage_cut`` cutting lineage
+(localCheckpoint by default; reliable ``checkpoint_dir`` for cluster jobs)
 so iteration k's plan does not embed iterations 1..k-1. Dangling nodes
 cannot exist here (every node in an LSH pair has degree >= 1).
 """
@@ -29,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .checkpointing import lineage_cut
 
 SCALE = 10**12
 
@@ -95,29 +98,32 @@ def pagerank_int(
     dst: str = "doc_b",
     iters: int = 5,
     scale: int = SCALE,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Integer PageRank over the undirected graph of ``pairs``. Returns
     (node, rank) for every node in at least one pair, rank in micro-units
     of ``scale``. Deterministic for any partitioning/run."""
     pairs_p = pairs.persist()
-    edges = (
+    edges = lineage_cut(
         pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs_p.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     pairs_p.unpersist()
-    deg = edges.groupBy("a").agg(F.count("*").alias("deg")).localCheckpoint()
+    deg = lineage_cut(
+        edges.groupBy("a").agg(F.count("*").alias("deg")), checkpoint_dir
+    )
     n = deg.count()
     base = (15 * (scale // n)) // 100
     rank = deg.select(F.col("a").alias("node"), F.lit(scale // n).alias("rank"))
-    edges_deg = edges.join(deg, "a").localCheckpoint()
+    edges_deg = lineage_cut(edges.join(deg, "a"), checkpoint_dir)
     for _ in range(iters):
         contrib = edges_deg.join(
             rank, edges_deg.a == rank.node
         ).select(F.col("b").alias("node"), F.expr("rank div deg").alias("c"))
         incoming = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        rank = (
+        rank = lineage_cut(
             deg.select(F.col("a").alias("node"))
             .join(incoming, "node", "left")
             .select(
@@ -126,8 +132,8 @@ def pagerank_int(
                     F.lit(base)
                     + F.expr("(85 * coalesce(s, 0L)) div 100")
                 ).alias("rank"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
     return rank
 
@@ -137,6 +143,7 @@ def bfs_distances(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_hops: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Hop distances from the minimum-id node of the undirected ``pairs``
     graph, bounded at ``max_hops`` (single-source BFS — "how far is every
@@ -148,13 +155,13 @@ def bfs_distances(
     oracle. Nodes not reached within ``max_hops`` are absent (not null) —
     frontier semantics, not a full outer scan per round. The source is the
     1-row MIN(doc_a) aggregate kept in-plan (broadcast-joined, never
-    collected to the driver); ``localCheckpoint`` per round cuts lineage.
+    collected to the driver); ``lineage_cut`` per round cuts lineage.
     """
-    e = (
+    e = lineage_cut(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     # doc_a < doc_b on every pair, so the graph-wide min node id is
     # min(a) over the CHECKPOINTED edge table — aggregating `pairs`
@@ -166,11 +173,11 @@ def bfs_distances(
         nxt = dist.join(e, dist.node == e.a).select(
             F.col("b").alias("node"), (F.col("dist") + 1).alias("dist")
         )
-        dist = (
+        dist = lineage_cut(
             dist.unionByName(nxt)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .agg(F.min("dist").alias("dist")),
+            checkpoint_dir,
         )
     return dist
 
@@ -181,6 +188,7 @@ def kcore(
     dst: str = "doc_b",
     k: int = 2,
     rounds: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bounded k-core peeling of the undirected ``pairs`` graph: drop nodes
     with degree < k, restrict edges to survivors, repeat ``rounds`` times;
@@ -193,19 +201,19 @@ def kcore(
     practice 2-3 rounds reach the fixpoint on shallow similarity graphs
     (each round is two semi joins + one degree agg, all on node keys).
     """
-    e = (
+    e = lineage_cut(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     for _ in range(rounds):
         keep = e.groupBy("a").agg(F.count("*").alias("d")).filter(F.col("d") >= k)
-        e = (
+        e = lineage_cut(
             e.join(keep.select("a"), "a", "left_semi")
             .join(
                 keep.select(F.col("a").alias("b")), "b", "left_semi"
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
     return e.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg"))

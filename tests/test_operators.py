@@ -241,6 +241,38 @@ def test_embedding_near_dups_bucket_cap_bounds_skew(spark):
         assert (i, i + 1) in got, f"identical pair ({i},{i+1}) lost by refinement"
 
 
+def test_checkpoint_modes_agree(spark, tmp_path):
+    """lineage_cut's two modes (localCheckpoint vs reliable df.checkpoint
+    into checkpoint_dir) must produce identical results for every iterative
+    algorithm — the flag changes fault-tolerance, never semantics."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (1, 4)],
+        "doc_a long, doc_b long",
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(dedup.connected_components(pairs)) == rows(
+        dedup.connected_components(pairs, checkpoint_dir=ckpt)
+    )
+    assert rows(dedup.connected_components_star(pairs)) == rows(
+        dedup.connected_components_star(pairs, checkpoint_dir=ckpt)
+    )
+    assert rows(graph.pagerank_int(pairs, iters=3)) == rows(
+        graph.pagerank_int(pairs, iters=3, checkpoint_dir=ckpt)
+    )
+    assert rows(graph.bfs_distances(pairs)) == rows(
+        graph.bfs_distances(pairs, checkpoint_dir=ckpt)
+    )
+    assert rows(graph.kcore(pairs, k=2)) == rows(
+        graph.kcore(pairs, k=2, checkpoint_dir=ckpt)
+    )
+
+
 def test_lsh_bucket_int8_matches_python_reference(spark):
     """Integer-exact LSH: bucket bits equal signs of <codes, rademacher_j>
     computed independently in plain Python, and identical vectors always
