@@ -217,22 +217,21 @@ def latest_wins_merge_sink(
     """Incremental latest-wins index maintenance via foreachBatch (D2).
 
     Each micro-batch: (optional transform) -> merge_latest against the
-    current target snapshot -> atomic swap write. Returns the started query.
+    current target snapshot -> versioned commit (state_store.commit_state:
+    immutable version dirs + atomic pointer flip). Returns the started query.
     """
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        from .state_store import commit_state, read_state
+
         b = transform(batch) if transform else batch
-        try:
-            existing = spark.read.parquet(target_path)
+        existing = read_state(spark, target_path)  # None ONLY if never committed
+        if existing is not None:
             merged = merge_latest(existing, b, key_cols, order_col)
-        except Exception:  # first batch: no target yet
+        else:
             from ..operators.dedup import latest_wins
 
             merged = latest_wins(b, key_cols, order_col)
-        # plain-parquet swap (localized stand-in for a transactional table):
-        # materialize the merge before overwriting what it reads from.
-        tmp = target_path + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        commit_state(merged, target_path)
 
     writer = stream_df.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint
@@ -254,7 +253,7 @@ def cms_merge_sink(
 ):
     """Incremental count-min maintenance via foreachBatch: sketch each
     micro-batch, ADD its counters into the persisted sketch (cms_merge),
-    atomic-swap write. Because the sketch is mergeable and commutative, the
+    versioned pointer-flip commit (state_store). Because the sketch is mergeable and commutative, the
     maintained state is EXACTLY the sketch of all rows ever seen — replay
     parity with a batch build is pinned in tests — while the state itself
     stays KB-sized (≤ depth×width counters) no matter the stream volume.
@@ -265,15 +264,12 @@ def cms_merge_sink(
     from ..operators.sketches import cms_build, cms_merge
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        from .state_store import commit_state, read_state
+
         b = cms_build(batch, key_col, depth=depth, width=width)
-        try:
-            existing = spark.read.parquet(target_path)
-            merged = cms_merge(existing, b)
-        except Exception:  # first batch: no sketch yet
-            merged = b
-        tmp = target_path + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        existing = read_state(spark, target_path)
+        merged = b if existing is None else cms_merge(existing, b)
+        commit_state(merged, target_path)
 
     writer = stream_df.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint
@@ -295,7 +291,7 @@ def bloom_merge_sink(
 ):
     """Incremental Bloom-filter maintenance via foreachBatch: hash each
     micro-batch's keys to bit positions, UNION-distinct into the persisted
-    set-bit table, atomic-swap write. Bit-set union is commutative and
+    set-bit table, versioned pointer-flip commit (state_store). Bit-set union is commutative and
     idempotent, so the maintained filter is EXACTLY the filter of all keys
     ever seen (replay parity with a batch build pinned in tests) and the
     state stays ≤ m_bits rows forever — the membership-sketch face of the
@@ -307,15 +303,12 @@ def bloom_merge_sink(
     from ..operators.sketches import bloom_build
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        from .state_store import commit_state, read_state
+
         b = bloom_build(batch, key_col, m_bits=m_bits, k=k)
-        try:
-            existing = spark.read.parquet(target_path)
-            merged = existing.unionByName(b).distinct()
-        except Exception:  # first batch: no filter yet
-            merged = b
-        tmp = target_path + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        existing = read_state(spark, target_path)
+        merged = b if existing is None else existing.unionByName(b).distinct()
+        commit_state(merged, target_path)
 
     writer = stream_df.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint
@@ -373,33 +366,33 @@ def hll_merge_sink(
     """Incremental per-group distinct-count maintenance via foreachBatch —
     the third sketch sink beside count-min (counter add) and Bloom (bit-set
     union): sketch each micro-batch with ``hll_sketch_agg``, union into the
-    persisted per-group sketches with ``hll_union_agg``, atomic-swap write.
+    persisted per-group sketches with ``hll_union_agg``, versioned
+    pointer-flip commit (state_store).
     HLL union is register-max, so union-of-sketches == sketch-of-union and
     the maintained estimate is EXACTLY the one a single batch build over
     all rows ever seen would report (replay parity pinned in tests), while
     state stays (groups × sketch-size) no matter the stream volume."""
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        from .state_store import commit_state, read_state
+
         b = batch.groupBy(group_col).agg(
             F.hll_sketch_agg(value_col).alias("sketch")
         )
-        try:
-            existing = spark.read.parquet(target_path).select(
-                group_col, "sketch"
-            )
+        existing = read_state(spark, target_path)
+        if existing is not None:
             merged = (
-                existing.unionByName(b)
+                existing.select(group_col, "sketch")
+                .unionByName(b)
                 .groupBy(group_col)
                 .agg(F.hll_union_agg("sketch").alias("sketch"))
             )
-        except Exception:  # first batch: no sketch table yet
+        else:
             merged = b
         out = merged.withColumn(
             "est_distinct", F.hll_sketch_estimate("sketch").cast("long")
         )
-        tmp = target_path + "__staging"
-        out.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        commit_state(out, target_path)
 
     writer = stream_df.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint

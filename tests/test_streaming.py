@@ -14,6 +14,9 @@ from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_tabl
 from job_search_engine_using_pyspark_solar_and_angular_spark.operators.dedup import (
     latest_wins,
 )
+from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.state_store import (
+    read_state,
+)
 from job_search_engine_using_pyspark_solar_and_angular_spark.streaming import (
     latest_wins_merge_sink,
     stream_parquet,
@@ -137,7 +140,7 @@ def test_latest_wins_merge_incremental(spark, tmp_path):
     half2.write.mode("append").parquet(stream_dir)
     run_once()
 
-    got = spark.read.parquet(target)
+    got = read_state(spark, target)
     want = latest_wins(ev, ["user_id"], "ts", ["event_id"])
     # compare per-user freshest timestamp (ties on ts are tiebreak-dependent)
     g = sorted(tuple(r) for r in got.select("user_id", "ts").collect())
@@ -166,8 +169,8 @@ def test_merge_sink_idempotent_replay(spark, tmp_path):
         )
         q.awaitTermination(120)
         if i == 0:
-            first = sorted(tuple(r) for r in spark.read.parquet(target).select("user_id", "ts").collect())
-    second = sorted(tuple(r) for r in spark.read.parquet(target).select("user_id", "ts").collect())
+            first = sorted(tuple(r) for r in read_state(spark, target).select("user_id", "ts").collect())
+    second = sorted(tuple(r) for r in read_state(spark, target).select("user_id", "ts").collect())
     assert first == second
 
 
@@ -265,7 +268,7 @@ def test_streaming_tweet_preprocess_merge(spark, tmp_path):
 
     got = sorted(
         tuple(r)
-        for r in spark.read.parquet(target)
+        for r in read_state(spark, target)
         .select("org_id", "samp_id", "org_favorite_count")
         .collect()
     )
@@ -685,7 +688,7 @@ def test_cms_merge_sink_replay_parity(spark, events_dir, tmp_path):
         q.awaitTermination(120)
     finally:
         q.stop()
-    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    got = sorted(map(tuple, read_state(spark, target).collect()))
     want = sorted(
         map(tuple, cms_build(spark.read.parquet(events_dir), "user_id").collect())
     )
@@ -715,7 +718,7 @@ def test_bloom_merge_sink_replay_parity(spark, events_dir, tmp_path):
         q.awaitTermination(120)
     finally:
         q.stop()
-    got = sorted(r["p"] for r in spark.read.parquet(target).collect())
+    got = sorted(r["p"] for r in read_state(spark, target).collect())
     want = sorted(
         r["p"] for r in bloom_build(spark.read.parquet(events_dir), "user_id").collect()
     )
@@ -840,7 +843,7 @@ def test_hll_merge_sink_replay_parity(spark, events_dir, tmp_path):
         q.stop()
     got = sorted(
         (r["event_type"], r["est_distinct"])
-        for r in spark.read.parquet(target).collect()
+        for r in read_state(spark, target).collect()
     )
     want = sorted(
         (r["event_type"], r["est"])
@@ -896,3 +899,41 @@ def test_stream_static_join_replay_parity(spark, events_dir, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+def test_state_store_commit_and_recovery_semantics(spark, tmp_path):
+    """Versioned state store: absence of the pointer means first-batch
+    (read_state -> None); a committed state survives a crash that wrote a
+    NEWER version dir but died before the pointer flip; pruning keeps the
+    live version; corrupt pointer content raises instead of resetting."""
+    import os
+
+    import pytest as _pytest
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.state_store import (
+        commit_state,
+        current_version,
+        read_state,
+    )
+
+    target = str(tmp_path / "state")
+    assert read_state(spark, target) is None  # first batch, explicitly
+
+    df1 = spark.range(3).withColumnRenamed("id", "k")
+    assert commit_state(df1, target) == 1
+    df2 = spark.range(5).withColumnRenamed("id", "k")
+    assert commit_state(df2, target) == 2
+    assert read_state(spark, target).count() == 5
+
+    # crash between version write and pointer flip: v=3 exists, pointer
+    # still says 2 -> readers keep seeing v=2
+    spark.range(9).withColumnRenamed("id", "k").write.parquet(
+        os.path.join(target, "v=3")
+    )
+    assert current_version(target) == 2
+    assert read_state(spark, target).count() == 5
+
+    # corrupt pointer is corruption, not first-batch
+    with open(os.path.join(target, "_CURRENT"), "w") as fh:
+        fh.write("not-a-number")
+    with _pytest.raises(ValueError):
+        read_state(spark, target)
