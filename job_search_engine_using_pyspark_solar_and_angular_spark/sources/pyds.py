@@ -109,15 +109,29 @@ def register(spark) -> None:
 
 class TweetsJsonlStreamReader(SimpleDataSourceStreamReader):
     """Streaming half of the custom source: micro-batch tailing of a
-    growing JSONL directory, offset = sorted file list position + byte
-    offset within the newest file. ``SimpleDataSourceStreamReader`` is the
+    growing JSONL directory. ``SimpleDataSourceStreamReader`` is the
     driver-side variant (reads happen on the driver, suited to control-rate
     feeds like the reference's tweet poller — the reference polls the
     Twitter API on one node too, `Main/TwitterConsumer.java`); bulk
     replayable history belongs to the partitioned batch reader above.
 
-    Offsets are JSON dicts (the contract requires dict-typed offsets), so
-    restart-from-checkpoint resumes at an exact (file, byte) position —
+    Offset contract (JSON dict, as the API requires):
+        {"files": {<path>: <bytes consumed>}}
+
+    Offsets are keyed BY FILE PATH, never by position in a sorted listing —
+    with positional offsets, a late-arriving file that sorts before an
+    existing one shifts every index, applying one file's byte offset to
+    another (duplicate and corrupt reads). Path keys make each file's
+    progress independent of what else appears in the directory.
+
+    Byte offsets only ever land on line boundaries: ``latestOffset`` caps
+    each file at the position after its last newline (``_complete_size``),
+    so a partially-appended trailing line is never cut mid-bytes — it stays
+    unconsumed and is delivered by the batch after its newline arrives.
+    (Consequence: a final line is delivered once newline-terminated, which
+    is how the preprocess export writes JSONL.) Since every (lo, hi) range
+    starts and ends at line boundaries, UTF-8 sequences never split across
+    reads. Restart-from-checkpoint resumes at exact per-file positions —
     exactly-once delivery into an idempotent sink."""
 
     def __init__(self, schema: T.StructType, options: dict):
@@ -135,17 +149,46 @@ class TweetsJsonlStreamReader(SimpleDataSourceStreamReader):
             if f.endswith((".json", ".jsonl"))
         )
 
+    @staticmethod
+    def _complete_size(path: str) -> int:
+        """Position just past the LAST newline in the file — the greatest
+        offset that is guaranteed to be a line boundary. Scans backwards in
+        chunks; the common case (file ends with a newline) reads one
+        chunk."""
+        size = os.path.getsize(path)
+        if size == 0:
+            return 0
+        with open(path, "rb") as fh:
+            pos = size
+            chunk = 65536
+            while pos > 0:
+                lo = max(0, pos - chunk)
+                fh.seek(lo)
+                buf = fh.read(pos - lo)
+                nl = buf.rfind(b"\n")
+                if nl >= 0:
+                    return lo + nl + 1
+                pos = lo
+        return 0
+
+    @staticmethod
+    def _file_map(offset) -> dict:
+        if "files" in offset:
+            return offset["files"]
+        # legacy positional offset: only the zero offset is translatable
+        if offset.get("file_idx") == 0 and offset.get("byte") == 0:
+            return {}
+        raise ValueError(
+            "tweets_jsonl stream: positional offset checkpoints "
+            f"({offset!r}) are not resumable under path-keyed offsets; "
+            "restart the query with a fresh checkpoint"
+        )
+
     def initialOffset(self):
-        return {"file_idx": 0, "byte": 0}
+        return {"files": {}}
 
     def latestOffset(self):
-        files = self._files()
-        if not files:
-            return {"file_idx": 0, "byte": 0}
-        return {
-            "file_idx": len(files) - 1,
-            "byte": os.path.getsize(files[-1]),
-        }
+        return {"files": {p: self._complete_size(p) for p in self._files()}}
 
     def read(self, start):
         end = self.latestOffset()
@@ -155,14 +198,15 @@ class TweetsJsonlStreamReader(SimpleDataSourceStreamReader):
         return list(self._rows_between(start, end))
 
     def _rows_between(self, start, end):
-        files = self._files()
+        starts = self._file_map(start)
+        ends = self._file_map(end)
         names = [f.name for f in self._schema.fields]
-        for idx in range(start["file_idx"], min(end["file_idx"] + 1, len(files))):
-            lo = start["byte"] if idx == start["file_idx"] else 0
-            hi = end["byte"] if idx == end["file_idx"] else os.path.getsize(files[idx])
-            if hi <= lo:
+        for path in sorted(ends):
+            lo = starts.get(path, 0)
+            hi = ends[path]
+            if hi <= lo or not os.path.exists(path):
                 continue
-            with open(files[idx], "rb") as fh:
+            with open(path, "rb") as fh:
                 fh.seek(lo)
                 chunk = fh.read(hi - lo)
             for line in chunk.decode("utf-8").splitlines():

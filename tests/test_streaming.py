@@ -768,7 +768,7 @@ def test_stream_jsonl_quarantine_split(spark, tmp_path):
 
 def test_python_datasource_stream_tails_jsonl(spark, tmp_path):
     """The custom source's streaming half: micro-batch tailing of a growing
-    JSONL directory with (file, byte) offsets — rows appended between
+    JSONL directory with path-keyed byte offsets — rows appended between
     triggers arrive exactly once."""
     import json as _json
 
@@ -937,3 +937,47 @@ def test_state_store_commit_and_recovery_semantics(spark, tmp_path):
         fh.write("not-a-number")
     with _pytest.raises(ValueError):
         read_state(spark, target)
+
+def test_tweets_jsonl_stream_offsets_path_keyed(tmp_path):
+    """Offset unit semantics, driven directly on the reader (no query):
+    (1) a late file that sorts lexicographically BEFORE already-consumed
+    files is delivered exactly once, with no re-reads of the consumed ones
+    (the positional-offset bug: shifted indices re-applied one file's byte
+    offset to another); (2) a partially-appended trailing line stays
+    unconsumed until its newline arrives, then is delivered once."""
+    import json as _json
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources.pyds import (
+        TweetsJsonlStreamReader,
+        flat_jsonl_schema,
+    )
+
+    d = tmp_path / "feed"
+    d.mkdir()
+
+    def line(i):
+        return _json.dumps(
+            {"id": i, "text": f"t {i}", "lang": "en", "created_ts": "x"}
+        )
+
+    (d / "m.jsonl").write_text(line(1) + "\n" + line(2) + "\n")
+    r = TweetsJsonlStreamReader(flat_jsonl_schema(), {"path": str(d)})
+    rows1, off1 = r.read(r.initialOffset())
+    assert [t[0] for t in rows1] == [1, 2]
+
+    # a file sorting BEFORE m.jsonl arrives late + m.jsonl grows
+    (d / "a.jsonl").write_text(line(10) + "\n")
+    with open(d / "m.jsonl", "a") as fh:
+        fh.write(line(3) + "\n")
+    rows2, off2 = r.read(off1)
+    assert sorted(t[0] for t in rows2) == [3, 10]  # no duplicates of 1, 2
+
+    # partial trailing line: invisible until its newline arrives
+    with open(d / "m.jsonl", "a") as fh:
+        fh.write(line(4)[:10])
+    rows3, off3 = r.read(off2)
+    assert rows3 == []
+    with open(d / "m.jsonl", "a") as fh:
+        fh.write(line(4)[10:] + "\n")
+    rows4, _ = r.read(off3)
+    assert [t[0] for t in rows4] == [4]
