@@ -166,25 +166,14 @@ def minhash_lsh_candidates(
     groups stay small; skewed buckets (boilerplate docs) are exactly the docs
     you want flagged anyway.
     """
-    rows_per_band = num_perm // bands
-    # persist: the banded table feeds BOTH sides of the self-join below;
+    # ONE band-key derivation owned by minhash_bucket_table — the in-session
+    # path and the persisted-index path cannot drift. persist: the banded
+    # table feeds BOTH sides of the self-join in candidates_from_buckets;
     # without it the full shingle->minhash pipeline runs twice per action.
-    sig = minhash_signatures(
-        df, id_col, text_col, shingle_n, num_perm, shingle_hashes=shingle_hashes
+    banded = minhash_bucket_table(
+        df, id_col, text_col, shingle_n, num_perm, bands,
+        shingle_hashes=shingle_hashes,
     ).persist()
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
     return candidates_from_buckets(banded)
 
 
@@ -214,14 +203,19 @@ def minhash_bucket_table(
     shingle_n: int = 3,
     num_perm: int = 16,
     bands: int = 4,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable LSH similarity index: (doc_id, band, band_key) bucket
-    rows. Identical derivation to the in-session path of
-    ``minhash_lsh_candidates`` (same signatures, same band keys) — write it
-    once, answer candidate queries from it, and maintain it incrementally
-    with ``refresh_lsh_buckets``."""
+    rows — the ONE owner of the signature->band-key derivation
+    (``minhash_lsh_candidates`` calls this, so the in-session and
+    persisted-index paths are the same code). Write it once, answer
+    candidate queries from it, and maintain it incrementally with
+    ``refresh_lsh_buckets``. ``shingle_hashes``: see
+    :func:`minhash_signatures`."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, shingle_n, num_perm)
+    sig = minhash_signatures(
+        df, id_col, text_col, shingle_n, num_perm, shingle_hashes=shingle_hashes
+    )
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -294,11 +288,17 @@ def refresh_lsh_buckets(
     shingled and hashed."""
     from .pipeline import snapshot_diff
 
-    delta = snapshot_diff(
-        old_docs.select(id_col, text_col),
-        new_docs.select(id_col, text_col),
-        [id_col],
-    ).persist()
+    # lineage_cut (eager localCheckpoint), not persist: the delta feeds two
+    # downstream branches, and a persist here is never unpersisted by the
+    # lazy caller — leaked cache blocks in long-running maintenance loops.
+    # Checkpoint blocks are dropped when the DataFrame is garbage-collected.
+    delta = lineage_cut(
+        snapshot_diff(
+            old_docs.select(id_col, text_col),
+            new_docs.select(id_col, text_col),
+            [id_col],
+        )
+    )
     touched = delta.select(F.col(id_col).alias("doc_id"))
     kept = old_buckets.join(F.broadcast(touched), "doc_id", "left_anti")
     to_add = new_docs.join(

@@ -182,10 +182,14 @@ def kfold_assign(
     assignment by key hash. Every key lands in exactly one fold (partition of
     the key space — no leakage between a fold's train and eval side by
     construction), identically on every run and layout; ``salt`` draws an
-    independent folding. Row-local, no shuffle."""
-    return df.withColumn(
-        "fold", (_bucket(F.col(key_col), salt) % F.lit(k)).cast("long")
-    )
+    independent folding. Row-local, no shuffle.
+
+    The fold is the full 60-bit md5 hash mod ``k`` directly — NOT the
+    10000-bucket value mod k, which is biased whenever k does not divide
+    10000 (k=3 would give 3334/3333/3333 per 10k buckets). The residual
+    bias of 2^60 mod k is < 2^-47 for any practical k — negligible."""
+    h = md5_long(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.withColumn("fold", (h % F.lit(k)).cast("long"))
 
 
 def temperature_mix(

@@ -762,7 +762,7 @@ FROM w ORDER BY lang
 """
 
 ORACLES["ext_kfold"] = (
-    f"SELECT ({md5long('CAST(doc_id AS VARCHAR)')} % 10000) % 5 AS fold, "
+    f"SELECT {md5long('CAST(doc_id AS VARCHAR)')} % 5 AS fold, "
     "CAST(COUNT(*) AS BIGINT) AS n_docs, "
     "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
     "FROM documents GROUP BY fold ORDER BY fold"
