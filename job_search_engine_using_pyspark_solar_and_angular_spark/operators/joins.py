@@ -217,34 +217,60 @@ def fuzzy_join(
     max_dist: int = 1,
 ) -> DataFrame:
     """Entity-resolution fuzzy EQUI-join: match rows whose string keys are
-    within levenshtein ``max_dist`` (currently 1), via symmetric delete-key
+    within levenshtein ``max_dist`` (1 or 2), via symmetric delete-key
     blocking on BOTH tables — the table-to-table generalization of the
     SymSpell spell corrector (there the right side was a driver-side
     dictionary; here both sides are DataFrames of any size).
 
-    Shape: each side explodes into (delete-key, value) rows — n+1 keys per
-    value at distance 1 — then ONE equi-join on the block key, exact
-    levenshtein verify, distinct. Never a cross join; blocking keys are
-    near-unique for natural-language strings, so block groups stay small
-    the same way LSH bands do (a hot key means near-identical values —
-    exactly the rows you want matched). Returns the distinct matched pairs
-    (left_col, right_col, dist).
+    Shape: each side explodes into (delete-key, value) rows, then ONE
+    equi-join on the block key, exact levenshtein verify, distinct. Never a
+    cross join; blocking keys are near-unique for natural-language strings,
+    so block groups stay small the same way LSH bands do (a hot key means
+    near-identical values — exactly the rows you want matched). Returns the
+    distinct matched pairs (left_col, right_col, dist).
 
-    Completeness at distance 1 is structural (deletion/insertion/
-    substitution all share a delete-1 key; transpositions are lev 2 and
-    are filtered by the verify) — pinned against brute force in tests."""
-    if max_dist != 1:
-        raise NotImplementedError("fuzzy_join currently supports max_dist=1")
+    Completeness is the SymSpell delete-set property: lev(a, b) <= d
+    implies deletes<=d(a) ∩ deletes<=d(b) is nonempty (every edit —
+    deletion, insertion, substitution, and at d=2 transposition — is
+    reachable by deleting at most d chars from each side); the levenshtein
+    verify then discards block-collision false positives. Pinned against
+    brute force at both distances in tests.
+
+    Key-count cost: n+1 keys per value at d=1; ~1 + n + n(n-1)/2 at d=2 —
+    quadratic in string LENGTH (not corpus size), i.e. ~200 keys for a
+    20-char key. d=2 is the common typo-clustering setting; for longer-
+    than-word keys at 100 TB, block on a tokenized/normalized form
+    instead of raw strings before reaching for d > 2 (why larger d is
+    deliberately unsupported)."""
+    if max_dist not in (1, 2):
+        raise NotImplementedError("fuzzy_join supports max_dist in {1, 2}")
+
+    def _del1(expr: str, var: str) -> str:
+        """SQL array of all delete-one variants of string expr (empty array
+        for the empty string — sequence(1, 0) would run DESCENDING)."""
+        return (
+            f"case when length({expr}) >= 1 then "
+            f"transform(sequence(1, length({expr})), "
+            f"{var} -> concat(substring({expr}, 1, {var}-1), "
+            f"substring({expr}, {var}+1))) "
+            f"else array() end"
+        )
 
     def keys(df: DataFrame, col: str) -> DataFrame:
         c = F.col(col)
-        dels = F.expr(
-            f"transform(sequence(1, length({col})), "
-            f"i -> concat(substring({col}, 1, i-1), substring({col}, i+1)))"
-        )
+        d1 = _del1(col, "i")
+        key_sets = [f"array({col})", d1]
+        if max_dist == 2:
+            # deletes of deletes: depth-2 delete set, deduped by array_union
+            key_sets.append(
+                f"flatten(transform({d1}, s2 -> {_del1('s2', 'j')}))"
+            )
+        all_keys = key_sets[0]
+        for ks in key_sets[1:]:
+            all_keys = f"array_union({all_keys}, {ks})"
         return df.select(col).where(c.isNotNull()).distinct().select(
             c.alias("v"),
-            F.explode(F.array_union(dels, F.array(c))).alias("bkey"),
+            F.explode(F.expr(all_keys)).alias("bkey"),
         )
 
     lk = keys(left, left_col).withColumnRenamed("v", "lv")
@@ -254,7 +280,7 @@ def fuzzy_join(
         .select("lv", "rv")
         .distinct()
         .withColumn("dist", F.levenshtein("lv", "rv"))
-        .filter(F.col("dist") <= 1)
+        .filter(F.col("dist") <= max_dist)
         .select(
             F.col("lv").alias(left_col),
             F.col("rv").alias(right_col),

@@ -713,6 +713,38 @@ def test_fuzzy_join_matches_bruteforce(spark, lvals, rvals):
 
 
 @given(
+    lvals=st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                   min_size=1, max_size=8),
+    rvals=st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                   min_size=1, max_size=8),
+)
+@_SET
+def test_fuzzy_join_dist2_matches_bruteforce(spark, lvals, rvals):
+    """max_dist=2 completeness: depth-2 delete-set blocking must find every
+    lev<=2 pair brute force finds — including transpositions ('ab'->'ba'),
+    double insertions, and mixed edits."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.joins import (
+        fuzzy_join,
+    )
+
+    lf = spark.createDataFrame([(v,) for v in lvals], "name string")
+    rf = spark.createDataFrame([(v,) for v in rvals], "alias string")
+    got = sorted(
+        (r["name"], r["alias"], r["dist"])
+        for r in fuzzy_join(lf, rf, "name", "alias", max_dist=2).collect()
+    )
+    want = sorted(
+        {
+            (a, b, _lev(a, b))
+            for a in set(lvals)
+            for b in set(rvals)
+            if _lev(a, b) <= 2
+        }
+    )
+    assert got == want
+
+
+@given(
     docs=st.lists(
         st.lists(st.sampled_from(["nav", "foot", "a", "b", "cc", "dd d"]),
                  min_size=0, max_size=8),
