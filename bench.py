@@ -5,7 +5,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
    "preprocess_scaled": {"input_mb": ..., "sec": ..., "mb_per_sec": ...,
-                         "baseline_mb_per_sec": 1.11, "speedup_vs_baseline": ...}}
+                         "baseline_mb_per_sec": 1.11, "speedup_vs_baseline": ...},
+   "preprocess_scaled_1gb": {same shape, ~1 GB input},
+   "regressions": {name: {"prev": sec, "cur": sec, "ratio": ...}, ...}}
+
+``regressions`` compares to the most recent BENCH_r{N}.json in the repo
+root (>1.5x per-query slowdowns on the common set); empty when clean.
 
 Methodology:
 - each query is forced with ``df.write.format("noop")`` — full column
@@ -159,7 +164,7 @@ def bench_bm25_served(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def bench_preprocess_scaled(spark) -> dict:
+def bench_preprocess_scaled(spark, target_mb: int = 120, tag: str = "") -> dict:
     from job_search_engine_using_pyspark_solar_and_angular_spark.plans.preprocess import (
         preprocess,
         write_outputs,
@@ -169,9 +174,9 @@ def bench_preprocess_scaled(spark) -> dict:
         tweets_from_documents,
     )
 
-    corpus_dir = os.path.join(BENCH_DIR, "tweets_json")
+    corpus_dir = os.path.join(BENCH_DIR, f"tweets_json{tag}")
     path, size_mb = scaled_tweet_corpus(
-        spark, "/root/testdata/sf0.1", corpus_dir, target_mb=120
+        spark, "/root/testdata/sf0.1", corpus_dir, target_mb=target_mb
     )
     # explicit schema: taken from the generator's plan, not inferred per-file
     # (the reference re-infers per file — one of its measured costs; a fixed
@@ -182,8 +187,8 @@ def bench_preprocess_scaled(spark) -> dict:
         )
     ).schema
 
-    out_parquet = os.path.join(BENCH_DIR, "out_parquet")
-    out_csv = os.path.join(BENCH_DIR, "out_csv")
+    out_parquet = os.path.join(BENCH_DIR, f"out_parquet{tag}")
+    out_csv = os.path.join(BENCH_DIR, f"out_csv{tag}")
     sec = float("inf")
     for _ in range(2):  # min of 2, same policy as the per-query timings
         t0 = time.perf_counter()
@@ -202,6 +207,34 @@ def bench_preprocess_scaled(spark) -> dict:
         "baseline_mb_per_sec": round(BASELINE_MB_PER_SEC, 2),
         "speedup_vs_baseline": round(mb_per_sec / BASELINE_MB_PER_SEC, 1),
     }
+
+
+def regressions_vs_previous(timings: dict[str, float]) -> dict:
+    """Per-query regression guard: compare this run to the most recent
+    BENCH_r{N}.json in the repo root on the common query set and flag
+    >1.5x slowdowns — so a methodology-vs-regression question is answered
+    by the artifact itself, not by archaeology. Empty dict = no prior
+    artifact or no regressions."""
+    import glob
+    import re
+
+    prior_files = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not prior_files:
+        return {}
+    try:
+        with open(prior_files[-1], encoding="utf-8") as fh:
+            prev = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        return {}
+    out = {}
+    for name, cur in timings.items():
+        p = prev.get(name)
+        if p and p > 0 and cur / p > 1.5:
+            out[name] = {"prev": p, "cur": cur, "ratio": round(cur / p, 2)}
+    return out
 
 
 def main() -> None:
@@ -232,6 +265,10 @@ def main() -> None:
 
     timings["q20_bm25_served"] = bench_bm25_served(spark, sf_dir)
     scaled = bench_preprocess_scaled(spark)
+    # sustained-throughput point: the same end-to-end job at ~1 GB (8x the
+    # reference's measured volume) — the figure that shows per-job fixed
+    # costs amortized, recorded in the artifact rather than claimed in prose
+    scaled_1gb = bench_preprocess_scaled(spark, target_mb=1000, tag="_1gb")
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
@@ -244,6 +281,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "preprocess_scaled": scaled,
+                "preprocess_scaled_1gb": scaled_1gb,
+                "regressions": regressions_vs_previous(timings),
             }
         )
     )
