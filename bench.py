@@ -226,8 +226,10 @@ def regressions_vs_previous(timings: dict[str, float]) -> dict:
         return {}
     try:
         with open(prior_files[-1], encoding="utf-8") as fh:
-            prev = json.load(fh).get("queries", {})
-    except (OSError, ValueError):
+            doc = json.load(fh)
+        # the driver wraps bench stdout under "parsed"; accept both shapes
+        prev = doc.get("queries") or doc.get("parsed", {}).get("queries") or {}
+    except (OSError, ValueError, AttributeError):
         return {}
     out = {}
     for name, cur in timings.items():
