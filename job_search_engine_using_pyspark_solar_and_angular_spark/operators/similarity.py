@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long
 from ..functions.vectors import cosine, dot
 
 
@@ -601,6 +602,143 @@ def quantized_rerank_topk(
         )
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def quantize_int8_corpus(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """CORPUS-quantization: int8 codes in one SHARED space, scaled by
+    per-DIMENSION corpus min/max (unlike :func:`quantize_int8`, whose
+    per-vector scales make codes of different vectors incomparable).
+    Shared-space codes are what cross-vector integer geometry needs:
+    cluster assignment, integer L2, bucketing.
+
+    codes[d] = floor((x[d] - mn_d) * 255 / (mx_d - mn_d) + 0.5) - 128
+    with (mn_d, mx_d) = corpus min/max of dimension d. Exact double
+    arithmetic on exact aggregates — engine-identical, oracle-checkable.
+    Constant dimensions quantize to 0.
+
+    Scale shape: one posexplode + (dim) min/max agg — dim-count rows —
+    re-packed into two arrays in a 1-ROW frame that broadcast-crossJoins
+    back into the corpus; the corpus itself never shuffles and the stats
+    stay in-plan (no driver collect)."""
+    dims = embeddings.select(F.posexplode(vec_col).alias("pos", "x"))
+    stats = dims.groupBy("pos").agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    arrs = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda t: t.mn).alias("__mns"),
+        F.transform("s", lambda t: t.mx).alias("__mxs"),
+    )
+    with_stats = embeddings.crossJoin(F.broadcast(arrs))
+    paired = F.zip_with(
+        F.col(vec_col),
+        F.zip_with(
+            F.col("__mns"),
+            F.col("__mxs"),
+            lambda mn, mx: F.struct(mn.alias("mn"), mx.alias("mx")),
+        ),
+        lambda x, t: F.struct(x.cast("double").alias("x"), t.mn.alias("mn"), t.mx.alias("mx")),
+    )
+    codes = F.transform(
+        paired,
+        lambda t: F.when(t.mx == t.mn, F.lit(0)).otherwise(
+            (F.floor((t.x - t.mn) * 255.0 / (t.mx - t.mn) + 0.5) - 128).cast("int")
+        ),
+    )
+    return with_stats.select(F.col(id_col), codes.alias("codes"))
+
+
+def cluster_assign_int8(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-EXACT leader clustering: assign every vector to its nearest
+    of ``n_centroids`` hash-selected exemplar vectors by squared L2 over
+    shared-space int8 codes. Returns (id, centroid_id, dist2).
+
+    Exactness chain: corpus codes are engine-identical
+    (:func:`quantize_int8_corpus`); exemplars are the ``n_centroids``
+    lowest md5(id) vectors (hash order — spread across the corpus, stable
+    under append unlike lowest-id); distance is an integer sum of squared
+    int8 differences; argmin tie-breaks on centroid id. Every step is
+    integer/hash arithmetic — a full SQL oracle exists, unlike trained
+    k-means (float means are partition-order sensitive, rows-only).
+
+    Scale shape: exemplar pick is TakeOrderedAndProject(n); assignment is
+    one broadcast crossJoin (n tiny) + per-row integer math + a (id)
+    min-agg — the corpus shuffles once, on id, and n_centroids bounds the
+    fan-out."""
+    codes = quantize_int8_corpus(embeddings, id_col, vec_col)
+    exemplars = (
+        codes.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col("codes").alias("ccodes"),
+            md5_long(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "centroid_id")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("ccodes"),
+            lambda a, b: ((a - b) * (a - b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = codes.crossJoin(F.broadcast(exemplars)).select(
+        F.col(id_col), "centroid_id", d2.alias("dist2")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct("dist2", "centroid_id")).alias("b")
+    )
+    return best.select(
+        id_col,
+        F.col("b.centroid_id").alias("centroid_id"),
+        F.col("b.dist2").alias("dist2"),
+    )
+
+
+def diversity_sample(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    per_cluster: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-quota diversity sampling — the semantic-coverage selection
+    step of a training-data pipeline (cluster the corpus, cap each
+    cluster's contribution) that prevents dominant modes from swamping the
+    mixture, in the spirit of SemDeDup/cluster-balanced selection.
+
+    Pipeline: integer-exact leader clustering (:func:`cluster_assign_int8`)
+    -> per-cluster rank by md5(id) (a deterministic uniform draw WITHIN the
+    cluster, independent of the clustering hash via a salt) -> keep
+    ``per_cluster``. Returns (id, centroid_id, rn). Deterministic end to
+    end, so the whole selection is SQL-oracle-checked.
+
+    Scale shape: the only window is partitioned BY CLUSTER (never global),
+    and its input carries (id, centroid_id, hash) — never text or
+    vectors; survivors join back to payloads by id downstream."""
+    from pyspark.sql import Window
+
+    assigned = cluster_assign_int8(embeddings, n_centroids, id_col, vec_col)
+    draw = md5_long(F.concat(F.col(id_col).cast("string"), F.lit("divsamp")))
+    w = Window.partitionBy("centroid_id").orderBy(draw, F.col(id_col))
+    return (
+        assigned.select(id_col, "centroid_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= per_cluster)
     )
 
 

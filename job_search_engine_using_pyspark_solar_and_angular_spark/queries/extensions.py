@@ -616,6 +616,27 @@ def ext_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.25)
 
 
+@query("ext_diversity_sample")
+def ext_diversity_sample(spark, sf_dir):
+    """Cluster-quota diversity sampling, integer-exact end to end: corpus
+    int8 quantization (shared per-dimension scale) -> hash-selected leader
+    exemplars -> integer-L2 nearest assignment -> per-cluster md5-ranked
+    quota. The semantic-coverage selection step of a training-data pipeline
+    (SemDeDup-style cluster balancing), fully SQL-oracle-checked because
+    every step is integer/hash arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.diversity_sample(emb, n_centroids=8, per_cluster=10)
+
+
+@query("ext_cluster_assign")
+def ext_cluster_assign(spark, sf_dir):
+    """Integer-exact leader clustering: every vector's nearest hash-selected
+    exemplar by squared-L2 over shared-space int8 codes (the exact-oracle
+    twin of trained k-means assignment, which is float/rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cluster_assign_int8(emb, n_centroids=8)
+
+
 @query("ext_train_test_split")
 def ext_train_test_split(spark, sf_dir):
     """Deterministic 80/20 train/test assignment keyed on md5(doc_id) —

@@ -683,6 +683,58 @@ WHERE rn = 1 AND regexp_matches(lower(org_text), 'spark|join|window')
 ORDER BY org_id
 """
 
+# shared CTE chain for the integer-exact clustering family: corpus int8
+# codes (per-dimension min/max), md5-selected exemplars, integer-L2 argmin
+_CLUSTER_CTES = """
+dims AS (
+  SELECT i.pos,
+         MIN(CAST(e.embedding[i.pos] AS DOUBLE)) AS mn,
+         MAX(CAST(e.embedding[i.pos] AS DOUBLE)) AS mx
+  FROM embeddings e
+  JOIN (SELECT unnest(generate_series(1,
+          (SELECT MAX(len(embedding)) FROM embeddings))) AS pos) i ON TRUE
+  GROUP BY i.pos),
+stats AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+          FROM dims),
+codes AS (
+  SELECT vec_id,
+    list_transform(list_zip(CAST(embedding AS DOUBLE[]), s.mns, s.mxs),
+      z -> CASE WHEN z[3] = z[2] THEN 0
+                ELSE CAST(floor((z[1] - z[2]) * 255.0 / (z[3] - z[2]) + 0.5)
+                     AS INT) - 128 END) AS c
+  FROM embeddings, stats s),
+ex AS (
+  SELECT vec_id AS centroid_id, c AS cc FROM codes
+  ORDER BY CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id LIMIT 8),
+scored AS (
+  SELECT codes.vec_id, ex.centroid_id,
+    list_sum(list_transform(list_zip(c, cc),
+      z -> CAST((z[1] - z[2]) * (z[1] - z[2]) AS BIGINT))) AS dist2
+  FROM codes, ex),
+best AS (
+  SELECT vec_id, centroid_id, dist2,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS r
+  FROM scored)
+"""
+
+ORACLES["ext_cluster_assign"] = (
+    "WITH " + _CLUSTER_CTES
+    + "SELECT vec_id, centroid_id, dist2 FROM best WHERE r = 1 ORDER BY vec_id"
+)
+
+ORACLES["ext_diversity_sample"] = (
+    "WITH " + _CLUSTER_CTES + """,
+assigned AS (SELECT vec_id, centroid_id FROM best WHERE r = 1),
+ranked AS (
+  SELECT vec_id, centroid_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+      ORDER BY CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR) || 'divsamp'), 1, 15)) AS BIGINT), vec_id) AS INT) AS rn
+  FROM assigned)
+SELECT vec_id, centroid_id, rn FROM ranked WHERE rn <= 10
+ORDER BY centroid_id, rn
+""".replace("CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR) || 'divsamp'), 1, 15)) AS BIGINT)", """CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR) || 'divsamp'), 1, 15)) AS BIGINT)""")
+)
+
 ORACLES["ext_train_test_split"] = (
     f"SELECT doc_id, CASE WHEN {md5long('CAST(doc_id AS VARCHAR)')} % 10000 < 2000 "
     "THEN 'test' ELSE 'train' END AS split "

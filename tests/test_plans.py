@@ -461,3 +461,33 @@ def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in p
     assert "AQEShuffleRead coalesced" in p
+
+def test_lsh_bucket_int8_is_shuffle_free_row_local(spark):
+    """Integer LSH bucketing is pure per-row column math: its own plan
+    must add ZERO Exchange nodes and ZERO Python evals over a plain scan —
+    the shape that makes the 4x-compressed bucketing pass scale linearly."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        lsh_bucket_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = lsh_bucket_int8(quantize_int8(emb), num_planes=4)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p[:1200]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_diversity_sample_windows_by_cluster_only(spark):
+    """The diversity-sampling quota window must partition BY CLUSTER —
+    a global (unpartitioned) window would serialize the corpus through
+    one task at scale."""
+    p = plan_of(spark, "ext_diversity_sample")
+    assert "Window" in p
+    import re
+
+    # every window spec in the plan must carry a partition key
+    for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "centroid_id" in frag, frag
+
