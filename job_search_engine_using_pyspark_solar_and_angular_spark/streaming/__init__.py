@@ -9,6 +9,7 @@ package replaces all three with Structured Streaming primitives.
 """
 
 from .jobs import (
+    dedup_gate_sink,
     latest_wins_merge_sink,
     stream_parquet,
     stream_stream_join,
@@ -18,6 +19,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "dedup_gate_sink",
     "latest_wins_merge_sink",
     "stream_parquet",
     "stream_stream_join",

@@ -318,6 +318,83 @@ def bloom_merge_sink(
     return writer.start()
 
 
+def dedup_gate_sink(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    state_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    trigger_once: bool = True,
+):
+    """Streaming ingest-time near-dedup gate: maintain the MinHash LSH
+    bucket table incrementally and emit candidate duplicate pairs as
+    documents ARRIVE — the streaming face of the batch dedup ladder
+    (operators/dedup.py), for a corpus that grows continuously instead of
+    being re-sketched nightly.
+
+    Per micro-batch:
+      1. sketch ONLY the batch (``minhash_bucket_table`` — identical
+         derivation to the batch path by construction);
+      2. join the batch's bucket rows against batch ∪ corpus buckets —
+         new×all covers new-new and new-old pairs; old-old pairs were
+         emitted when their later member arrived, so the per-batch join
+         cost scales with the BATCH, not the corpus;
+      3. commit cumulative pairs and the merged bucket table through the
+         versioned state store (atomic pointer flips).
+
+    Replay invariant (pinned in tests): after any sequence of batches,
+    ``read_state(pairs)`` equals the batch ``minhash_lsh_candidates`` over
+    all rows ever seen — streaming arrival order does not change the
+    candidate set. The two state tables commit in separate (individually
+    atomic) flips; a crash between them re-runs the micro-batch, and both
+    merges are union-distinct idempotent, so the retry converges.
+    """
+    from ..operators.dedup import minhash_bucket_table
+    from .state_store import commit_state, read_state
+
+    def _gate(batch: DataFrame, batch_id: int) -> None:
+        nb = minhash_bucket_table(
+            batch, id_col, text_col, shingle_n, num_perm, bands
+        ).persist()
+        existing = read_state(spark, state_path)
+        merged = (
+            nb if existing is None else existing.unionByName(nb)
+        ).distinct().persist()
+        new_sides = nb.select(F.col("doc_id").alias("new_id"), "band", "band_key")
+        cand = (
+            new_sides.join(
+                merged.select(F.col("doc_id").alias("other_id"), "band", "band_key"),
+                ["band", "band_key"],
+            )
+            .filter(F.col("new_id") != F.col("other_id"))
+            .select(
+                F.least("new_id", "other_id").alias("doc_a"),
+                F.greatest("new_id", "other_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        prev_pairs = read_state(spark, pairs_path)
+        all_pairs = (
+            cand if prev_pairs is None else prev_pairs.unionByName(cand)
+        ).distinct()
+        commit_state(all_pairs, pairs_path)
+        commit_state(merged, state_path)
+        nb.unpersist()
+        merged.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_gate).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_jsonl_with_quarantine(
     spark: SparkSession, path: str, schema
 ) -> tuple[DataFrame, DataFrame]:

@@ -981,3 +981,53 @@ def test_tweets_jsonl_stream_offsets_path_keyed(tmp_path):
         fh.write(line(4)[10:] + "\n")
     rows4, _ = r.read(off3)
     assert [t[0] for t in rows4] == [4]
+
+def test_dedup_gate_sink_replay_parity(spark, tmp_path):
+    """Streaming ingest-dedup gate == batch LSH candidates: after streaming
+    the documents corpus in 3 micro-batches, the maintained pair state must
+    equal minhash_lsh_candidates over all rows ever seen (arrival order
+    must not change the candidate set), and the maintained bucket table
+    must equal a batch build."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.dedup import (
+        minhash_bucket_table,
+        minhash_lsh_candidates,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.jobs import (
+        dedup_gate_sink,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    feed = str(tmp_path / "docs_feed")
+    docs.repartition(3).write.mode("overwrite").parquet(feed)
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    state = str(tmp_path / "bucket_state")
+    pairs = str(tmp_path / "pair_state")
+    q = dedup_gate_sink(
+        stream, spark, state, pairs, checkpoint=str(tmp_path / "ck_gate")
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    got_pairs = sorted(
+        (r["doc_a"], r["doc_b"]) for r in read_state(spark, pairs).collect()
+    )
+    want_pairs = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    )
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+
+    got_buckets = sorted(
+        map(tuple, read_state(spark, state).collect())
+    )
+    want_buckets = sorted(map(tuple, minhash_bucket_table(docs).collect()))
+    assert got_buckets == want_buckets
