@@ -118,6 +118,10 @@ HEADLINE = [
     # the decorrelated LATERAL top-3-per-user
     "ext_typo_pairs",
     "ext_sql_lateral",
+    # round-3 additions: the integer-exact ANN bucket tier and the
+    # cluster-quota diversity-sampling selection step
+    "ext_ann_lsh_quantized",
+    "ext_diversity_sample",
 ]
 
 # BASELINE.md Fig. 10: reference preprocess ≈ 90 s per 100 MB raw JSON.

@@ -665,3 +665,75 @@ def pseudonymize(
             c, md5_long(F.concat(F.col(c).cast("string"), F.lit(salt)))
         )
     return out
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic shard assignment for the trainer handoff: shard =
+    md5(id + salt) mod n_shards. Stable under reruns, repartitions, and
+    corpus appends (an existing doc never moves shards when new docs
+    arrive), which is what makes incremental re-export and resumable
+    training-data delivery possible. Row-local, no shuffle."""
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return df.withColumn("shard", (h % F.lit(n_shards)).cast("int"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard",
+) -> DataFrame:
+    """The export manifest a training run checks its inputs against:
+    per-shard (shard, n_docs, n_tokens, min_id, max_id, content_digest).
+
+    ``content_digest`` is an ORDER-INDEPENDENT exact digest — the sum of
+    per-row md5-prefix hashes of (id ':' text) as decimal(38,0) — so any
+    dropped, duplicated, or altered row changes the digest regardless of
+    file order, and the receiving side can recompute it from the delivered
+    parquet without coordination. Every column is integer/hash arithmetic:
+    the whole manifest is SQL-oracle-checkable.
+
+    Scale shape: one scan, row-local hashing, one (shard) agg — n_shards
+    result rows. Pairs with :func:`write_shards` (writes the data) and
+    verifies with ``shard_manifest(read_back)`` equality."""
+    sharded = shard_assign(df, n_shards, id_col, salt)
+    row_digest = md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))
+    )
+    # single-space split (not \s+): byte-identical semantics in Spark and
+    # DuckDB string_split, matching the corpus tokenization convention
+    n_toks = F.size(F.split(F.col(text_col), " "))
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_toks.cast("long")).alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+            F.sum(row_digest.cast("decimal(38,0)")).alias("content_digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> None:
+    """Materialize the sharded export: hash-partitioned parquet under
+    ``path/shard=<k>/``. ``repartition('shard')`` first, so each shard
+    directory is written by the tasks owning that shard (no
+    files-per-task x shards explosion — the partitionBy write pitfall).
+    Verify delivery with ``shard_manifest`` equality on the read-back."""
+    shard_assign(df, n_shards, id_col, salt).repartition(
+        n_shards, F.col("shard")
+    ).write.mode("overwrite").partitionBy("shard").parquet(path)
+

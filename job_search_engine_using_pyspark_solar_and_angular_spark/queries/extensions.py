@@ -616,6 +616,17 @@ def ext_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.25)
 
 
+@query("ext_shard_manifest")
+def ext_shard_manifest(spark, sf_dir):
+    """The trainer-handoff export manifest: deterministic md5 shard
+    assignment + per-shard doc/token counts, id range, and an order-
+    independent exact content digest (sum of per-row md5 hashes) — what a
+    training run checks its delivered shards against. Every column is
+    integer/hash arithmetic, so the whole manifest is oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    return pipeline.shard_manifest(d, n_shards=8)
+
+
 @query("ext_diversity_sample")
 def ext_diversity_sample(spark, sf_dir):
     """Cluster-quota diversity sampling, integer-exact end to end: corpus

@@ -683,6 +683,16 @@ WHERE rn = 1 AND regexp_matches(lower(org_text), 'spark|join|window')
 ORDER BY org_id
 """
 
+ORACLES["ext_shard_manifest"] = """
+SELECT CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 15)) AS BIGINT) % 8 AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id,
+       SUM(CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS content_digest
+FROM documents GROUP BY shard ORDER BY shard
+"""
+
 # shared CTE chain for the integer-exact clustering family: corpus int8
 # codes (per-dimension min/max), md5-selected exemplars, integer-L2 argmin
 _CLUSTER_CTES = """

@@ -622,3 +622,41 @@ def test_incremental_agg_refresh_is_incremental_and_exact(spark):
         map(tuple, refreshed.filter(F.col("bucket") != first_hour).collect())
     )
     assert kept_old == kept_new
+
+def test_write_shards_roundtrip_manifest(spark, tmp_path):
+    """Export integrity: write_shards materializes the hash-partitioned
+    export, and the manifest recomputed from the READ-BACK parquet equals
+    the manifest of the source — any dropped/duplicated/altered row would
+    change n_docs/n_tokens/content_digest. Also pins shard stability:
+    assignments never move when the corpus grows."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.pipeline import (
+        shard_assign,
+        shard_manifest,
+        write_shards,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, n_shards=8)
+
+    src = [tuple(r) for r in shard_manifest(docs, n_shards=8).collect()]
+    back = spark.read.parquet(out).select("doc_id", "text")
+    got = [tuple(r) for r in shard_manifest(back, n_shards=8).collect()]
+    assert got == src and len(src) == 8
+
+    # append stability: doubling the corpus must not move existing docs
+    import pyspark.sql.functions as F
+
+    before = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assign(docs, n_shards=8).collect()
+    }
+    grown = docs.unionByName(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    after = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assign(grown, n_shards=8).collect()
+    }
+    assert all(after[k] == v for k, v in before.items())
