@@ -62,12 +62,27 @@ def current_version(target_path: str) -> int | None:
         return int(fh.read().strip())
 
 
-def read_state(spark: SparkSession, target_path: str) -> DataFrame | None:
-    """The committed state DataFrame, or None if never committed."""
-    v = current_version(target_path)
-    if v is None:
-        return None
-    return spark.read.parquet(os.path.join(target_path, f"v={v}"))
+def read_state(
+    spark: SparkSession, target_path: str, version: int | None = None
+) -> DataFrame | None:
+    """The committed state DataFrame, or None if never committed.
+
+    ``version`` reads a specific committed version instead of the live one
+    (time travel within the retention window, e.g. ``keep=2`` retains the
+    previous state for exactly-once replay comparisons and debugging).
+    Requesting a pruned or never-written version raises FileNotFoundError
+    rather than silently serving the wrong state."""
+    if version is None:
+        version = current_version(target_path)
+        if version is None:
+            return None
+    vdir = os.path.join(target_path, f"v={version}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"state version {version} not present under {target_path} "
+            "(pruned or never committed)"
+        )
+    return spark.read.parquet(vdir)
 
 
 def commit_state(df: DataFrame, target_path: str, keep: int = 2) -> int:

@@ -932,6 +932,12 @@ def test_state_store_commit_and_recovery_semantics(spark, tmp_path):
     assert current_version(target) == 2
     assert read_state(spark, target).count() == 5
 
+    # time travel: explicit versions within the retention window
+    assert read_state(spark, target, version=1).count() == 3
+    assert read_state(spark, target, version=2).count() == 5
+    with _pytest.raises(FileNotFoundError):
+        read_state(spark, target, version=99)
+
     # corrupt pointer is corruption, not first-batch
     with open(os.path.join(target, "_CURRENT"), "w") as fh:
         fh.write("not-a-number")
