@@ -660,6 +660,7 @@ def cluster_assign_int8(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Integer-EXACT leader clustering: assign every vector to its nearest
     of ``n_centroids`` hash-selected exemplar vectors by squared L2 over
@@ -673,11 +674,20 @@ def cluster_assign_int8(
     integer/hash arithmetic — a full SQL oracle exists, unlike trained
     k-means (float means are partition-order sensitive, rows-only).
 
-    Scale shape: exemplar pick is TakeOrderedAndProject(n); assignment is
+    Scale shape: the codes table is materialized ONCE (``lineage_cut`` —
+    plan audit showed the quantization subplan otherwise re-executes for
+    the exemplar pick: 4 corpus scans instead of 2); it is exactly the
+    compressed tier a 100 TB vector index persists anyway, so production
+    callers write it and pass it around. Exemplar pick is then
+    TakeOrderedAndProject(n) over the materialized codes; assignment is
     one broadcast crossJoin (n tiny) + per-row integer math + a (id)
-    min-agg — the corpus shuffles once, on id, and n_centroids bounds the
-    fan-out."""
-    codes = quantize_int8_corpus(embeddings, id_col, vec_col)
+    min-agg. ``checkpoint_dir``: reliable materialization on a cluster
+    (same contract as the iterative algorithms)."""
+    from .checkpointing import lineage_cut
+
+    codes = lineage_cut(
+        quantize_int8_corpus(embeddings, id_col, vec_col), checkpoint_dir
+    )
     exemplars = (
         codes.select(
             F.col(id_col).alias("centroid_id"),
@@ -716,6 +726,7 @@ def diversity_sample(
     per_cluster: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster-quota diversity sampling — the semantic-coverage selection
     step of a training-data pipeline (cluster the corpus, cap each
@@ -733,7 +744,9 @@ def diversity_sample(
     vectors; survivors join back to payloads by id downstream."""
     from pyspark.sql import Window
 
-    assigned = cluster_assign_int8(embeddings, n_centroids, id_col, vec_col)
+    assigned = cluster_assign_int8(
+        embeddings, n_centroids, id_col, vec_col, checkpoint_dir
+    )
     draw = md5_long(F.concat(F.col(id_col).cast("string"), F.lit("divsamp")))
     w = Window.partitionBy("centroid_id").orderBy(draw, F.col(id_col))
     return (
