@@ -43,6 +43,17 @@ _comparison = st.one_of(
     st.lists(st.sampled_from(_TYPES), min_size=1, max_size=3, unique=True).map(
         lambda ts: "event_type IN (" + ", ".join(f"'{t}'" for t in ts) + ")"
     ),
+    # LIKE on the categorical dictionary: prefix/suffix/infix patterns only
+    # (no escapes, no regex metachars) — identical semantics across engines
+    st.tuples(
+        st.sampled_from(["c", "v", "p", "s", "e", "u", "r"]),
+        st.sampled_from(["{}%", "%{}", "%{}%"]),
+    ).map(lambda t: f"event_type LIKE '{t[1].format(t[0])}'"),
+    # string-function predicates: length and 1-based substr agree exactly
+    st.integers(3, 8).map(lambda n: f"length(event_type) >= {n}"),
+    st.sampled_from(["c", "v", "p", "s", "e"]).map(
+        lambda c: f"substr(event_type, 1, 1) = '{c}'"
+    ),
 )
 
 _predicate = st.one_of(
@@ -61,6 +72,10 @@ _aggs = st.lists(
             "CAST(MAX(event_id) AS BIGINT) AS mx",
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS du",
             "CAST(SUM(event_id % 97) AS BIGINT) AS sm",
+            "MIN(event_type) AS mt",
+            "MAX(event_type) AS xt",
+            "CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ev",
+            "CAST(SUM(length(event_type)) AS BIGINT) AS sl",
         ]
     ),
     min_size=1,
@@ -84,6 +99,15 @@ def _query(draw):
         having = ""
         if draw(st.booleans()):
             having = f" HAVING COUNT(*) > {draw(st.integers(0, 5))}"
+        # sometimes group on a DERIVED integer key instead of the category
+        if draw(st.booleans()):
+            k = draw(st.integers(2, 5))
+            return (
+                f"SELECT CAST(user_id % {k} AS BIGINT) AS gk, " + ", ".join(aggs)
+                + f" FROM {frm} WHERE {where} GROUP BY gk"
+                + having
+                + " ORDER BY gk"
+            )
         return (
             "SELECT event_type, " + ", ".join(aggs)
             + f" FROM {frm} WHERE {where} GROUP BY event_type"
@@ -91,6 +115,44 @@ def _query(draw):
             + " ORDER BY event_type"
         )
     return "SELECT " + ", ".join(aggs) + f" FROM {frm} WHERE {where}"
+
+
+@st.composite
+def _window_query(draw):
+    """Deterministic window-function form: unique ORDER BY key (event_id)
+    inside the frame and in the final sort, so both engines must agree
+    row-for-row."""
+    where = draw(_predicate)
+    fn = draw(
+        st.sampled_from(
+            [
+                "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id)",
+                "RANK() OVER (PARTITION BY event_type ORDER BY event_id)",
+                "CAST(SUM(user_id) OVER (PARTITION BY event_type ORDER BY event_id "
+                "ROWS UNBOUNDED PRECEDING) AS BIGINT)",
+                "LAG(event_id) OVER (PARTITION BY event_type ORDER BY event_id)",
+            ]
+        )
+    )
+    lim = draw(st.integers(50, 400))
+    return (
+        f"SELECT event_id, event_type, CAST({fn} AS BIGINT) AS w "
+        f"FROM events WHERE {where} ORDER BY event_id LIMIT {lim}"
+    )
+
+
+@given(sql=_window_query())
+@_SET
+def test_sql_differential_fuzz_windows(spark, ddb, sql):
+    """Window-function SQL (deterministic frames) must agree row-for-row."""
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    s = spark.sql(sql)
+    s_rows = [tuple(r) for r in s.collect()]
+    d = ddb.execute(sql)
+    d_rows = d.fetchall()
+    assert canon_rows(s.columns, s_rows) == canon_rows(
+        [c[0] for c in d.description], d_rows
+    ), sql
 
 
 @given(sql=_query())
