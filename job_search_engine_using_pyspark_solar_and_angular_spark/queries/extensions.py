@@ -616,6 +616,60 @@ def ext_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.25)
 
 
+@query("ext_dataset_card")
+def ext_dataset_card(spark, sf_dir):
+    """One-row corpus dataset card — the summary block of a training-data
+    release note: document/language counts, exact-duplicate rate (basis
+    points, integer-exact), whitespace-token volume, and character-length
+    distribution (mean + exact interpolated percentiles). One scan, one
+    global agg; every field either integer arithmetic or a rounded exact
+    aggregate, so the card is fully oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    card = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.sum(toks.cast("long")).alias("total_ws_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90_chars"),
+    )
+    return card.select(
+        "*",
+        F.expr(
+            "CAST((n_docs - n_unique_texts) * 10000 DIV n_docs AS BIGINT)"
+        ).alias("dup_rate_bp"),
+    )
+
+
+@query("ext_duplicated_ngrams")
+def ext_duplicated_ngrams(spark, sf_dir):
+    """Cross-document exact-substring duplication report at 5-gram grain
+    (the n-gram-level signal behind ExactSubstr-style dedup): the top
+    boilerplate 5-grams by how many DISTINCT documents contain them, with
+    total occurrence counts. One tokenize + explode + two-level agg —
+    shuffle keys are grams, never documents."""
+    from ..functions.hashing import token_ngrams
+    from ..functions.text import tokenize_normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(token_ngrams(tokenize_normalized("text"), 5)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "gram")
+        .limit(20)
+    )
+
+
 @query("ext_shard_manifest")
 def ext_shard_manifest(spark, sf_dir):
     """The trainer-handoff export manifest: deterministic md5 shard

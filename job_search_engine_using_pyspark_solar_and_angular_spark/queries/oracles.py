@@ -683,6 +683,32 @@ WHERE rn = 1 AND regexp_matches(lower(org_text), 'spark|join|window')
 ORDER BY org_id
 """
 
+ORACLES["ext_dataset_card"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 2) AS p90_chars,
+       CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 10000
+            // COUNT(*) AS BIGINT) AS dup_rate_bp
+FROM documents
+"""
+
+ORACLES["ext_duplicated_ngrams"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS gram FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i FROM toks)
+)
+SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 20
+"""
+
 ORACLES["ext_shard_manifest"] = """
 SELECT CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 15)) AS BIGINT) % 8 AS INT) AS shard,
        COUNT(*) AS n_docs,
