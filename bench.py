@@ -118,10 +118,13 @@ HEADLINE = [
     # the decorrelated LATERAL top-3-per-user
     "ext_typo_pairs",
     "ext_sql_lateral",
-    # round-3 additions: the integer-exact ANN bucket tier and the
-    # cluster-quota diversity-sampling selection step
+    # round-3 additions: the integer-exact ANN bucket tier, the
+    # cluster-quota diversity-sampling selection step, the trainer-handoff
+    # shard manifest, and the one-row corpus dataset card
     "ext_ann_lsh_quantized",
     "ext_diversity_sample",
+    "ext_shard_manifest",
+    "ext_dataset_card",
 ]
 
 # BASELINE.md Fig. 10: reference preprocess ≈ 90 s per 100 MB raw JSON.
