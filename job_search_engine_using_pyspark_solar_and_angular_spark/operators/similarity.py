@@ -174,22 +174,7 @@ def ivf_train_kmeans(
     if checkpoint:
         cents = cents.localCheckpoint(eager=True)
     for _ in range(iters):
-        assigned = (
-            embeddings.crossJoin(F.broadcast(cents))
-            .select(
-                F.col(id_col),
-                F.col(vec_col),
-                "cent_id",
-                cosine(F.col(vec_col), F.col("centroid")).alias("csim"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.max_by(
-                    "cent_id", F.struct("csim", (-F.col("cent_id")).alias("t"))
-                ).alias("cent_id"),
-                F.first(vec_col).alias(vec_col),
-            )
-        )
+        assigned = ivf_assign(embeddings, cents, id_col, vec_col)
         dimwise = assigned.select(
             "cent_id", F.posexplode(vec_col).alias("pos", "x")
         )
@@ -226,20 +211,32 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (cosine argmax) — the
-    inverted-list build. Centroids broadcast; one max_by agg per vector.
-    At 100 TB, write the result partitioned by cent_id so a query scans only
-    its probed lists (partition pruning = the inverted file)."""
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+    inverted-list build. The codebook folds into ONE broadcast array row
+    and the argmax is a row-local ``transform`` + ``array_max`` over it:
+    zero shuffle and no n_centroids× row blow-up (the previous
+    crossJoin + groupBy-max_by formulation shuffled every vector
+    n_centroids times WITH its embedding payload). Tie-break identical:
+    struct(csim, -cent_id) max == highest similarity, then lowest
+    cent_id. At 100 TB, write the result partitioned by cent_id so a
+    query scans only its probed lists (partition pruning = the inverted
+    file)."""
+    cents_row = centroids.agg(
+        F.collect_list(F.struct("cent_id", "centroid")).alias("__cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                cosine(F.col(vec_col), c.centroid).alias("csim"),
+                (-c.cent_id).alias("t"),
+                c.cent_id.alias("cent_id"),
+            ),
+        )
+    )
+    return embeddings.crossJoin(F.broadcast(cents_row)).select(
         F.col(id_col),
         F.col(vec_col),
-        F.col("cent_id"),
-        cosine(F.col(vec_col), F.col("centroid")).alias("csim"),
-    )
-    return scored.groupBy(id_col).agg(
-        F.max_by("cent_id", F.struct("csim", (-F.col("cent_id")).alias("t"))).alias(
-            "cent_id"
-        ),
-        F.first(vec_col).alias(vec_col),
+        best.getField("cent_id").alias("cent_id"),
     )
 
 
