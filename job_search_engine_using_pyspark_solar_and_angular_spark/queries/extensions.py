@@ -616,6 +616,58 @@ def ext_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.25)
 
 
+@query("ext_pmi_bigrams")
+def ext_pmi_bigrams(spark, sf_dir):
+    """Collocation mining: top bigrams by count with pointwise mutual
+    information — PMI = ln(p(ab) / (p(a)p(b))) over corpus token streams.
+    The phrase-discovery pass of corpus analysis (high-PMI pairs are
+    multiword expressions worth protecting from tokenization). Two
+    token-stream aggs (unigram + bigram counts) + two vocab-grain joins;
+    the 1-row totals stay in-plan via broadcast crossJoin. Floats appear
+    only in the final rounded ln expression, composed identically in the
+    oracle (round-4 log parity: same convention as unigram surprisal)."""
+    from ..functions.hashing import token_ngrams
+    from ..functions.text import tokenize_normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize_normalized("text")).alias("token"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("cu"))
+    tu = uni.agg(F.sum("cu").cast("long").alias("tu"))
+    grams = d.select(
+        F.explode(token_ngrams(tokenize_normalized("text"), 2)).alias("gram")
+    )
+    big = grams.groupBy("gram").agg(F.count("*").alias("cb"))
+    tb = big.agg(F.sum("cb").cast("long").alias("tb"))
+    w1 = F.split("gram", " ").getItem(0)
+    w2 = F.split("gram", " ").getItem(1)
+    u1 = uni.select(F.col("token").alias("__w1"), F.col("cu").alias("ca"))
+    u2 = uni.select(F.col("token").alias("__w2"), F.col("cu").alias("cc"))
+    scored = (
+        big.withColumn("__w1", w1)
+        .withColumn("__w2", w2)
+        .join(u1, "__w1")
+        .join(u2, "__w2")
+        .crossJoin(F.broadcast(tu))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "gram",
+            F.col("cb").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("cb") / F.col("tb"))
+                    / ((F.col("ca") / F.col("tu")) * (F.col("cc") / F.col("tu")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.filter(F.col("n_pair") >= 5)
+        .orderBy(F.col("n_pair").desc(), "gram")
+        .limit(20)
+    )
+
+
 @query("ext_dataset_card")
 def ext_dataset_card(spark, sf_dir):
     """One-row corpus dataset card — the summary block of a training-data

@@ -683,6 +683,28 @@ WHERE rn = 1 AND regexp_matches(lower(org_text), 'spark|join|window')
 ORDER BY org_id
 """
 
+ORACLES["ext_pmi_bigrams"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+uni AS (
+  SELECT u.token, COUNT(*) AS cu FROM
+    (SELECT unnest(tk) AS token FROM toks) u GROUP BY u.token),
+tu AS (SELECT CAST(SUM(cu) AS BIGINT) AS tu FROM uni),
+grams AS (
+  SELECT array_to_string(tk[i:i+1], ' ') AS gram FROM (
+    SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)),
+big AS (SELECT gram, COUNT(*) AS cb FROM grams GROUP BY gram),
+tb AS (SELECT CAST(SUM(cb) AS BIGINT) AS tb FROM big)
+SELECT b.gram, CAST(b.cb AS BIGINT) AS n_pair,
+       ROUND(ln((b.cb / t2.tb) /
+             ((u1.cu / t1.tu) * (u2.cu / t1.tu))), 4) AS pmi
+FROM big b
+JOIN uni u1 ON u1.token = string_split(b.gram, ' ')[1]
+JOIN uni u2 ON u2.token = string_split(b.gram, ' ')[2]
+CROSS JOIN tu t1 CROSS JOIN tb t2
+WHERE b.cb >= 5
+ORDER BY n_pair DESC, gram LIMIT 20
+"""
+
 ORACLES["ext_dataset_card"] = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
