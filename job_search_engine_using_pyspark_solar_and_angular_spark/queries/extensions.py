@@ -616,6 +616,35 @@ def ext_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.25)
 
 
+@query("ext_length_trim")
+def ext_length_trim(spark, sf_dir):
+    """Length-outlier trimming — the standard corpus-cleaning step that
+    drops the shortest/longest tails: keep documents whose n_chars lies in
+    [p05, p95] of the corpus distribution. The exact interpolated
+    percentiles are computed IN-PLAN (1-row aggregate broadcast into the
+    filter — no driver collect), so the cut adapts to the corpus rather
+    than hard-coding thresholds. Emits the kept doc ids with the bounds
+    they were admitted under."""
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("n_chars").cast("double") >= F.col("p05"))
+            & (F.col("n_chars").cast("double") <= F.col("p95"))
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round("p05", 2).alias("p05"),
+            F.round("p95", 2).alias("p95"),
+        )
+    )
+
+
 @query("ext_pmi_bigrams")
 def ext_pmi_bigrams(spark, sf_dir):
     """Collocation mining: top bigrams by count with pointwise mutual

@@ -683,6 +683,16 @@ WHERE rn = 1 AND regexp_matches(lower(org_text), 'spark|join|window')
 ORDER BY org_id
 """
 
+ORACLES["ext_length_trim"] = """
+WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS p05,
+                  quantile_cont(n_chars, 0.95) AS p95 FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(b.p05, 2) AS p05, ROUND(b.p95, 2) AS p95
+FROM documents, b
+WHERE CAST(n_chars AS DOUBLE) >= b.p05 AND CAST(n_chars AS DOUBLE) <= b.p95
+ORDER BY doc_id
+"""
+
 ORACLES["ext_pmi_bigrams"] = f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
 uni AS (
