@@ -616,6 +616,43 @@ def ext_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.25)
 
 
+@query("ext_tfidf_topterms")
+def ext_tfidf_topterms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by tf-idf
+    (tf × ln(N/df)) — the classic summarization pass beside BM25 ranked
+    retrieval (same postings statistics, document-centric output). Two
+    token-stream aggs (per-doc tf, per-term df), the 1-row corpus count
+    broadcast in-plan, a per-DOC window for the top-3. Sort key is the
+    round-4 score with a term tie-break, mirrored exactly in the oracle."""
+    from ..functions.text import tokenize_normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize_normalized("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
+                "score"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.select(
+            "doc_id", "term", "score", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
 @query("ext_length_trim")
 def ext_length_trim(spark, sf_dir):
     """Length-outlier trimming — the standard corpus-cleaning step that

@@ -683,6 +683,24 @@ WHERE rn = 1 AND regexp_matches(lower(org_text), 'spark|join|window')
 ORDER BY org_id
 """
 
+ORACLES["ext_tfidf_topterms"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         ROUND(t.tf * ln(n.n_docs / d.df), 4) AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rn
+  FROM scored)
+SELECT doc_id, term, score, rn FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
 ORACLES["ext_length_trim"] = """
 WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS p05,
                   quantile_cont(n_chars, 0.95) AS p95 FROM documents)
