@@ -616,6 +616,69 @@ def ext_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.25)
 
 
+@query("ext_funnel")
+def ext_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the event stream: per user, the
+    first view, the first click AFTER that view, the first purchase AFTER
+    that click — then one corpus row of stage conversion counts. The
+    order-sensitive step composition (stage N's window opens when stage
+    N-1 fires) is what separates a funnel from three independent counts.
+    Two grouped passes on user_id; timestamps compared raw (exact
+    microsecond equality across engines)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("n_click_after_view")))
+        .crossJoin(
+            p.agg(F.count("*").cast("long").alias("n_purchase_after_click"))
+        )
+    )
+
+
+@query("ext_cohort_retention")
+def ext_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, distinct
+    active users at day offsets 0-3 — the activation/retention matrix of
+    product analytics. One pass for first-day, one distinct (user, day)
+    activity set, a day-offset join; all integer/date arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("d0")).cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset") <= 3)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 @query("ext_tfidf_topterms")
 def ext_tfidf_topterms(spark, sf_dir):
     """Per-document keyword extraction: top-3 terms by tf-idf

@@ -683,6 +683,32 @@ WHERE rn = 1 AND regexp_matches(lower(org_text), 'spark|join|window')
 ORDER BY org_id
 """
 
+ORACLES["ext_funnel"] = """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_after_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_after_click
+"""
+
+ORACLES["ext_cohort_retention"] = """
+WITH first AS (SELECT user_id, date_trunc('day', MIN(ts)) AS d0
+               FROM events GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.d0, a.d) AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN first f USING (user_id)
+WHERE date_diff('day', f.d0, a.d) <= 3
+GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
+"""
+
 ORACLES["ext_tfidf_topterms"] = f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
