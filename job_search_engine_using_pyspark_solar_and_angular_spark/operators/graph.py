@@ -138,6 +138,68 @@ def pagerank_int(
     return rank
 
 
+def pagerank_personalized_int(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    iters: int = 5,
+    scale: int = SCALE,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Personalized (seeded) integer PageRank: ALL restart mass returns to
+    the seed node — the related-content expansion of link analysis
+    ("documents most reachable from this one through the similarity
+    graph"), vs. the global centrality of :func:`pagerank_int`. The seed
+    is the graph's minimum node id, kept IN-PLAN (1-row aggregate
+    broadcast — no driver collect), mirroring bfs_distances' source.
+
+    Same integer-exact update as pagerank_int (micro-units of ``scale``,
+    floor division), so the iterations unroll to chained SQL CTEs for the
+    oracle; same per-round join+sum shape, same ``lineage_cut``
+    checkpointing contract."""
+    pairs_p = pairs.persist()
+    edges = lineage_cut(
+        pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs_p.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct(),
+        checkpoint_dir,
+    )
+    pairs_p.unpersist()
+    deg = lineage_cut(
+        edges.groupBy("a").agg(F.count("*").alias("deg")), checkpoint_dir
+    )
+    seed = edges.agg(F.min("a").alias("__seed"))
+    nodes = deg.select(F.col("a").alias("node")).crossJoin(F.broadcast(seed))
+    base = (15 * scale) // 100
+    rank = nodes.select(
+        "node",
+        F.when(F.col("node") == F.col("__seed"), F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    edges_deg = lineage_cut(edges.join(deg, "a"), checkpoint_dir)
+    for _ in range(iters):
+        contrib = edges_deg.join(
+            rank, edges_deg.a == rank.node
+        ).select(F.col("b").alias("node"), F.expr("rank div deg").alias("c"))
+        incoming = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        rank = lineage_cut(
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("node") == F.col("__seed"), F.lit(base)
+                    ).otherwise(F.lit(0))
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            ),
+            checkpoint_dir,
+        )
+    return rank
+
+
 def bfs_distances(
     pairs: DataFrame,
     src: str = "doc_a",

@@ -1854,6 +1854,25 @@ def ext_zscore_embeddings(spark, sf_dir):
     return similarity.zscore_dims(emb)
 
 
+@query("ext_pagerank_personalized")
+def ext_pagerank_personalized(spark, sf_dir):
+    """Personalized (seed-restart) integer PageRank over the LSH similarity
+    graph: relevance-to-the-seed instead of global centrality — the
+    related-content expansion surface. Seed = minimum node id, kept
+    in-plan. Integer-exact; the oracle unrolls the 5 iterations."""
+    from ..operators.graph import pagerank_personalized_int
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d)
+    pr = pagerank_personalized_int(pairs, iters=5)
+    return (
+        pr.filter(F.col("rank") > 0)
+        .select(F.col("node").alias("doc_id"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
 @query("ext_pagerank")
 def ext_pagerank(spark, sf_dir):
     """Integer-exact PageRank (5 iterations, micro-unit mass) over the LSH

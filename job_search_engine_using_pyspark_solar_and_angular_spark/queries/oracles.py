@@ -1744,6 +1744,36 @@ ORACLES["ext_pagerank"] = (
 )
 
 
+# personalized variant: pr0 mass and the 15% restart both concentrate at
+# the seed (graph-min node) instead of spreading uniformly
+_ppr_cte = """
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+consts AS (SELECT CAST(MIN(a) AS BIGINT) AS seed FROM edges),
+ppr0 AS (SELECT a AS node,
+                CAST(CASE WHEN a = c.seed THEN %(S)d ELSE 0 END AS BIGINT) AS rank
+         FROM deg, consts c)"""
+for _k in range(1, _PR_ITERS + 1):
+    _ppr_cte += """,
+ppr%(k)d AS (
+  SELECT d.a AS node,
+         CAST(CASE WHEN d.a = c.seed THEN (15 * %(S)d) // 100 ELSE 0 END
+              + (85 * COALESCE(inc.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d CROSS JOIN consts c
+  LEFT JOIN (
+    SELECT e.b AS node, SUM(p.rank // dd.deg) AS s
+    FROM edges e JOIN ppr%(km1)d p ON p.node = e.a JOIN deg dd ON dd.a = e.a
+    GROUP BY e.b) inc ON inc.node = d.a)""" % {"k": _k, "km1": _k - 1, "S": _PR_SCALE}
+_ppr_cte = _ppr_cte % {"S": _PR_SCALE}
+
+ORACLES["ext_pagerank_personalized"] = (
+    f"WITH {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, {_PAIRS_CTE}, "
+    + _ppr_cte
+    + f" SELECT node AS doc_id, rank FROM ppr{_PR_ITERS} WHERE rank > 0 "
+    "ORDER BY rank DESC, doc_id LIMIT 20"
+)
+
 ORACLES["ext_corpus_report"] = f"""
 WITH feat AS (
   SELECT doc_id, text, lang,
