@@ -318,6 +318,56 @@ def bloom_merge_sink(
     return writer.start()
 
 
+def dedup_gate_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> None:
+    """One micro-batch of the ingest dedup gate (the foreachBatch body of
+    :func:`dedup_gate_sink`, exposed so crash-retry semantics are directly
+    testable). Both state merges are union-distinct idempotent, so
+    re-running the batch after a crash at ANY point — including between
+    the two commit_state flips — converges to the same state as a clean
+    run (pinned by the crash-injection test)."""
+    from ..operators.dedup import minhash_bucket_table
+    from .state_store import commit_state, read_state
+
+    nb = minhash_bucket_table(
+        batch, id_col, text_col, shingle_n, num_perm, bands
+    ).persist()
+    existing = read_state(spark, state_path)
+    merged = (
+        nb if existing is None else existing.unionByName(nb)
+    ).distinct().persist()
+    new_sides = nb.select(F.col("doc_id").alias("new_id"), "band", "band_key")
+    cand = (
+        new_sides.join(
+            merged.select(F.col("doc_id").alias("other_id"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("new_id") != F.col("other_id"))
+        .select(
+            F.least("new_id", "other_id").alias("doc_a"),
+            F.greatest("new_id", "other_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    prev_pairs = read_state(spark, pairs_path)
+    all_pairs = (
+        cand if prev_pairs is None else prev_pairs.unionByName(cand)
+    ).distinct()
+    commit_state(all_pairs, pairs_path)
+    commit_state(merged, state_path)
+    nb.unpersist()
+    merged.unpersist()
+
+
 def dedup_gate_sink(
     stream_df: DataFrame,
     spark: SparkSession,
@@ -354,38 +404,11 @@ def dedup_gate_sink(
     atomic) flips; a crash between them re-runs the micro-batch, and both
     merges are union-distinct idempotent, so the retry converges.
     """
-    from ..operators.dedup import minhash_bucket_table
-    from .state_store import commit_state, read_state
-
     def _gate(batch: DataFrame, batch_id: int) -> None:
-        nb = minhash_bucket_table(
-            batch, id_col, text_col, shingle_n, num_perm, bands
-        ).persist()
-        existing = read_state(spark, state_path)
-        merged = (
-            nb if existing is None else existing.unionByName(nb)
-        ).distinct().persist()
-        new_sides = nb.select(F.col("doc_id").alias("new_id"), "band", "band_key")
-        cand = (
-            new_sides.join(
-                merged.select(F.col("doc_id").alias("other_id"), "band", "band_key"),
-                ["band", "band_key"],
-            )
-            .filter(F.col("new_id") != F.col("other_id"))
-            .select(
-                F.least("new_id", "other_id").alias("doc_a"),
-                F.greatest("new_id", "other_id").alias("doc_b"),
-            )
-            .distinct()
+        dedup_gate_batch(
+            spark, batch, state_path, pairs_path,
+            id_col, text_col, shingle_n, num_perm, bands,
         )
-        prev_pairs = read_state(spark, pairs_path)
-        all_pairs = (
-            cand if prev_pairs is None else prev_pairs.unionByName(cand)
-        ).distinct()
-        commit_state(all_pairs, pairs_path)
-        commit_state(merged, state_path)
-        nb.unpersist()
-        merged.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint

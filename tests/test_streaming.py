@@ -1037,3 +1037,59 @@ def test_dedup_gate_sink_replay_parity(spark, tmp_path):
     )
     want_buckets = sorted(map(tuple, minhash_bucket_table(docs).collect()))
     assert got_buckets == want_buckets
+
+def test_dedup_gate_crash_between_commits_converges(spark, tmp_path):
+    """Crash-injection: a batch that dies BETWEEN the pair commit and the
+    bucket commit (the documented non-atomic window), then retries, must
+    converge to exactly the clean run's states — the union-distinct
+    idempotence claim, exercised for real."""
+    import pytest as _pytest
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming import (
+        jobs as sj,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming import (
+        state_store,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # clean reference run
+    cs, cp = str(tmp_path / "cs"), str(tmp_path / "cp")
+    sj.dedup_gate_batch(spark, b1, cs, cp)
+    sj.dedup_gate_batch(spark, b2, cs, cp)
+    want_pairs = sorted(map(tuple, state_store.read_state(spark, cp).collect()))
+    want_buckets = sorted(map(tuple, state_store.read_state(spark, cs).collect()))
+
+    # crashy run: batch 2 dies after the FIRST commit (pairs committed,
+    # buckets not), then the batch retries in full
+    ks, kp = str(tmp_path / "ks"), str(tmp_path / "kp")
+    sj.dedup_gate_batch(spark, b1, ks, kp)
+
+    real_commit = state_store.commit_state
+    calls = {"n": 0}
+
+    def crashy(df, target_path, keep=2):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the bucket commit of this batch
+            raise RuntimeError("injected crash between commits")
+        return real_commit(df, target_path, keep=keep)
+
+    state_store_commit = state_store.commit_state
+    state_store.commit_state = crashy
+    try:
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            sj.dedup_gate_batch(spark, b2, ks, kp)
+    finally:
+        state_store.commit_state = state_store_commit
+
+    # retry the whole micro-batch (what Structured Streaming does)
+    sj.dedup_gate_batch(spark, b2, ks, kp)
+
+    got_pairs = sorted(map(tuple, state_store.read_state(spark, kp).collect()))
+    got_buckets = sorted(map(tuple, state_store.read_state(spark, ks).collect()))
+    assert got_pairs == want_pairs
+    assert got_buckets == want_buckets
