@@ -1093,3 +1093,37 @@ def test_dedup_gate_crash_between_commits_converges(spark, tmp_path):
     got_buckets = sorted(map(tuple, state_store.read_state(spark, ks).collect()))
     assert got_pairs == want_pairs
     assert got_buckets == want_buckets
+
+def test_state_store_random_sequences_match_model(spark, tmp_path):
+    """Model-based property: any sequence of commits and reads against the
+    store behaves like a plain in-memory list of versions with a live
+    pointer — including pruning (only the last `keep` versions readable)
+    and time travel."""
+    import pytest as _pytest
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.state_store import (
+        commit_state,
+        current_version,
+        read_state,
+    )
+
+    target = str(tmp_path / "model_state")
+    model = {}  # version -> row count
+    keep = 3
+    # deterministic pseudo-random sequence (no RNG: derived from step index)
+    for step in range(1, 9):
+        n_rows = (step * 7) % 11 + 1
+        v = commit_state(
+            spark.range(n_rows).withColumnRenamed("id", "k"), target, keep=keep
+        )
+        assert v == step
+        model[v] = n_rows
+        assert current_version(target) == v
+        assert read_state(spark, target).count() == n_rows
+        # retained window readable, older pruned
+        for pv, pn in model.items():
+            if pv > v - keep:
+                assert read_state(spark, target, version=pv).count() == pn
+            else:
+                with _pytest.raises(FileNotFoundError):
+                    read_state(spark, target, version=pv)
