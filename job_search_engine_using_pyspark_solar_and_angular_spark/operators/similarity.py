@@ -56,17 +56,33 @@ def cosine_topk_df(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Batch exact top-k: every query row against the corpus. Queries are
-    broadcast (they are the small side by contract); per-query top-k via a
-    rank window partitioned by query id."""
-    from .topk import top_k_per_group
+    broadcast (they are the small side by contract); per-query top-k via
+    TWO-PHASE partial aggregation (:func:`~.topk.top_k_per_group_partial`)
+    rather than a rank window — a window partitioned by query id would put
+    each query's ENTIRE corpus scoring in one task; the partial form caps
+    any task at ~N/salts rows and merges k-lists. Returns
+    (query_id, rank, sim, id) with sim desc, id tie-break."""
+    from .topk import top_k_per_group_partial
 
     joined = embeddings.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4).alias("sim"),
     )
-    return top_k_per_group(
-        joined, [query_id_col], [F.col("sim").desc(), F.col(id_col)], k
+    # ascending struct order == sim desc, id asc
+    sort_struct = F.struct(
+        (-F.col("sim")).alias("negsim"), F.col(id_col).alias(id_col)
+    )
+    out = top_k_per_group_partial(
+        joined, [query_id_col], sort_struct, k, salt_src=F.col(id_col)
+    )
+    return out.select(
+        query_id_col,
+        "rank",
+        # + 0.0 normalizes IEEE -0.0 (a round() artifact) to 0.0, matching
+        # the registry-wide sim-column convention
+        (-F.col("negsim") + F.lit(0.0)).alias("sim"),
+        id_col,
     )
 
 

@@ -46,6 +46,53 @@ def top_k_per_group(
     )
 
 
+def top_k_per_group_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_struct: Column,
+    k: int,
+    salt_src: Column,
+    salts: int = 32,
+) -> DataFrame:
+    """Two-phase grouped top-k: per-(group, salt) partial top-k folded into
+    sorted k-arrays, then ONE tiny merge per group (groups × salts × k rows).
+
+    Why beside :func:`top_k_per_group` (rank window): the window puts a
+    group's ENTIRE row set in one task — for low-cardinality groups (a
+    batch of query vectors scored against the whole corpus, a handful of
+    hot categories) that is a single-task sort of N rows. Here no task
+    ever holds more than its (group, salt) slice (~N_group/salts), and the
+    final merge sorts k·salts elements. Same result set, pinned
+    result-identical in tests.
+
+    ``sort_struct`` must be a struct column whose ASCENDING lexicographic
+    order is the desired ranking (negate numeric fields for descending) and
+    whose fields carry everything the caller needs back out — they are
+    re-exploded into columns, plus a 1-based ``rank``. ``salt_src`` drives
+    the deterministic salt (any row-varying column; hashed, layout-stable).
+    """
+    salt = F.pmod(F.xxhash64(salt_src), F.lit(salts)).cast("int")
+    part = (
+        df.withColumn("__s", salt)
+        .groupBy(*group_cols, "__s")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(sort_struct)), 1, k).alias("__p")
+        )
+    )
+    merged = (
+        part.select(*group_cols, F.explode("__p").alias("__e"))
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(F.array_sort(F.collect_list("__e")), 1, k).alias("__p")
+        )
+    )
+    return merged.select(
+        *group_cols, F.posexplode("__p").alias("__r0", "__e")
+    ).select(
+        *group_cols, (F.col("__r0") + 1).alias("rank"), F.col("__e.*")
+    )
+
+
 def salt_key(df: DataFrame, key_col: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
     """Add a salt column for skew mitigation: heavy keys spread across
     ``buckets`` sub-keys. Pair with a two-phase aggregation (agg on

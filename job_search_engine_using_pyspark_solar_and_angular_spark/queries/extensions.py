@@ -1593,6 +1593,22 @@ def ext_ann_quantized(spark, sf_dir):
     return similarity.quantized_rerank_topk(corpus, q, k=5, m=50)
 
 
+@query("ext_batch_cosine_topk")
+def ext_batch_cosine_topk(spark, sf_dir):
+    """Batch exact ANN serving: THREE query vectors scored against the
+    corpus in one plan, per-query top-3 via two-phase partial top-k (no
+    per-query single-task window — the batch-retrieval shape a serving
+    tier runs). Exact oracle: per-query ROW_NUMBER over round-4 cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(~F.col("vec_id").isin([0, 1, 2]))
+    return similarity.cosine_topk_df(corpus, qs, k=3).select(
+        "query_id", "rank", "sim", "vec_id"
+    )
+
+
 @query("ext_ann_lsh_quantized")
 def ext_ann_lsh_quantized(spark, sf_dir):
     """The EXACT-oracle twin of the LSH ANN family: sign-random-projection

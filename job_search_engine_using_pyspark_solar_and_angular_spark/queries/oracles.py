@@ -1545,6 +1545,24 @@ FROM coarse c JOIN embeddings e USING (vec_id), q
 ORDER BY sim DESC, e.vec_id LIMIT 5
 """
 
+ORACLES["ext_batch_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+           + 0.0 AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id NOT IN (0, 1, 2)),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT query_id, rank, sim, vec_id FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
 # integer-exact mirror of lsh_bucket_int8: Rademacher +-1 planes over int8
 # codes, generated from the SAME operators.similarity.rademacher_plane the
 # Spark plan uses, so the two sides cannot drift.

@@ -241,6 +241,34 @@ def test_embedding_near_dups_bucket_cap_bounds_skew(spark):
         assert (i, i + 1) in got, f"identical pair ({i},{i+1}) lost by refinement"
 
 
+def test_partial_topk_matches_window_topk(spark):
+    """top_k_per_group_partial == top_k_per_group on the same ordering —
+    the two formulations differ only in shuffle shape."""
+    e = load_table(spark, SF_DIR, "events")
+    want = sorted(
+        (r["event_type"], r["event_id"])
+        for r in top_k_per_group(
+            e, ["event_type"], [F.col("value").desc(), F.col("event_id")], 5
+        ).select("event_type", "event_id").collect()
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.topk import (
+        top_k_per_group_partial,
+    )
+
+    got_df = top_k_per_group_partial(
+        e.select("event_type", "event_id", "value"),
+        ["event_type"],
+        F.struct((-F.col("value")).alias("nv"), F.col("event_id").alias("event_id")),
+        5,
+        salt_src=F.col("event_id"),
+    )
+    got = sorted(
+        (r["event_type"], r["event_id"])
+        for r in got_df.select("event_type", "event_id").collect()
+    )
+    assert got == want
+
+
 def test_checkpoint_modes_agree(spark, tmp_path):
     """lineage_cut's two modes (localCheckpoint vs reliable df.checkpoint
     into checkpoint_dir) must produce identical results for every iterative
