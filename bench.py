@@ -125,6 +125,8 @@ HEADLINE = [
     "ext_diversity_sample",
     "ext_shard_manifest",
     "ext_dataset_card",
+    # batch exact ANN serving via two-phase partial top-k
+    "ext_batch_cosine_topk",
 ]
 
 # BASELINE.md Fig. 10: reference preprocess ≈ 90 s per 100 MB raw JSON.

@@ -241,6 +241,31 @@ def test_embedding_near_dups_bucket_cap_bounds_skew(spark):
         assert (i, i + 1) in got, f"identical pair ({i},{i+1}) lost by refinement"
 
 
+def test_batch_cosine_matches_single_query_scorer(spark):
+    """cosine_topk_df's per-query results must equal the single-query exact
+    scorer id-for-id (the batch path changes shuffle shape, never
+    results)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin([0, 5])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(~F.col("vec_id").isin([0, 5]))
+    batch = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in similarity.cosine_topk_df(corpus, qs, k=5).collect()
+    }
+    for qid in (0, 5):
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        single = similarity.cosine_topk(corpus, qvec, k=5).collect()
+        for i, r in enumerate(single, start=1):
+            got_id, got_sim = batch[(qid, i)]
+            assert got_id == r["vec_id"], (qid, i)
+            assert abs(got_sim - r["sim"]) < 1e-12, (qid, i)
+
+
 def test_partial_topk_matches_window_topk(spark):
     """top_k_per_group_partial == top_k_per_group on the same ordering —
     the two formulations differ only in shuffle shape."""
