@@ -782,6 +782,68 @@ def diversity_sample(
     )
 
 
+def write_vector_index_int8(
+    embeddings: DataFrame,
+    path: str,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the SERVED ANN tier: full-precision vectors + their int8
+    codes, written partitioned by integer-LSH bucket — the layout where a
+    query reads ONLY its bucket's files (partition pruning IS the index).
+    ``repartition(bucket)`` first so each bucket directory is written by
+    the tasks owning it (no files-per-task × buckets explosion)."""
+    q = quantize_int8(embeddings, id_col, vec_col)
+    b = lsh_bucket_int8(q, num_planes=num_planes).select(id_col, "bucket")
+    out = embeddings.join(b, id_col)
+    out.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def ann_lsh_quantized_served(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 5,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Serve integer-LSH ANN from the on-disk bucket-partitioned index:
+    compute the query's bucket (same integer arithmetic as the writer),
+    scan ONLY that partition (Catalyst partition pruning — pinned by the
+    PartitionFilters plan test), rank by round-4 cosine. The served twin
+    of ext_ann_lsh_quantized, mirroring the BM25 write_index/read_index
+    pattern: bucketing cost is paid at index time, a query's cost is one
+    bucket's files."""
+    qb = lsh_bucket_int8(
+        quantize_int8(
+            query.select(
+                F.lit(0).alias(id_col), F.col(query_vec_col).alias(vec_col)
+            ),
+            id_col,
+            vec_col,
+        ),
+        num_planes=num_planes,
+    ).select(F.col("bucket").alias("qbucket"))
+    idx = spark.read.parquet(path)
+    return (
+        idx.join(F.broadcast(qb), idx["bucket"] == F.col("qbucket"))
+        .crossJoin(F.broadcast(query.select(query_vec_col)))
+        .select(
+            id_col,
+            (F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4) + F.lit(0.0)).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def zscore_dims(
     embeddings: DataFrame,
     id_col: str = "vec_id",

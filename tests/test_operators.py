@@ -241,6 +241,33 @@ def test_embedding_near_dups_bucket_cap_bounds_skew(spark):
         assert (i, i + 1) in got, f"identical pair ({i},{i+1}) lost by refinement"
 
 
+def test_served_vector_index_prunes_partitions_and_matches(spark, tmp_path):
+    """The on-disk ANN tier: write_vector_index_int8 partitions by integer
+    LSH bucket; a served query must (a) return exactly the in-session
+    ext_ann_lsh_quantized results and (b) reach the scan through DYNAMIC
+    PARTITION PRUNING on the bucket column - partition pruning IS the
+    index."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        QUERIES,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "vecidx")
+    similarity.write_vector_index_int8(emb.filter(F.col("vec_id") != 0), path)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    served = similarity.ann_lsh_quantized_served(spark, path, q, k=5)
+
+    got = [(r["vec_id"], r["sim"]) for r in served.collect()]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in QUERIES["ext_ann_lsh_quantized"](spark, SF_DIR).collect()
+    ]
+    assert got == want and len(got) == 5
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:1500]
+
+
 def test_batch_cosine_matches_single_query_scorer(spark):
     """cosine_topk_df's per-query results must equal the single-query exact
     scorer id-for-id (the batch path changes shuffle shape, never
