@@ -173,6 +173,31 @@ def bench_bm25_served(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def bench_ann_served(spark, sf_dir: str) -> float:
+    """The served ANN deployment shape beside q20_bm25_served: integer-LSH
+    query against the on-disk bucket-partitioned vector index (dynamic
+    partition pruning = one bucket's files per query). Index cached under
+    .bench/ per sf."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        ann_lsh_quantized_served,
+        write_vector_index_int8,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(BENCH_DIR, f"vecidx_{sf_tag}")
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_vector_index_int8(emb.filter(F.col("vec_id") != 0), path)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    force(ann_lsh_quantized_served(spark, path, q, k=5))  # warm
+    t0 = time.perf_counter()
+    force(ann_lsh_quantized_served(spark, path, q, k=5))
+    return round(time.perf_counter() - t0, 3)
+
+
 def bench_preprocess_scaled(spark, target_mb: int = 120, tag: str = "") -> dict:
     from job_search_engine_using_pyspark_solar_and_angular_spark.plans.preprocess import (
         preprocess,
@@ -275,6 +300,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     timings["q20_bm25_served"] = bench_bm25_served(spark, sf_dir)
+    timings["ann_lsh_served"] = bench_ann_served(spark, sf_dir)
     scaled = bench_preprocess_scaled(spark)
     # sustained-throughput point: the same end-to-end job at ~1 GB (8x the
     # reference's measured volume) — the figure that shows per-job fixed
