@@ -844,6 +844,69 @@ def ann_lsh_quantized_served(
     )
 
 
+def write_vector_index_ivf(
+    embeddings: DataFrame,
+    path: str,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The IVF twin of :func:`write_vector_index_int8`: vectors written
+    partitioned by their inverted-list id (``cent_id``), so a query scans
+    only its probed lists. Returns nothing; pair with
+    :func:`ivf_topk_served`. Centroids default to the deterministic
+    lowest-id codebook (pass a k-means codebook for production)."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned.repartition(F.col("cent_id")).write.mode("overwrite").partitionBy(
+        "cent_id"
+    ).parquet(path)
+
+
+def ivf_topk_served(
+    spark,
+    path: str,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Serve IVF ANN from the on-disk inverted lists: pick the ``nprobe``
+    centroids nearest the query (broadcast, in-plan), then read ONLY those
+    ``cent_id`` partitions (dynamic partition pruning), exact-score the
+    candidates. The float-tier twin of :func:`ann_lsh_quantized_served` —
+    rows-only in the correctness harness like the in-session IVF, recall
+    asserted in tests."""
+    probes = (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            "cent_id",
+            cosine(F.col("centroid"), F.col(query_vec_col)).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), F.col("cent_id"))
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    idx = spark.read.parquet(path)
+    return (
+        idx.join(F.broadcast(probes), "cent_id")
+        .crossJoin(F.broadcast(query.select(query_vec_col)))
+        .select(
+            id_col,
+            (F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4) + F.lit(0.0)).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def zscore_dims(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -268,6 +268,32 @@ def test_served_vector_index_prunes_partitions_and_matches(spark, tmp_path):
     assert "dynamicpruningexpression" in plan, plan[:1500]
 
 
+def test_served_ivf_index_matches_in_session(spark, tmp_path):
+    """IVF served tier: on-disk inverted lists (partitioned by cent_id)
+    queried with nprobe probes must return exactly the in-session
+    ivf_topk_df results, and the scan must go through dynamic partition
+    pruning."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cents = similarity.ivf_centroids(corpus, n_centroids=16)
+    path = str(tmp_path / "ivfidx")
+    similarity.write_vector_index_ivf(corpus, path, centroids=cents)
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    served = similarity.ivf_topk_served(spark, path, q, cents, k=5, nprobe=4)
+    got = [(r["vec_id"], r["sim"]) for r in served.collect()]
+    want = [
+        (r["vec_id"], round(r["sim"], 4))
+        for r in similarity.ivf_topk_df(
+            corpus, q, k=5, nprobe=4, centroids=cents
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want] and len(got) == 5
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:1500]
+
+
 def test_batch_cosine_matches_single_query_scorer(spark):
     """cosine_topk_df's per-query results must equal the single-query exact
     scorer id-for-id (the batch path changes shuffle shape, never
