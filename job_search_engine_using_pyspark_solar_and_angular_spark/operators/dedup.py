@@ -385,11 +385,14 @@ def near_dedup_survivors(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Canonical near-dedup: drop every clustered document except its
     cluster's minimum id. Documents in no candidate pair survive untouched —
-    one left_anti join against the non-canonical cluster members."""
-    removed = connected_components(pairs).filter(
+    one left_anti join against the non-canonical cluster members.
+    ``checkpoint_dir``: reliable lineage cuts for the closure on clusters
+    (same contract as connected_components)."""
+    removed = connected_components(pairs, checkpoint_dir=checkpoint_dir).filter(
         F.col("node") != F.col("cluster_id")
     )
     return df.join(
