@@ -1593,6 +1593,53 @@ def ext_ann_quantized(spark, sf_dir):
     return similarity.quantized_rerank_topk(corpus, q, k=5, m=50)
 
 
+@query("ext_ann_lsh_multiprobe")
+def ext_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe integer LSH (Lv et al.): beside the query's own bucket,
+    probe every bucket at Hamming distance 1 (one sign bit flipped) —
+    recall recovered without growing the index, the standard trade for
+    high-recall LSH serving. The probe set is pure integer arithmetic
+    (XOR of the quantized bucket), so unlike classic float multi-probe
+    this tier stays EXACT-oracle-checkable; ranking is round-4 cosine on
+    full precision with id tie-breaks."""
+    num_planes = 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qrow = emb.filter(F.col("vec_id") == 0)
+    cb = similarity.lsh_bucket_int8(
+        similarity.quantize_int8(corpus).join(corpus, "vec_id"),
+        num_planes=num_planes,
+    )
+    qb = similarity.lsh_bucket_int8(
+        similarity.quantize_int8(qrow), num_planes=num_planes
+    ).select(
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(num_planes)
+                ],
+            )
+        ).alias("qbucket")
+    )
+    qv = qrow.select(F.col("embedding").alias("qv"))
+    return (
+        cb.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "embedding")
+        .distinct()
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 4) + F.lit(0.0)).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
 @query("ext_batch_cosine_topk")
 def ext_batch_cosine_topk(spark, sf_dir):
     """Batch exact ANN serving: THREE query vectors scored against the

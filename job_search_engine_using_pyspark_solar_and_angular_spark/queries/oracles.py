@@ -1599,6 +1599,41 @@ WHERE b.vec_id <> 0 AND b.bucket = q.qbucket
 ORDER BY sim DESC, b.vec_id LIMIT 5
 """
 
+# multi-probe: query bucket plus its 4 Hamming-1 neighbors (XOR of each bit)
+ORACLES["ext_ann_lsh_multiprobe"] = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings),
+codes AS (
+  SELECT vec_id, embedding,
+    CASE WHEN mx = mn THEN list_transform(embedding, x -> 0)
+         ELSE list_transform(embedding, x ->
+           CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS INT) - 128)
+    END AS c
+  FROM s),
+buck AS (
+  SELECT vec_id, embedding,
+       {{_RADEMACHER_BITS}}
+       AS bucket
+  FROM codes),
+probes AS (
+  SELECT DISTINCT xor(b.bucket, f.flip) AS qbucket
+  FROM (SELECT bucket FROM buck WHERE vec_id = 0) b
+  CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS flip) f),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM buck WHERE vec_id = 0)
+SELECT b.vec_id,
+       ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv), 4) + 0.0 AS sim
+FROM buck b JOIN probes p ON b.bucket = p.qbucket, q
+WHERE b.vec_id <> 0
+ORDER BY sim DESC, b.vec_id LIMIT 5
+"""
+ORACLES["ext_ann_lsh_multiprobe"] = ORACLES["ext_ann_lsh_multiprobe"].replace(
+    "{_RADEMACHER_BITS}", _RADEMACHER_BITS
+)
+
+
 ORACLES["ext_heavy_hitters"] = f"""
 WITH g AS (SELECT unnest(generate_series(0, 3)) AS i),
 cms AS (
