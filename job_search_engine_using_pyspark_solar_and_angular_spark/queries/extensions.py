@@ -1640,6 +1640,33 @@ def ext_ann_lsh_multiprobe(spark, sf_dir):
     )
 
 
+@query("ext_ann_tier_recall")
+def ext_ann_tier_recall(spark, sf_dir):
+    """Recall@5 of every EXACT-hashable ANN tier against the exact scorer,
+    side by side — the evaluation table an index-tuning pass reads:
+    single-bucket integer LSH (cheapest, lowest recall), Hamming-1
+    multi-probe (recall recovered at ~5x probe cost), and int8
+    coarse->rerank (highest recall, full coarse scan). Composes the
+    already-verified tier queries; the oracle composes their SQL."""
+    exact = QUERIES["x2_cosine_topk"](spark, sf_dir).select("vec_id")
+    tiers = {
+        "lsh_int8": "ext_ann_lsh_quantized",
+        "lsh_multiprobe": "ext_ann_lsh_multiprobe",
+        "quantized_rerank": "ext_ann_quantized",
+    }
+    out = None
+    for tier, qname in tiers.items():
+        ap = QUERIES[qname](spark, sf_dir).select("vec_id")
+        row = ap.join(exact, "vec_id").agg(
+            F.lit(tier).alias("tier"),
+            F.lit(5).cast("long").alias("k"),
+            F.count("*").alias("n_hit"),
+            F.round(F.count("*").cast("double") / 5.0, 4).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tier")
+
+
 @query("ext_batch_cosine_topk")
 def ext_batch_cosine_topk(spark, sf_dir):
     """Batch exact ANN serving: THREE query vectors scored against the

@@ -3704,3 +3704,26 @@ ORACLES["ext_sql_recursive_bfs"] = (
     "SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS dist "
     "FROM reach GROUP BY node ORDER BY doc_id"
 )
+
+# composed at module end so every referenced tier oracle already exists
+def _tier_recall_leg(tier: str, tier_sql: str, exact_sql: str) -> str:
+    return (
+        f"SELECT '{tier}' AS tier, CAST(5 AS BIGINT) AS k, "
+        "CAST(COUNT(*) AS BIGINT) AS n_hit, "
+        "ROUND(CAST(COUNT(*) AS DOUBLE) / 5.0, 4) AS recall "
+        f"FROM ({tier_sql}) a JOIN ({exact_sql}) x USING (vec_id)"
+    )
+
+
+ORACLES["ext_ann_tier_recall"] = (
+    " UNION ALL ".join(
+        _tier_recall_leg(t, ORACLES[q], ORACLES["x2_cosine_topk"])
+        for t, q in (
+            ("lsh_int8", "ext_ann_lsh_quantized"),
+            ("lsh_multiprobe", "ext_ann_lsh_multiprobe"),
+            ("quantized_rerank", "ext_ann_quantized"),
+        )
+    )
+    + " ORDER BY tier"
+)
+
