@@ -81,6 +81,55 @@ def search_user(
     )
 
 
+def search_vector(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe: bool = True,
+    num_planes: int = 4,
+) -> DataFrame:
+    """Vector search against the on-disk bucket-partitioned int8 LSH index
+    (``similarity.write_vector_index_int8``) — the vector twin of the BM25
+    request path: one served query = the probed buckets' files only
+    (dynamic partition pruning). ``multiprobe`` widens the probe set to
+    the Hamming-1 buckets (recall ladder measured by
+    ext_ann_tier_recall). Returns (vec_id, sim) top-k; wrap with
+    :func:`to_envelope` for the REST shape."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vectors import cosine
+    from ..operators.similarity import lsh_bucket_int8, quantize_int8
+
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in query_vec])], "vec_id long, embedding array<double>"
+    )
+    qb = lsh_bucket_int8(quantize_int8(q), num_planes=num_planes)
+    probes = F.array(F.col("bucket"))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(num_planes)],
+        )
+    probe_df = qb.select(F.explode(probes).alias("qbucket"))
+    qv = q.select(F.col("embedding").alias("qv"))
+    idx = spark.read.parquet(index_path)
+    return (
+        idx.join(F.broadcast(probe_df), idx["bucket"] == F.col("qbucket"))
+        .select("vec_id", "embedding")
+        .distinct()
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (F.round(cosine(F.col("embedding"), F.col("qv")), 4) + F.lit(0.0)).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def to_envelope(df: DataFrame, k: int | None = None) -> dict[str, Any]:
     """Collect <=k rows into the reference's REST envelope shape
     (``api/Handler.java:42-64``, ``constants/APIConstants.java:5-17``)."""

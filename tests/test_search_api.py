@@ -297,3 +297,38 @@ def test_search_hybrid_contains_both_modalities(spark):
     both_top3 = [r["doc_id"] for r in out if (r["rb"] or 99) <= 3 and (r["rv"] or 99) <= 3]
     fused_ids = {r["doc_id"] for r in out}
     assert all(d in fused_ids for d in both_top3)
+
+def test_search_vector_served_envelope(spark, tmp_path):
+    """Vector search request path: on-disk LSH index -> multiprobe query ->
+    top-k -> REST envelope; multiprobe results must equal the in-session
+    ext_ann_lsh_multiprobe registry query (same probes, same ranking)."""
+    import pyspark.sql.functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        write_vector_index_int8,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        QUERIES,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.api import (
+        search_vector,
+        to_envelope,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "vecidx")
+    write_vector_index_int8(emb.filter(F.col("vec_id") != 0), path)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    res = search_vector(spark, path, qvec, k=5)
+    got = [(r["vec_id"], r["sim"]) for r in res.collect()]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in QUERIES["ext_ann_lsh_multiprobe"](spark, SF_DIR).collect()
+    ]
+    assert got == want and len(got) == 5
+
+    env = to_envelope(res, k=5)
+    assert env["status_code"] == 200 and env["count"] == 5
+    assert {"vec_id", "sim"} <= set(env["data"][0])
