@@ -331,6 +331,52 @@ def related_docs(
     )
 
 
+def search_hybrid_served(
+    spark: SparkSession,
+    index_base: str,
+    vector_index_path: str,
+    query: str,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 20,
+    table: str = "jse_postings",
+    num_planes: int = 4,
+) -> DataFrame:
+    """The fully-SERVED hybrid front door: BM25 from the on-disk bucketed
+    postings index (``search.index.read_index``) fused with multiprobe
+    vector search from the on-disk LSH index (``search_vector``) by the
+    same RRF arithmetic as :func:`search_hybrid`. Per-request cost is
+    posting-list reads + probed-bucket files — both index builds are paid
+    at index time; no corpus scan serves a request."""
+    from pyspark.sql import Window
+
+    from .bm25 import bm25_search
+    from .index import read_index
+
+    idx = read_index(spark, index_base, table=table)
+    bm = bm25_search(spark, idx, tokenize_query(query), k=pool)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bmr = bm.select("doc_id", F.row_number().over(wb).cast("long").alias("rb"))
+
+    vec = search_vector(
+        spark, vector_index_path, query_vec, k=pool, num_planes=num_planes
+    )
+    wv = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    vr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).cast("long").alias("rv"),
+    )
+    rrf = F.coalesce(1.0 / (F.lit(60) + F.col("rb")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(60) + F.col("rv")), F.lit(0.0)
+    )
+    return (
+        bmr.join(vr, "doc_id", "full_outer")
+        .select("doc_id", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 def search_hybrid(
     spark: SparkSession,
     index: SearchIndex,

@@ -332,3 +332,64 @@ def test_search_vector_served_envelope(spark, tmp_path):
     env = to_envelope(res, k=5)
     assert env["status_code"] == 200 and env["count"] == 5
     assert {"vec_id", "sim"} <= set(env["data"][0])
+
+def test_search_hybrid_served_from_both_indexes(spark, tmp_path):
+    """The fully-served hybrid: BM25 from the on-disk postings index fused
+    with multiprobe vector search from the on-disk LSH index. RRF scores
+    must equal a manual recomputation from the two served rankings, and
+    the result must be non-trivial on both legs."""
+    import pyspark.sql.functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        write_vector_index_int8,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.api import (
+        search_hybrid_served,
+        search_vector,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.bm25 import (
+        bm25_search,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+        build_index,
+        read_index,
+        write_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = str(tmp_path / "postings")
+    write_index(build_index(docs, cache=True), base, table="jse_hybrid_test")
+    vpath = str(tmp_path / "vecidx")
+    write_vector_index_int8(emb.filter(F.col("vec_id") != 0), vpath)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    fused = search_hybrid_served(
+        spark, base, vpath, "spark join", qvec, k=10, pool=20,
+        table="jse_hybrid_test",
+    ).collect()
+    assert len(fused) == 10
+
+    idx = read_index(spark, base, table="jse_hybrid_test")
+    bm_rank = {
+        r["doc_id"]: i
+        for i, r in enumerate(
+            bm25_search(spark, idx, ["spark", "join"], k=20).collect(), start=1
+        )
+    }
+    v_rank = {
+        r["vec_id"]: i
+        for i, r in enumerate(
+            search_vector(spark, vpath, qvec, k=20).collect(), start=1
+        )
+    }
+    for r in fused:
+        want = 0.0
+        if r["doc_id"] in bm_rank:
+            want += 1.0 / (60 + bm_rank[r["doc_id"]])
+        if r["doc_id"] in v_rank:
+            want += 1.0 / (60 + v_rank[r["doc_id"]])
+        assert abs(r["rrf"] - round(want, 6)) < 1e-9, r
+    assert any(d in bm_rank for d in (r["doc_id"] for r in fused))
+    assert any(d in v_rank for d in (r["doc_id"] for r in fused))
