@@ -331,6 +331,62 @@ def related_docs(
     )
 
 
+def correct_query_terms(
+    spark: SparkSession,
+    index,
+    terms: list[str],
+    max_dist: int = 1,
+) -> list[str]:
+    """Did-you-mean: correct each query term against the INDEX VOCABULARY
+    (term_stats) via delete-key blocked fuzzy matching — Solr's spellcheck
+    component re-expressed relationally. A term found in the vocabulary
+    passes through; otherwise the candidate with (lowest edit distance,
+    highest document frequency, lexicographic) wins; terms with no
+    candidate within ``max_dist`` pass through unchanged.
+
+    The fuzzy block join runs against term_stats (vocabulary-grain — tiny
+    relative to the corpus); only the ≤len(terms) correction rows are
+    collected, never postings."""
+    from ..operators.joins import fuzzy_join
+
+    qdf = spark.createDataFrame([(t,) for t in terms], "qterm string")
+    vocab = index.term_stats.select("token", "df")
+    cand = fuzzy_join(qdf, vocab, "qterm", "token", max_dist=max_dist)
+    scored = (
+        cand.join(vocab, "token")
+        .groupBy("qterm")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("dist"),
+                    (-F.col("df")).alias("ndf"),
+                    F.col("token").alias("token"),
+                )
+            ).alias("b")
+        )
+        .select("qterm", F.col("b.token").alias("corrected"))
+    )
+    fixes = {r["qterm"]: r["corrected"] for r in scored.collect()}
+    return [fixes.get(t, t) for t in terms]
+
+
+def search_keyword_corrected(
+    spark: SparkSession,
+    index,
+    query: str,
+    k: int = 10,
+    max_dist: int = 1,
+):
+    """BM25 search with did-you-mean correction: tokenize, correct each
+    term against the index vocabulary, then the ordinary ranked retrieval.
+    Returns (results_df, corrected_terms)."""
+    from .bm25 import bm25_search
+
+    terms = tokenize_query(query)
+    corrected = correct_query_terms(spark, index, terms, max_dist=max_dist)
+    return bm25_search(spark, index, corrected, k=k), corrected
+
+
 def search_hybrid_served(
     spark: SparkSession,
     index_base: str,

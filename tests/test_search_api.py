@@ -393,3 +393,38 @@ def test_search_hybrid_served_from_both_indexes(spark, tmp_path):
         assert abs(r["rrf"] - round(want, 6)) < 1e-9, r
     assert any(d in bm_rank for d in (r["doc_id"] for r in fused))
     assert any(d in v_rank for d in (r["doc_id"] for r in fused))
+
+def test_search_with_query_correction(spark):
+    """Did-you-mean: a misspelled query ('spak jion') corrects against the
+    index vocabulary and returns EXACTLY the results of the clean query;
+    in-vocabulary terms pass through; hopeless terms pass through
+    unchanged."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.api import (
+        search_keyword_corrected,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.bm25 import (
+        bm25_search,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+        build_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = build_index(docs, cache=True)
+
+    # 'spak' is one insertion from 'spark'; 'jion' is a TRANSPOSITION
+    # (lev 2) from 'join' -> exercises the depth-2 delete-set path
+    res, corrected = search_keyword_corrected(
+        spark, idx, "spak jion", k=10, max_dist=2
+    )
+    assert corrected == ["spark", "join"]
+    got = [(r["doc_id"], r["score"]) for r in res.collect()]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_search(spark, idx, ["spark", "join"], k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    _, passthru = search_keyword_corrected(spark, idx, "spark zzzzqqq", k=5)
+    assert passthru[0] == "spark" and passthru[1] == "zzzzqqq"
