@@ -1640,6 +1640,25 @@ def ext_ann_lsh_multiprobe(spark, sf_dir):
     )
 
 
+@query("ext_search_facets")
+def ext_search_facets(spark, sf_dir):
+    """Solr-style facet counts (R6, docValues faceting re-expressed): for
+    the documents matching ANY of the query terms, the top value counts
+    per facet field (lang, source) — grouped counts over a pruned columnar
+    scan of the matched set."""
+    from ..search.api import search_facets
+    from ..search.index import build_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_facets(
+        build_index(docs, cache=True),
+        docs,
+        ["spark", "join"],
+        ["lang", "source"],
+        top=5,
+    )
+
+
 @query("ext_ann_tier_recall")
 def ext_ann_tier_recall(spark, sf_dir):
     """Recall@5 of every EXACT-hashable ANN tier against the exact scorer,

@@ -3727,3 +3727,20 @@ ORACLES["ext_ann_tier_recall"] = (
     + " ORDER BY tier"
 )
 
+ORACLES["ext_search_facets"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE token IN ('spark', 'join')),
+matched AS (SELECT d.* FROM documents d JOIN hits USING (doc_id)),
+counts AS (
+  SELECT 'lang' AS facet, CAST(lang AS VARCHAR) AS value, COUNT(*) AS n
+  FROM matched GROUP BY value
+  UNION ALL
+  SELECT 'source', CAST(source AS VARCHAR), COUNT(*) FROM matched GROUP BY 2),
+ranked AS (
+  SELECT facet, value, CAST(n AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY facet ORDER BY n DESC, value) AS rn
+  FROM counts)
+SELECT facet, value, n, CAST(rn AS BIGINT) AS rn FROM ranked
+WHERE rn <= 5 ORDER BY facet, rn
+"""
+

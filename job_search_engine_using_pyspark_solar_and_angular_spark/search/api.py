@@ -331,6 +331,45 @@ def related_docs(
     )
 
 
+def search_facets(
+    index,
+    docs: DataFrame,
+    terms: list[str],
+    facet_cols: list[str],
+    top: int = 5,
+) -> DataFrame:
+    """Facet counts over the MATCHING document set (Solr's facet component,
+    reference R6 — docValues faceting re-expressed as grouped counts over
+    a columnar scan): documents containing ANY query term (the same OR
+    match semantics as ranked retrieval), then per-facet-column value
+    counts, top-``top`` per facet by (count desc, value). Matching is a
+    semi join of the docs table against the query's postings — the facet
+    aggregation reads only the facet columns (column pruning) over the
+    matched set, never scores anything."""
+    from pyspark.sql import Window
+
+    hits = (
+        index.postings.filter(F.col("token").isin(terms))
+        .select("doc_id")
+        .distinct()
+    )
+    matched = docs.join(hits, "doc_id", "left_semi")
+    out = None
+    for c in facet_cols:
+        f = matched.groupBy(F.col(c).cast("string").alias("value")).agg(
+            F.count("*").alias("n")
+        )
+        f = f.select(F.lit(c).alias("facet"), "value", "n")
+        out = f if out is None else out.unionByName(f)
+    w = Window.partitionBy("facet").orderBy(F.col("n").desc(), "value")
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top)
+        .select("facet", "value", "n", F.col("rn").cast("long").alias("rn"))
+        .orderBy("facet", "rn")
+    )
+
+
 def correct_query_terms(
     spark: SparkSession,
     index,
