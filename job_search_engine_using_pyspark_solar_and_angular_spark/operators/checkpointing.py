@@ -15,6 +15,17 @@ Two modes:
 Both modes are eager (materialize now), so the convergence-check aggregates
 that follow read materialized data either way and per-round results are
 identical — pinned by tests/test_operators.py::test_checkpoint_modes_agree.
+
+Retention cost of reliable mode: each cut leaves one materialized copy of
+that round's output under ``checkpoint_dir``, and Spark does NOT delete
+superseded checkpoints by default (``spark.cleaner.referenceTracking.
+cleanCheckpoints`` defaults to false) — a long iterative job accumulates
+every round until the dir is cleaned. Mitigations, in preference order:
+(1) set ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at session
+build so GC of the superseded DataFrame reclaims its checkpoint (the repo's
+session builder does this, pkg/session.py); (2) point ``checkpoint_dir`` at
+a per-job scratch path and delete it after the job; (3) for bounded-round
+algorithms, budget dir size ≈ rounds × round-output-size up front.
 """
 
 from __future__ import annotations

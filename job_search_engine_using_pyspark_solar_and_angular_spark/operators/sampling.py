@@ -187,7 +187,17 @@ def kfold_assign(
     The fold is the full 60-bit md5 hash mod ``k`` directly — NOT the
     10000-bucket value mod k, which is biased whenever k does not divide
     10000 (k=3 would give 3334/3333/3333 per 10k buckets). The residual
-    bias of 2^60 mod k is < 2^-47 for any practical k — negligible."""
+    bias of 2^60 mod k is < 2^-47 for any practical k — negligible.
+
+    .. warning:: **Assignment-version break (v2).** This derivation replaced
+       the original ``(_bucket % k)`` one; the two disagree on most keys, so
+       any split persisted under the old scheme must NOT be mixed with folds
+       from this one — re-deriving on upgraded code moves keys between folds
+       and silently leaks eval rows into train. Re-materialize persisted
+       splits once after upgrading, or pin the old folds by keeping the
+       persisted ``fold`` column instead of recomputing. Pass a project-
+       specific ``salt`` (e.g. ``"v2"``) to make the folding generation
+       explicit in your own pipelines."""
     h = md5_long(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     return df.withColumn("fold", (h % F.lit(k)).cast("long"))
 

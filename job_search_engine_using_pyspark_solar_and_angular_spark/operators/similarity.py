@@ -498,7 +498,13 @@ def lsh_bucket_int8(
     Scale shape: pure per-row column math (zip_with + aggregate HOFs), no
     shuffle, no Python; the int8 codes are the 4x-compressed tier a 100 TB
     vector index keeps hot, so bucketing reads 1/4 the bytes of the float
-    path."""
+    path.
+
+    ``dim`` MUST equal the code length: ``zip_with`` against a plane of a
+    different length null-pads, the aggregate sum goes NULL, and every
+    vector would silently land in bucket 0 (a degenerate one-bucket index
+    with no pruning). Guarded: any row whose ``size(codes) != dim`` raises
+    at execution time instead of null-poisoning the dot product."""
     bits = []
     for j in range(num_planes):
         plane = F.array(
@@ -513,7 +519,18 @@ def lsh_bucket_int8(
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    return quantized.withColumn(bucket_col, bucket.cast("int"))
+    guarded = F.when(
+        F.size(F.col(codes_col)) == F.lit(dim), bucket.cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh_bucket_int8: codes length "),
+                F.size(F.col(codes_col)).cast("string"),
+                F.lit(f" != plane dim {dim}; pass dim= matching the embedding"),
+            )
+        ).cast("int")
+    )
+    return quantized.withColumn(bucket_col, guarded)
 
 
 def quantize_int8(
@@ -788,14 +805,17 @@ def write_vector_index_int8(
     num_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> None:
     """Materialize the SERVED ANN tier: full-precision vectors + their int8
     codes, written partitioned by integer-LSH bucket — the layout where a
     query reads ONLY its bucket's files (partition pruning IS the index).
     ``repartition(bucket)`` first so each bucket directory is written by
-    the tasks owning it (no files-per-task × buckets explosion)."""
+    the tasks owning it (no files-per-task × buckets explosion).
+    ``dim`` must match the embedding length (enforced per-row by
+    :func:`lsh_bucket_int8`'s size guard)."""
     q = quantize_int8(embeddings, id_col, vec_col)
-    b = lsh_bucket_int8(q, num_planes=num_planes).select(id_col, "bucket")
+    b = lsh_bucket_int8(q, num_planes=num_planes, dim=dim).select(id_col, "bucket")
     out = embeddings.join(b, id_col)
     out.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
         "bucket"
@@ -811,6 +831,7 @@ def ann_lsh_quantized_served(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
+    dim: int = 64,
 ) -> DataFrame:
     """Serve integer-LSH ANN from the on-disk bucket-partitioned index:
     compute the query's bucket (same integer arithmetic as the writer),
@@ -828,6 +849,7 @@ def ann_lsh_quantized_served(
             vec_col,
         ),
         num_planes=num_planes,
+        dim=dim,
     ).select(F.col("bucket").alias("qbucket"))
     idx = spark.read.parquet(path)
     return (

@@ -8,6 +8,8 @@ replacement for the reference's Solr ``rows=k`` retrievals
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -93,9 +95,28 @@ def top_k_per_group_partial(
     )
 
 
-def salt_key(df: DataFrame, key_col: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
+def salt_key(
+    df: DataFrame,
+    key_col: str,
+    buckets: int,
+    salt_col: str = "__salt",
+    salt_src: Optional[Column] = None,
+) -> DataFrame:
     """Add a salt column for skew mitigation: heavy keys spread across
     ``buckets`` sub-keys. Pair with a two-phase aggregation (agg on
     (key, salt) then on key). AQE's skew-join handles most cases; this is the
-    explicit fallback for known-hot keys."""
-    return df.withColumn(salt_col, F.floor(F.rand(seed=42) * buckets).cast("int"))
+    explicit fallback for known-hot keys.
+
+    The salt is CONTENT-DERIVED (``xxhash64`` of ``salt_src``, defaulting to
+    the whole row), never ``F.rand(seed)``: a seeded rand is per-partition
+    seeded, so values change with layout/repartitioning, violating the repo's
+    layout-stability discipline. Hashing row content spreads a hot key's
+    distinct rows uniformly while staying bit-identical across any physical
+    layout (repartition-invariance pinned in tests). Exact duplicate rows
+    land in the same bucket — harmless for two-phase aggregation, which
+    merges them anyway."""
+    if salt_src is None:
+        salt_src = F.struct(*[F.col(c) for c in df.columns])
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(salt_src), F.lit(buckets)).cast("int")
+    )

@@ -88,6 +88,7 @@ def search_vector(
     k: int = 10,
     multiprobe: bool = True,
     num_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Vector search against the on-disk bucket-partitioned int8 LSH index
     (``similarity.write_vector_index_int8``) — the vector twin of the BM25
@@ -95,16 +96,22 @@ def search_vector(
     (dynamic partition pruning). ``multiprobe`` widens the probe set to
     the Hamming-1 buckets (recall ladder measured by
     ext_ann_tier_recall). Returns (vec_id, sim) top-k; wrap with
-    :func:`to_envelope` for the REST shape."""
+    :func:`to_envelope` for the REST shape.
+
+    ``dim`` defaults to ``len(query_vec)`` and must match the dim the index
+    was written with — a mismatched index raises via lsh_bucket_int8's
+    per-row size guard rather than silently probing the wrong bucket."""
     from pyspark.sql import functions as F
 
     from ..functions.vectors import cosine
     from ..operators.similarity import lsh_bucket_int8, quantize_int8
 
+    if dim is None:
+        dim = len(query_vec)
     q = spark.createDataFrame(
         [(0, [float(x) for x in query_vec])], "vec_id long, embedding array<double>"
     )
-    qb = lsh_bucket_int8(quantize_int8(q), num_planes=num_planes)
+    qb = lsh_bucket_int8(quantize_int8(q), num_planes=num_planes, dim=dim)
     probes = F.array(F.col("bucket"))
     if multiprobe:
         probes = F.array(

@@ -50,5 +50,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("JSE_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Reliable df.checkpoint() (operators/checkpointing.lineage_cut) leaves
+        # one materialized copy per iteration; default Spark never deletes
+        # them. Let the ContextCleaner reclaim superseded checkpoints when
+        # their DataFrame is GC'd so long iterative jobs don't fill the dir.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     return builder.getOrCreate()

@@ -341,31 +341,39 @@ def dedup_gate_batch(
     nb = minhash_bucket_table(
         batch, id_col, text_col, shingle_n, num_perm, bands
     ).persist()
-    existing = read_state(spark, state_path)
-    merged = (
-        nb if existing is None else existing.unionByName(nb)
-    ).distinct().persist()
-    new_sides = nb.select(F.col("doc_id").alias("new_id"), "band", "band_key")
-    cand = (
-        new_sides.join(
-            merged.select(F.col("doc_id").alias("other_id"), "band", "band_key"),
-            ["band", "band_key"],
+    # try/finally: a crash between the two commit_state flips is the
+    # documented retry window — without the finally, Structured Streaming's
+    # automatic retries would re-persist on every attempt and leak cached
+    # blocks from each failed one.
+    merged = None
+    try:
+        existing = read_state(spark, state_path)
+        merged = (
+            nb if existing is None else existing.unionByName(nb)
+        ).distinct().persist()
+        new_sides = nb.select(F.col("doc_id").alias("new_id"), "band", "band_key")
+        cand = (
+            new_sides.join(
+                merged.select(F.col("doc_id").alias("other_id"), "band", "band_key"),
+                ["band", "band_key"],
+            )
+            .filter(F.col("new_id") != F.col("other_id"))
+            .select(
+                F.least("new_id", "other_id").alias("doc_a"),
+                F.greatest("new_id", "other_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .filter(F.col("new_id") != F.col("other_id"))
-        .select(
-            F.least("new_id", "other_id").alias("doc_a"),
-            F.greatest("new_id", "other_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    prev_pairs = read_state(spark, pairs_path)
-    all_pairs = (
-        cand if prev_pairs is None else prev_pairs.unionByName(cand)
-    ).distinct()
-    commit_state(all_pairs, pairs_path)
-    commit_state(merged, state_path)
-    nb.unpersist()
-    merged.unpersist()
+        prev_pairs = read_state(spark, pairs_path)
+        all_pairs = (
+            cand if prev_pairs is None else prev_pairs.unionByName(cand)
+        ).distinct()
+        commit_state(all_pairs, pairs_path)
+        commit_state(merged, state_path)
+    finally:
+        nb.unpersist()
+        if merged is not None:
+            merged.unpersist()
 
 
 def dedup_gate_sink(

@@ -421,6 +421,29 @@ def test_lsh_bucket_int8_matches_python_reference(spark):
     assert got[0] == got[1]
 
 
+def test_lsh_bucket_int8_raises_on_dim_mismatch(spark):
+    """Dim guard (r3 advice, medium): a codes array shorter/longer than the
+    plane dim must RAISE, not silently null-pad the zip_with dot product and
+    bucket every vector to 0 (a degenerate one-bucket index). Also pins that
+    a correct non-default dim works end to end."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        lsh_bucket_int8,
+        quantize_int8,
+    )
+
+    df32 = spark.createDataFrame(
+        [(0, [float(d % 7) for d in range(32)])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="lsh_bucket_int8"):
+        lsh_bucket_int8(quantize_int8(df32), num_planes=4).collect()  # dim=64 default
+    ok = lsh_bucket_int8(quantize_int8(df32), num_planes=4, dim=32).collect()
+    assert len(ok) == 1 and 0 <= ok[0]["bucket"] < 16
+
+
 def test_ext_embedding_near_dups_nonempty_on_fixture(spark):
     """The registry entry must return a nonempty pair set on the synthetic
     fixture (r02 regression: threshold 0.9 returned 0 rows at the driver's

@@ -103,6 +103,34 @@ def test_salted_two_phase_agg_matches_direct(spark):
     assert a == b
 
 
+def test_salt_key_layout_stable_and_spreading(spark):
+    """salt_key is content-derived (xxhash64 of the row), so (1) the salt a
+    row gets is invariant under repartitioning — the r3 F.rand(seed) version
+    was per-partition seeded and violated this — and (2) a hot key's rows
+    actually spread across multiple buckets (hashing only the key would put
+    every hot-key row in ONE bucket, defeating the salt)."""
+    e = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    base = {
+        r["event_id"]: r["__salt"]
+        for r in salt_key(e, "user_id", buckets=8).collect()
+    }
+    relaid = {
+        r["event_id"]: r["__salt"]
+        for r in salt_key(
+            e.repartition(7, "value"), "user_id", buckets=8
+        ).collect()
+    }
+    assert base == relaid
+    hot = e.groupBy("user_id").count().orderBy(F.col("count").desc()).first()
+    hot_salts = {
+        r["__salt"]
+        for r in salt_key(e, "user_id", buckets=8)
+        .filter(F.col("user_id") == hot["user_id"])
+        .collect()
+    }
+    assert len(hot_salts) > 1
+
+
 def test_load_evolving_schema_union(spark, tmp_path):
     """Files written under an evolving schema read as one table: old rows
     null-fill late-added columns; predicates on the new column still prune
