@@ -43,7 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     own query surface (SURVEY.md §2.12);
 #   * slot 26: ext_preprocess_pipeline — the reference's entire batch job
 #     end-to-end (array outputs JSON-stringified for the hash canonicalizer);
-#   * slots 27-34: temporal joins, window analytics, set ops, cube;
+#   * slots 27-33 (rotated r4): as-of join + except stay; the other five
+#     twice-driver-certified slots (range_join, sessionize, window_analytics,
+#     cube, intersect — all still exact-oracle-green locally every run in
+#     tests/test_oracle_parity.py) rotated out for five never-driver-certified
+#     exact-oracle queries: the bucket-pruned int8-LSH ANN pipeline, grouped
+#     batch cosine top-k (two-phase salted partial top-k), TPC-H Q1, SCD2
+#     dimension build, and the hybrid BM25+vector RRF front door;
 #   * slots 34-36: multimodal Arrow contract + NLP (POS tag, spell correct);
 #   * slots 37-39: the dedup ladder's verification rungs — MinHash banded
 #     candidates, SimHash pigeonhole near-dups, exact n-gram Jaccard;
@@ -62,11 +68,11 @@ _PRIORITY = [
     "sql_frontdoor",
     "ext_preprocess_pipeline",
     "ext_asof_join",
-    "ext_range_join",
-    "ext_sessionize",
-    "ext_window_analytics",
-    "ext_cube",
-    "ext_intersect",
+    "ext_ann_lsh_quantized",
+    "ext_batch_cosine_topk",
+    "ext_tpch_q1",
+    "ext_scd2",
+    "ext_hybrid_rrf",
     "ext_except",
     "ext_multimodal_features",
     "ext_pos_tag",
