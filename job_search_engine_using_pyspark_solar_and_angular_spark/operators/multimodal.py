@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
-with typed metadata, processed through Arrow-batched ``mapInPandas``.
+with typed metadata, processed through Arrow-batched ``mapInPandas``
+(reference media-enrichment hook: ``Main/SolrIndexer.java:115-129``).
 
-The decode step is a STUB (the container has no image/audio libraries): it
-extracts deterministic pseudo-features (byte length, sha256 prefix, a fake
-"dimension" derived from the header bytes) so the Spark-side contract —
-schema, batch shape, partitioning, UDF signature — is real and tested. Swap
-``_decode_stub`` for PIL/librosa/ffmpeg calls in production; nothing else
-changes.
+The decode step is REAL since r4: dependency-free byte-level parsers for the
+uncompressed classics (PPM/P6, 24-bit BMP, PCM16 WAV — see
+``functions/codecs.py``) run inside the Arrow batches, so width/height and
+channel means come from actual raster bytes and sample stats from actual PCM
+frames. Compressed formats (JPEG/PNG/MP3) still need a codec lib the
+container doesn't have; :func:`extract_features` degrades them (and any
+unrecognized payload) to byte-level stats, :func:`decode_strict` raises.
+Swapping in PIL/ffmpeg on a real cluster changes only the per-payload decode
+call — schema, batch shape, partitioning are identical.
 
 Scale notes: binary payloads ride in parquet as byte arrays; ``mapInPandas``
 streams Arrow record batches so a 100 TB corpus decodes at
@@ -30,6 +34,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions import codecs
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -43,10 +49,22 @@ FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("media_type", StringType(), True),
+        StructField("format", StringType(), True),  # ppm|bmp|wav|unknown
         StructField("n_bytes", LongType(), True),
         StructField("sha256_16", StringType(), True),
-        StructField("fake_width", LongType(), True),
-        StructField("fake_height", LongType(), True),
+        # image stats (null for non-images)
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_pixels", LongType(), True),
+        StructField("mean_r", LongType(), True),
+        StructField("mean_g", LongType(), True),
+        StructField("mean_b", LongType(), True),
+        # audio stats (null for non-audio)
+        StructField("sample_rate", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("peak", LongType(), True),
+        StructField("rms", LongType(), True),
     ]
 )
 
@@ -65,62 +83,194 @@ def attach_binary_payload(
     )
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int]:
-    """Deterministic fake decode: 'dimensions' from the first payload bytes.
-    Replace with a real decoder (PIL.Image.open etc.) in production."""
-    if not payload:
-        return (0, 0)
-    h = hashlib.sha256(payload).digest()
-    return (64 + h[0] % 192, 64 + h[1] % 192)
+def encode_solid_ppm_payloads(params: DataFrame) -> DataFrame:
+    """Synthesize a REAL image corpus: one solid-color P6 PPM per input row
+    from columns (media_id, width, height, r, g, b) — the encoder writes an
+    actual Netpbm header + raster, so downstream decode exercises the real
+    parser. Solid fill keeps every derived stat a closed-form function of
+    the parameters (exact SQL oracle) while the decoder still reads every
+    raster byte. Row-local mapInPandas fan-through, no shuffle."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for w, h, r, g, b in zip(
+                pdf["width"], pdf["height"], pdf["r"], pdf["g"], pdf["b"]
+            ):
+                w, h = int(w), int(h)
+                payloads.append(
+                    codecs.encode_ppm(w, h, bytes((int(r), int(g), int(b))) * (w * h))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "meta_json": [None] * len(pdf),
+                }
+            )
+
+    return params.mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def encode_tone_wav_payloads(params: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Synthesize a REAL audio corpus: one PCM16 WAV per input row from
+    columns (media_id, n_samples, amp_a, amp_b) — a square-ish alternating
+    wave (+amp_a, -amp_b, ...) written through the real RIFF encoder. The
+    alternation keeps peak/RMS closed-form (exact SQL oracle: peak =
+    max(a, b), rms = isqrt((ceil(n/2)*a^2 + floor(n/2)*b^2) // n)) while the
+    decoder still parses the fmt chunk and unpacks every frame."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for n, a, b in zip(pdf["n_samples"], pdf["amp_a"], pdf["amp_b"]):
+                n, a, b = int(n), int(a), int(b)
+                samples = [a if i % 2 == 0 else -b for i in range(n)]
+                payloads.append(codecs.encode_wav(samples, sample_rate, 1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": ["audio"] * len(pdf),
+                    "payload": payloads,
+                    "meta_json": [None] * len(pdf),
+                }
+            )
+
+    return params.mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def _feature_row(media_id, media_type, payload: bytes) -> dict:
+    row = {
+        "media_id": media_id,
+        "media_type": media_type,
+        "format": "unknown",
+        "n_bytes": len(payload),
+        "sha256_16": hashlib.sha256(payload).hexdigest()[:16],
+        "width": None,
+        "height": None,
+        "n_pixels": None,
+        "mean_r": None,
+        "mean_g": None,
+        "mean_b": None,
+        "sample_rate": None,
+        "channels": None,
+        "n_samples": None,
+        "peak": None,
+        "rms": None,
+    }
+    try:
+        dec = codecs.decode(payload)
+    except ValueError:
+        # recognized compressed format — keep byte stats, record the name
+        row["format"] = codecs.sniff(payload)
+        return row
+    if dec is None:
+        return row
+    row["format"] = dec["format"]
+    if "pixels" in dec:
+        row["width"] = dec["width"]
+        row["height"] = dec["height"]
+        row.update(codecs.image_stats(dec))
+    else:
+        row.update(codecs.audio_stats(dec))
+    return row
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads via mapInPandas."""
+    """Arrow-batched REAL feature extraction over binary payloads via
+    mapInPandas: PPM/BMP rasters -> dimensions + integer-exact channel
+    means; PCM16 WAV -> sample_rate/channels/n_samples/peak/isqrt-RMS;
+    anything else -> byte-level stats with null media fields."""
     from ..io import ensure_parallelism
 
     media = ensure_parallelism(media)  # Python workers scale with partitions
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
-            dims = [_decode_stub(p if p is not None else b"") for p in payloads]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
-                    "sha256_16": [
-                        hashlib.sha256(p if p is not None else b"").hexdigest()[:16]
-                        for p in payloads
-                    ],
-                    "fake_width": [d[0] for d in dims],
-                    "fake_height": [d[1] for d in dims],
-                }
-            )
+            rows = [
+                _feature_row(mid, mtype, bytes(p) if p is not None else b"")
+                for mid, mtype, p in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["payload"]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize contract: passes payload through the decode stub and re-emits it
-    unchanged with target dims in metadata. A real implementation decodes,
-    resizes, re-encodes inside the same mapInPandas shape."""
+def decode_strict(media: DataFrame) -> DataFrame:
+    """Production-facing strict decode: like :func:`extract_features` but an
+    unrecognized or compressed payload RAISES (per-batch, surfacing the
+    media_id) instead of degrading to byte stats — the mode for pipelines
+    that must not silently pass undecoded media downstream."""
+    from ..io import ensure_parallelism
+
+    media = ensure_parallelism(media)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = pdf.copy()
-            out["meta_json"] = [
-                f'{{"resized_to":[{width},{height}]}}' for _ in range(len(pdf))
-            ]
-            yield out
+            rows = []
+            for mid, mtype, p in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                payload = bytes(p) if p is not None else b""
+                kind = codecs.sniff(payload)
+                if kind not in ("ppm", "bmp", "wav"):
+                    raise ValueError(
+                        f"decode_strict: media_id={mid} has "
+                        f"{'unrecognized' if kind is None else kind} payload; "
+                        "supported here: ppm, bmp, wav"
+                    )
+                rows.append(_feature_row(mid, mtype, payload))
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for decodable images (PPM/BMP), decoded,
+    resampled (integer source-index mapping — engine-exact), and re-encoded
+    in their original container inside one mapInPandas pass. Non-image
+    payloads pass through byte-identical with ``resize_skipped`` metadata,
+    so mixed corpora survive the operator."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, metas = [], []
+            for p in pdf["payload"]:
+                payload = bytes(p) if p is not None else b""
+                kind = codecs.sniff(payload)
+                if kind in ("ppm", "bmp"):
+                    dec = codecs.decode(payload)
+                    res = codecs.resize_nearest(dec, width, height)
+                    enc = (
+                        codecs.encode_ppm(width, height, res["pixels"])
+                        if kind == "ppm"
+                        else codecs.encode_bmp(width, height, res["pixels"])
+                    )
+                    payloads.append(enc)
+                    metas.append(f'{{"resized_to":[{width},{height}]}}')
+                else:
+                    payloads.append(payload)
+                    metas.append('{"resize_skipped":true}')
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "meta_json": metas,
+                }
+            )
 
     return media.mapInPandas(_batches, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling contract (1 row in -> k frame rows out),
-    demonstrating the fan-out mapInPandas shape. Frames are fake (payload
-    slices); a real implementation uses ffmpeg per batch."""
+    demonstrating the fan-out mapInPandas shape. Frames are byte slices (the
+    container has no video codec); a real implementation uses ffmpeg per
+    batch inside the same shape."""
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -146,29 +296,22 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.mapInPandas(_batches, schema=out_schema)
 
 
-def decode_real(media: DataFrame) -> DataFrame:
-    """Placeholder for a real decoder; raises until a decoder lib is present."""
-    raise NotImplementedError(
-        "No image/audio codec libraries in this environment. "
-        "Swap _decode_stub in extract_features for PIL/librosa/ffmpeg."
-    )
-
-
-def audio_chunk_stub(
+def audio_chunk(
     media: DataFrame,
     sample_rate_hz: int = 16_000,
     chunk_ms: int = 30_000,
     overlap_ms: int = 5_000,
 ) -> DataFrame:
-    """ASR-prep audio chunking contract: 1 audio row -> k overlapping
-    fixed-duration chunk rows (chunk_no, start_ms, end_ms, chunk_payload),
-    byte ranges computed from PCM16 framing (2 bytes/sample) — the
-    Whisper-style 30s/5s-overlap windowing. The chunk math is real and
-    deterministic (boundary/overlap invariants pinned in tests); a real
-    implementation only swaps the byte-slice for a codec-aware splitter
-    inside the same Arrow batch shape. Row-local fan-out: no shuffle until
-    a downstream operator keys on the chunks."""
-    bytes_per_ms = sample_rate_hz * 2 // 1000
+    """ASR-prep audio chunking: 1 audio row -> k overlapping fixed-duration
+    chunk rows (chunk_no, start_ms, end_ms, chunk_payload) — the
+    Whisper-style 30s/5s-overlap windowing.
+
+    WAV payloads are chunked from their REAL header since r4: the fmt chunk
+    supplies sample rate/channels (``sample_rate_hz`` is ignored), slicing
+    is block-aligned within the data chunk only (headers never leak into
+    chunk payloads). Headerless payloads are treated as raw mono PCM16 at
+    ``sample_rate_hz`` — the documented raw mode. Row-local fan-out: no
+    shuffle until a downstream operator keys on the chunks."""
     step_ms = chunk_ms - overlap_ms
     assert step_ms > 0, "overlap must be shorter than the chunk"
     out_schema = StructType(
@@ -181,26 +324,37 @@ def audio_chunk_stub(
         ]
     )
 
+    def _chunk_region(pcm: bytes, bytes_per_ms: int):
+        dur_ms = max(len(pcm) // max(bytes_per_ms, 1), 1)
+        cno, start = 0, 0
+        while start < dur_ms:
+            end = min(start + chunk_ms, dur_ms)
+            yield cno, start, end, pcm[start * bytes_per_ms : end * bytes_per_ms]
+            if end >= dur_ms:
+                break
+            start += step_ms
+            cno += 1
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, chunks, starts, ends, payloads = [], [], [], [], []
             for _, row in pdf.iterrows():
-                p = row["payload"] or b""
-                dur_ms = max(len(p) // max(bytes_per_ms, 1), 1)
-                cno, start = 0, 0
-                while start < dur_ms:
-                    end = min(start + chunk_ms, dur_ms)
+                p = bytes(row["payload"]) if row["payload"] is not None else b""
+                if codecs.sniff(p) == "wav":
+                    dec = codecs.decode_wav(p)
+                    import struct as _struct
+
+                    pcm = _struct.pack(f"<{len(dec['samples'])}h", *dec["samples"])
+                    bpm = dec["sample_rate"] * dec["channels"] * 2 // 1000
+                else:
+                    pcm = p
+                    bpm = sample_rate_hz * 2 // 1000
+                for cno, start, end, chunk in _chunk_region(pcm, bpm):
                     ids.append(row["media_id"])
                     chunks.append(cno)
                     starts.append(start)
                     ends.append(end)
-                    payloads.append(
-                        p[start * bytes_per_ms : end * bytes_per_ms]
-                    )
-                    if end >= dur_ms:
-                        break
-                    start += step_ms
-                    cno += 1
+                    payloads.append(chunk)
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -212,3 +366,8 @@ def audio_chunk_stub(
             )
 
     return media.mapInPandas(_batches, schema=out_schema)
+
+
+# Pre-r4 name kept for callers written against the stub-era API; the chunk
+# math was always real, only the WAV-header awareness is new.
+audio_chunk_stub = audio_chunk

@@ -546,12 +546,67 @@ def ext_preprocess_pipeline(spark, sf_dir):
 
 @query("ext_multimodal_features")
 def ext_multimodal_features(spark, sf_dir):
-    """Binary-column plumbing: text bytes as opaque payloads -> Arrow-batched
-    mapInPandas feature extraction. Deterministic, so fully oracle-checked."""
+    """REAL image decode loop (r4 — the last S10/U5 partial closed): per doc,
+    JVM expressions derive solid-fill PPM parameters (dims from text length,
+    RGB from md5 bytes); the real Netpbm encoder writes an actual P6
+    header + raster; the real decoder parses the header back and averages
+    every raster byte (integer-exact). Solid fill keeps the stats
+    closed-form, so the WHOLE encode->decode->stats loop has an exact
+    DuckDB oracle: a decoder that misparsed the header, dropped the
+    maxval line, or averaged the wrong bytes hash-mismatches. sha256_16 of
+    the text rides along JVM-side (cross-engine SHA check retained from the
+    stub-era entry). Payloads never shuffle; the doc join is id-keyed."""
     d = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    md5 = F.md5(F.col("text").cast("binary"))
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + F.octet_length("text") % 13).cast("int").alias("width"),
+        (F.lit(4) + F.octet_length("text") % 7).cast("int").alias("height"),
+        F.conv(F.substring(md5, 1, 2), 16, 10).cast("int").alias("r"),
+        F.conv(F.substring(md5, 3, 2), 16, 10).cast("int").alias("g"),
+        F.conv(F.substring(md5, 5, 2), 16, 10).cast("int").alias("b"),
+    )
+    media = multimodal.encode_solid_ppm_payloads(params)
+    feats = multimodal.extract_features(media).select(
+        "media_id", "format", "n_bytes", "width", "height",
+        "n_pixels", "mean_r", "mean_g", "mean_b",
+    )
+    sha = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(F.sha2(F.col("text").cast("binary"), 256), 1, 16).alias(
+            "sha256_16"
+        ),
+    )
+    return feats.join(sha, "media_id").select(
+        "media_id", "sha256_16", "format", "n_bytes", "width", "height",
+        "n_pixels", "mean_r", "mean_g", "mean_b",
+    )
+
+
+@query("ext_audio_features")
+def ext_audio_features(spark, sf_dir):
+    """REAL audio decode loop: per doc, derive an alternating-amplitude
+    PCM16 tone (amplitudes from md5 bytes, length from text length), write
+    it through the real RIFF/WAVE encoder, decode by walking the actual
+    chunk list, and emit frame stats (n_samples, peak, integer-isqrt RMS).
+    Alternation keeps peak/RMS closed-form -> exact DuckDB oracle; the
+    decoder still parses fmt (sample_rate, channels) from the header and
+    unpacks every int16 frame."""
+    d = load_table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("text").cast("binary"))
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(50) + F.octet_length("text") % 100).cast("int").alias("n_samples"),
+        (F.lit(1) + F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") * 100).alias(
+            "amp_a"
+        ),
+        (F.lit(1) + F.conv(F.substring(md5, 3, 2), 16, 10).cast("int") * 100).alias(
+            "amp_b"
+        ),
+    )
+    media = multimodal.encode_tone_wav_payloads(params, sample_rate=8000)
     return multimodal.extract_features(media).select(
-        "media_id", "n_bytes", "sha256_16", "fake_width", "fake_height"
+        "media_id", "format", "sample_rate", "channels", "n_samples", "peak", "rms"
     )
 
 

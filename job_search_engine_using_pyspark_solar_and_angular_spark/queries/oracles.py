@@ -954,12 +954,43 @@ ORACLES["ext_multimodal_frames"] = (
     "FROM f ORDER BY media_id, frame_no"
 )
 
+# Mirror of the REAL PPM encode->decode loop (r4): the Spark side writes an
+# actual P6 header + solid raster and the real parser reads it back, so every
+# output is a closed-form function of (text length, md5 bytes):
+#   header "P6\n{w} {h}\n255\n" = 9 + len(str(w)) + len(str(h)) bytes;
+#   solid fill => integer channel means == the fill bytes exactly.
 ORACLES["ext_multimodal_features"] = (
-    "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
-    "substr(sha256(text), 1, 16) AS sha256_16, "
-    "CAST(64 + CAST(CONCAT('0x', substr(sha256(text), 1, 2)) AS INT) % 192 AS BIGINT) AS fake_width, "
-    "CAST(64 + CAST(CONCAT('0x', substr(sha256(text), 3, 2)) AS INT) % 192 AS BIGINT) AS fake_height "
-    "FROM documents ORDER BY media_id"
+    "WITH p AS (SELECT doc_id, substr(sha256(text), 1, 16) AS sha, "
+    "CAST(4 + octet_length(encode(text)) % 13 AS BIGINT) AS w, "
+    "CAST(4 + octet_length(encode(text)) % 7 AS BIGINT) AS h, "
+    "CAST(CAST(CONCAT('0x', substr(md5(text), 1, 2)) AS INT) AS BIGINT) AS r, "
+    "CAST(CAST(CONCAT('0x', substr(md5(text), 3, 2)) AS INT) AS BIGINT) AS g, "
+    "CAST(CAST(CONCAT('0x', substr(md5(text), 5, 2)) AS INT) AS BIGINT) AS b "
+    "FROM documents) "
+    "SELECT doc_id AS media_id, sha AS sha256_16, 'ppm' AS format, "
+    "CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h "
+    "AS BIGINT) AS n_bytes, "
+    "w AS width, h AS height, w * h AS n_pixels, "
+    "r AS mean_r, g AS mean_g, b AS mean_b "
+    "FROM p ORDER BY media_id"
+)
+
+# Mirror of the REAL WAV encode->decode loop: alternating +a/-b PCM16 tone,
+# n samples -> peak = max(a, b), rms = floor(sqrt((ceil(n/2)*a^2 +
+# floor(n/2)*b^2) // n)) — sqrt args < 2^53 and far from square boundaries,
+# so IEEE double sqrt + floor is engine-identical to Python isqrt here.
+ORACLES["ext_audio_features"] = (
+    "WITH p AS (SELECT doc_id, "
+    "CAST(50 + octet_length(encode(text)) % 100 AS BIGINT) AS n, "
+    "CAST(1 + CAST(CONCAT('0x', substr(md5(text), 1, 2)) AS INT) * 100 AS BIGINT) AS a, "
+    "CAST(1 + CAST(CONCAT('0x', substr(md5(text), 3, 2)) AS INT) * 100 AS BIGINT) AS b "
+    "FROM documents) "
+    "SELECT doc_id AS media_id, 'wav' AS format, "
+    "CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels, "
+    "n AS n_samples, greatest(a, b) AS peak, "
+    "CAST(floor(sqrt(CAST((((n + 1) // 2) * a * a + (n // 2) * b * b) // n "
+    "AS DOUBLE))) AS BIGINT) AS rms "
+    "FROM p ORDER BY media_id"
 )
 
 

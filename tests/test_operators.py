@@ -479,24 +479,26 @@ def test_spell_correct_semantics(spark):
     assert out["bog"] == "bog"     # exact hit beats "big"/"bag" neighbors
 
 
-def test_resize_stub_contract(spark):
-    """Resize plumbing: payload passes through byte-identical, metadata
-    records the target dims, schema is the media schema (so a real resize
-    drops in without plan changes)."""
+def test_resize_images_contract(spark):
+    """Resize operator (real since r4): non-image payloads pass through
+    byte-identical with resize_skipped metadata; decodable images are
+    actually resampled (dims change, meta records the target). Pixel-level
+    resample correctness is pinned in tests/test_multimodal.py."""
     from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
         multimodal,
     )
 
     d = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 5)
     media = multimodal.attach_binary_payload(d, "doc_id", "text")
-    out = multimodal.resize_stub(media, 224, 224)
+    out = multimodal.resize_images(media, 224, 224)
     assert out.schema == multimodal.MEDIA_SCHEMA
     rows = {r["media_id"]: r for r in out.collect()}
     orig = {r["media_id"]: r for r in media.collect()}
     assert set(rows) == set(orig)
     for mid, r in rows.items():
+        # text payloads are not decodable images -> byte-identical passthrough
         assert bytes(r["payload"]) == bytes(orig[mid]["payload"])
-        assert r["meta_json"] == '{"resized_to":[224,224]}'
+        assert r["meta_json"] == '{"resize_skipped":true}'
 
 
 def test_ivf_kmeans_improves_clustering(spark):
