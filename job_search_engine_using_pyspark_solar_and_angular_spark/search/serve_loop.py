@@ -1,0 +1,423 @@
+"""The full streaming serve loop — the reference's production architecture
+(``Main/SolrIndexer.java:25-45`` stream -> preprocess -> re-index per batch,
+``Main/SolrRanker.java:66-91`` serve from the live index) composed from the
+engine's verified pieces: ingest dedup gate, incremental index refresh, and
+the served BM25/ANN tiers.
+
+Per micro-batch (:func:`serve_batch`):
+
+1. **Gate** — MinHash-LSH sketch ONLY the batch, join against the maintained
+   corpus bucket table: arrivals that share a band bucket with an existing
+   doc (different id — same-id is a replace-by-id UPDATE, reference
+   ``SolrIndexer.java:36-45``) or with an earlier-id batch doc are
+   suppressed. Cost scales with the batch, never the corpus.
+2. **Index delta** — survivors' postings are built fresh (churn-sized
+   tokenize) and published as a NEW token-bucketed segment table; replaced
+   doc_ids get a tombstone ``(doc_id, before_seg)``. This is the Lucene
+   segment + delete-bitmap model expressed in Spark tables: the 100 TB
+   component (postings) is append-only, a re-index never rewrites history.
+3. **Stats** — per-doc lengths merge churn-sized into the versioned
+   doc_stats state; the 1-row corpus constants (n_docs, avg_dl) re-derive
+   from it so a served query reads 1 row, never re-aggregates the corpus.
+4. **Vector delta** — survivors' embeddings append as a bucket-partitioned
+   segment under the int8-LSH layout, so served ANN still reads only probed
+   bucket partitions (static partition pruning) and the same tombstones
+   invalidate replaced vectors.
+5. **Publish** — the segment manifest commits LAST (versioned state store,
+   atomic pointer flip): a crash anywhere earlier leaves the previous
+   manifest live and every step idempotent on Structured Streaming's retry
+   (segment writes are mode-overwrite to seg-deterministic locations; state
+   merges are anti-join+union / union-distinct; the corpus scalar re-derives
+   from doc_stats instead of incrementing). Pinned by the crash-injection
+   replay test.
+
+Served reads (:func:`read_served_index` / :func:`vector_search_served`)
+union the manifest's segments and drop tombstoned rows (seg < the doc's
+latest ``before_seg``) via a broadcast anti-filter — churn-sized until
+:func:`compact_segments` folds everything back into one base segment.
+
+Exactness: the served index is provably identical to a full rebuild over
+the latest-wins corpus — postings are a disjoint union of per-doc segment
+rows (a doc's postings depend on its own text alone), and avg_dl is the
+same exact integer-sum/count both ways — so served BM25 scores hash-match a
+batch rebuild (pinned in tests/test_serve_loop.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import minhash_bucket_table
+from ..streaming.state_store import commit_state, read_state
+from .index import SearchIndex, build_index
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+        T.StructField("seg", T.IntegerType(), True),
+        T.StructField("bucket", T.IntegerType(), True),  # partition column
+    ]
+)
+
+
+def _paths(base: str) -> dict[str, str]:
+    return {
+        "manifest": f"{base}/manifest",
+        "tombstones": f"{base}/tombstones",
+        "doc_stats": f"{base}/doc_stats",
+        "lsh": f"{base}/lsh_buckets",
+        "scalar": f"{base}/corpus_stats",
+        "postings": f"{base}/postings",
+        "vectors": f"{base}/vectors",
+    }
+
+
+def serve_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    base: str,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str | None = None,
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    num_planes: int = 4,
+    dim: int = 64,
+    postings_buckets: int = 16,
+) -> dict:
+    """One micro-batch of the serve loop (the foreachBatch body of
+    :func:`serve_loop_sink`, exposed so crash-retry semantics are directly
+    testable). Returns {"seg", "arrived", "suppressed", "indexed"}.
+
+    ``batch`` must carry one row per ``id_col`` (upstream latest-wins); a
+    row whose id already exists in the corpus is a replace-by-id update."""
+    p = _paths(base)
+    man = read_state(spark, p["manifest"])
+    seg = 1 if man is None else 1 + man.agg(F.max("seg")).collect()[0][0]
+
+    batch = batch.persist()
+    nb = minhash_bucket_table(
+        batch, id_col, text_col, shingle_n, num_perm, bands
+    ).persist()
+    survivors = None
+    try:
+        # ---- 1. gate: vs corpus buckets, then vs earlier-id batch docs ----
+        corpus_buckets = read_state(spark, p["lsh"])
+        sup_parts = []
+        if corpus_buckets is not None:
+            sup_parts.append(
+                nb.join(
+                    corpus_buckets.select(
+                        F.col("doc_id").alias("old_id"), "band", "band_key"
+                    ),
+                    ["band", "band_key"],
+                )
+                .filter(F.col("doc_id") != F.col("old_id"))
+                .select("doc_id")
+            )
+        earlier = nb.select(F.col("doc_id").alias("eid"), "band", "band_key")
+        sup_parts.append(
+            nb.join(earlier, ["band", "band_key"])
+            .filter(F.col("eid") < F.col("doc_id"))
+            .select("doc_id")
+        )
+        suppressed = sup_parts[0]
+        for s in sup_parts[1:]:
+            suppressed = suppressed.unionByName(s)
+        suppressed = suppressed.distinct().persist()
+        survivors = batch.join(
+            suppressed.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+        ).persist()
+        surv_ids = survivors.select(F.col(id_col).alias("doc_id"))
+
+        # ---- 2. fresh postings segment (token-bucketed table) --------------
+        fresh = build_index(survivors, id_col, text_col)
+        seg_table = f"{table_prefix}_seg{seg}"
+        (
+            fresh.postings.withColumn("seg", F.lit(seg))
+            .write.mode("overwrite")
+            .bucketBy(postings_buckets, "token")
+            .sortBy("token", "doc_id")
+            .option("path", f"{p['postings']}_seg{seg}")
+            .saveAsTable(seg_table)
+        )
+
+        # ---- 3. stats + tombstones -----------------------------------------
+        new_stats = fresh.postings.groupBy("doc_id").agg(
+            F.sum("tf").alias("doc_len")
+        )
+        old_stats = read_state(spark, p["doc_stats"])
+        if old_stats is not None:
+            # ids being replaced (on a RETRY after doc_stats already
+            # committed this also captures genuinely-new survivor ids —
+            # harmless: their rows live in seg >= before_seg)
+            replaced = old_stats.join(surv_ids, "doc_id", "left_semi").select(
+                "doc_id"
+            )
+            updated_stats = old_stats.join(
+                surv_ids, "doc_id", "left_anti"
+            ).unionByName(new_stats)
+        else:
+            replaced = None
+            updated_stats = new_stats
+        commit_state(updated_stats, p["doc_stats"])
+        # corpus constants re-derive from the committed doc_stats (NOT an
+        # increment — idempotent on retry); exact: integer sum / count
+        scalar = read_state(spark, p["doc_stats"]).agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.col("doc_len").cast("double")).alias("avg_dl"),
+        )
+        commit_state(scalar, p["scalar"])
+
+        if replaced is not None:
+            tomb_new = replaced.withColumn("before_seg", F.lit(seg))
+            tomb_old = read_state(spark, p["tombstones"])
+            tombs = (
+                tomb_new
+                if tomb_old is None
+                else tomb_old.unionByName(tomb_new)
+            ).distinct()
+            commit_state(tombs, p["tombstones"])
+
+        # ---- 4. LSH bucket state (refresh semantics: replaced rows drop) ---
+        surv_buckets = nb.join(surv_ids, "doc_id", "left_semi")
+        if corpus_buckets is not None:
+            lsh_new = corpus_buckets.join(
+                surv_ids, "doc_id", "left_anti"
+            ).unionByName(surv_buckets)
+        else:
+            lsh_new = surv_buckets
+        commit_state(lsh_new.distinct(), p["lsh"])
+
+        # ---- 5. vector segment ---------------------------------------------
+        if vec_col is not None:
+            from ..operators.similarity import lsh_bucket_int8, quantize_int8
+
+            vecs = survivors.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("doc_id"), F.col(vec_col).alias("embedding")
+            )
+            q = quantize_int8(vecs, "doc_id", "embedding")
+            b = lsh_bucket_int8(q, num_planes=num_planes, dim=dim).select(
+                "doc_id", "bucket"
+            )
+            (
+                vecs.join(b, "doc_id")
+                .select(
+                    "doc_id",
+                    "embedding",
+                    F.lit(seg).cast("int").alias("seg"),
+                    F.col("bucket").cast("int").alias("bucket"),
+                )
+                .repartition(F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{p['vectors']}/seg{seg}")
+            )
+
+        # ---- 6. PUBLISH: manifest commits last ------------------------------
+        man_new = spark.createDataFrame(
+            [(seg, seg_table)], "seg int, table string"
+        )
+        if man is not None:
+            man_new = man.unionByName(man_new).distinct()
+        commit_state(man_new, p["manifest"])
+
+        n_arrived = batch.count()
+        n_indexed = survivors.count()
+        return {
+            "seg": seg,
+            "arrived": n_arrived,
+            "suppressed": n_arrived - n_indexed,
+            "indexed": n_indexed,
+        }
+    finally:
+        nb.unpersist()
+        batch.unpersist()
+        if survivors is not None:
+            survivors.unpersist()
+
+
+def _alive(postings: DataFrame, tombstones: DataFrame | None) -> DataFrame:
+    """Drop tombstoned rows: a row of segment s for doc d is dead iff d has
+    a tombstone with s < before_seg (the re-index segment's own rows
+    survive). Tombstones aggregate to one (doc_id, cut) row per doc and
+    broadcast — churn-sized between compactions."""
+    if tombstones is None:
+        return postings
+    cut = tombstones.groupBy("doc_id").agg(F.max("before_seg").alias("__cut"))
+    return (
+        postings.join(F.broadcast(cut), "doc_id", "left")
+        .filter(F.col("seg") >= F.coalesce(F.col("__cut"), F.lit(0)))
+        .drop("__cut")
+    )
+
+
+def read_served_index(spark: SparkSession, base: str) -> SearchIndex:
+    """The live SearchIndex: manifest segments unioned (each token-bucketed,
+    so a term lookup still prunes to the query terms' buckets per segment),
+    tombstone-filtered, with the 1-row corpus constants from the store.
+    term_stats derives lazily from alive postings (BM25 never touches it —
+    per-term df comes from the pruned posting lists)."""
+    p = _paths(base)
+    man = read_state(spark, p["manifest"])
+    if man is None:
+        raise FileNotFoundError(f"no serving manifest committed under {base}")
+    tables = [r["table"] for r in man.orderBy("seg").collect()]
+    postings = spark.table(tables[0])
+    for t in tables[1:]:
+        postings = postings.unionByName(spark.table(t))
+    alive = _alive(postings, read_state(spark, p["tombstones"])).drop("seg")
+    doc_stats = read_state(spark, p["doc_stats"])
+    term_stats = alive.groupBy("token").agg(F.count("*").alias("df"))
+    return SearchIndex(
+        postings=alive,
+        doc_stats=doc_stats,
+        term_stats=term_stats,
+        corpus=read_state(spark, p["scalar"]),
+    )
+
+
+def _python_probe_buckets(
+    query_vec: list[float], num_planes: int, dim: int, multiprobe: bool
+) -> list[int]:
+    """The query's int8-LSH bucket computed driver-side in pure Python —
+    bit-identical to lsh_bucket_int8's plan (same IEEE double quantization,
+    same integer Rademacher dot products; Python==Spark pinned by
+    test_lsh_bucket_int8_matches_python_reference) — so the served read
+    uses STATIC partition pruning: the probe list is literal in the plan."""
+    import math
+
+    from ..operators.similarity import rademacher_plane
+
+    x = [float(v) for v in query_vec]
+    mn, mx = min(x), max(x)
+    if mx == mn:
+        codes = [0] * len(x)
+    else:
+        codes = [
+            int(math.floor((v - mn) * 255.0 / (mx - mn) + 0.5)) - 128 for v in x
+        ]
+    if len(codes) != dim:
+        raise ValueError(f"query dim {len(codes)} != index dim {dim}")
+    bucket = 0
+    for j in range(num_planes):
+        plane = rademacher_plane(j, dim)
+        if sum(c * r for c, r in zip(codes, plane)) >= 0:
+            bucket |= 1 << j
+    probes = [bucket]
+    if multiprobe:
+        probes += [bucket ^ (1 << j) for j in range(num_planes)]
+    return probes
+
+
+def vector_search_served(
+    spark: SparkSession,
+    base: str,
+    query_vec: list[float],
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int | None = None,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Served ANN over the segment layout: probe buckets computed driver-side
+    (static partition pruning on every segment dir), tombstone-filtered,
+    exact cosine rerank of the probed candidates. Returns (doc_id, sim)."""
+    from ..functions.vectors import cosine
+
+    if dim is None:
+        dim = len(query_vec)
+    p = _paths(base)
+    man = read_state(spark, p["manifest"])
+    if man is None:
+        raise FileNotFoundError(f"no serving manifest committed under {base}")
+    segs = [r["seg"] for r in man.orderBy("seg").collect()]
+    vecs = None
+    for s in segs:
+        df = spark.read.schema(VEC_SCHEMA).parquet(f"{p['vectors']}/seg{s}")
+        vecs = df if vecs is None else vecs.unionByName(df)
+    probes = _python_probe_buckets(query_vec, num_planes, dim, multiprobe)
+    cands = _alive(vecs.filter(F.col("bucket").isin(probes)), read_state(spark, p["tombstones"]))
+    qv = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cands.select(
+            "doc_id",
+            (F.round(cosine(F.col("embedding"), qv), 4) + F.lit(0.0)).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def compact_segments(
+    spark: SparkSession, base: str, table_prefix: str, postings_buckets: int = 16
+) -> None:
+    """Fold all live postings and vectors into fresh base segments and reset
+    the tombstones — Lucene's merge policy. Run off the serving path on a
+    cadence sized by churn; between compactions served reads pay one
+    broadcast tombstone filter and a per-segment union."""
+    p = _paths(base)
+    idx = read_served_index(spark, base)
+    man = read_state(spark, p["manifest"])
+    old_segs = [(r["seg"], r["table"]) for r in man.orderBy("seg").collect()]
+    new_seg = old_segs[-1][0] + 1
+    seg_table = f"{table_prefix}_seg{new_seg}"
+    (
+        idx.postings.withColumn("seg", F.lit(new_seg))
+        .write.mode("overwrite")
+        .bucketBy(postings_buckets, "token")
+        .sortBy("token", "doc_id")
+        .option("path", f"{p['postings']}_seg{new_seg}")
+        .saveAsTable(seg_table)
+    )
+    vecs = None
+    for s, _ in old_segs:
+        df = spark.read.schema(VEC_SCHEMA).parquet(f"{p['vectors']}/seg{s}")
+        vecs = df if vecs is None else vecs.unionByName(df)
+    alive_vecs = _alive(vecs, read_state(spark, p["tombstones"]))
+    (
+        alive_vecs.select(
+            "doc_id", "embedding", F.lit(new_seg).cast("int").alias("seg"), "bucket"
+        )
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{p['vectors']}/seg{new_seg}")
+    )
+    commit_state(
+        spark.createDataFrame([], "doc_id long, before_seg int"), p["tombstones"]
+    )
+    commit_state(
+        spark.createDataFrame([(new_seg, seg_table)], "seg int, table string"),
+        p["manifest"],
+    )
+    for _, t in old_segs:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def serve_loop_sink(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    base: str,
+    checkpoint: str,
+    table_prefix: str,
+    trigger_once: bool = True,
+    **serve_kwargs,
+):
+    """The streaming composition: every micro-batch runs the full
+    gate -> delta-index -> publish loop. Idempotent per batch (see module
+    docstring), so exactly-once serving state over at-least-once delivery."""
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        serve_batch(spark, batch, base, table_prefix, **serve_kwargs)
+
+    writer = stream_df.writeStream.foreachBatch(_body).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

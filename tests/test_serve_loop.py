@@ -1,0 +1,265 @@
+"""The full streaming serve loop end-to-end (r3 verdict ask #1): ingest a
+micro-batch (one new doc + one near-dup) -> the gate suppresses the dup ->
+postings AND LSH buckets AND the vector index delta-refresh -> served
+keyword/vector search from the refreshed on-disk indexes returns the new
+doc — with replay parity (served == batch-rebuilt, score-exact), crash-retry
+convergence, compaction invariance, and the Structured Streaming sink."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_search_engine_using_pyspark_solar_and_angular_spark.search import serve_loop
+from job_search_engine_using_pyspark_solar_and_angular_spark.search.bm25 import (
+    bm25_search,
+)
+from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+    build_index,
+)
+
+DOCS = [
+    (1, "spark shuffles partition data across executors for wide dependencies always"),
+    (2, "bm25 ranks documents by term frequency and inverse document frequency weights"),
+    (3, "parquet files store columns together enabling predicate pushdown and pruning"),
+    (4, "watermarks bound streaming state by evicting windows older than the horizon"),
+    (5, "broadcast joins ship the small dimension table to every executor core"),
+    (6, "minhash signatures approximate jaccard similarity between shingled documents"),
+]
+
+
+def _emb(doc_id: int) -> list[float]:
+    return [math.sin(0.1 * doc_id + 0.3 * d) for d in range(64)]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, _emb(i)) for i, t in rows],
+        "doc_id long, text string, embedding array<double>",
+    )
+
+
+def _prefix(tmp_path) -> str:
+    return "sl_" + tmp_path.name.replace("-", "_").lower()
+
+
+def _serve(spark, batch, base, prefix):
+    return serve_loop.serve_batch(
+        spark, batch, base, prefix, vec_col="embedding", postings_buckets=4
+    )
+
+
+def _bm25_rows(spark, idx, terms, k=5):
+    return [tuple(r) for r in bm25_search(spark, idx, terms, k=k).collect()]
+
+
+@pytest.fixture()
+def served(spark, tmp_path):
+    base = str(tmp_path / "serving")
+    prefix = _prefix(tmp_path)
+    s1 = _serve(spark, _df(spark, DOCS), base, prefix)
+    assert s1 == {"seg": 1, "arrived": 6, "suppressed": 0, "indexed": 6}
+    return base, prefix
+
+
+def test_batch_with_near_dup_gated_and_served(spark, served, tmp_path):
+    base, prefix = served
+    new_doc = (100, "adaptive query execution replans stages from runtime statistics")
+    dup_doc = (101, DOCS[0][1])  # near-dup arrival of doc 1 (identical text)
+    s2 = _serve(spark, _df(spark, [new_doc, dup_doc]), base, prefix)
+    assert s2 == {"seg": 2, "arrived": 2, "suppressed": 1, "indexed": 1}
+
+    idx = serve_loop.read_served_index(spark, base)
+    hits = _bm25_rows(spark, idx, ["adaptive", "replans"])
+    assert hits[0][0] == 100  # the new doc serves from the refreshed index
+    assert 101 not in {h[0] for h in hits}
+
+    # replay parity: served == full rebuild over the latest-wins corpus
+    rebuilt = build_index(_df(spark, DOCS + [new_doc]), cache=True)
+    for terms in (["adaptive", "replans"], ["documents"], ["spark", "executors"]):
+        assert _bm25_rows(spark, idx, terms) == _bm25_rows(spark, rebuilt, terms)
+    assert sorted(
+        map(tuple, idx.postings.select("token", "doc_id", "doc_len", "tf").collect())
+    ) == sorted(map(tuple, rebuilt.postings.collect()))
+    assert idx.corpus.collect() == rebuilt.corpus_stats().collect()
+
+    # served ANN: the new doc's vector is retrievable, the suppressed one not
+    top = serve_loop.vector_search_served(spark, base, _emb(100), k=3).collect()
+    assert top[0]["doc_id"] == 100 and top[0]["sim"] == 1.0
+    assert 101 not in {r["doc_id"] for r in top}
+
+
+def test_replace_by_id_update_tombstones_old_postings(spark, served):
+    base, prefix = served
+    updated = (1, "kubernetes schedules containers onto nodes respecting resource quotas")
+    s = _serve(spark, _df(spark, [updated]), base, prefix)
+    assert s["indexed"] == 1 and s["suppressed"] == 0
+
+    idx = serve_loop.read_served_index(spark, base)
+    assert _bm25_rows(spark, idx, ["kubernetes"])[0][0] == 1
+    # the OLD text's distinctive term no longer matches doc 1
+    assert 1 not in {h[0] for h in _bm25_rows(spark, idx, ["shuffles"])}
+
+    rebuilt = build_index(_df(spark, [updated] + DOCS[1:]), cache=True)
+    for terms in (["kubernetes"], ["shuffles", "executors"], ["documents"]):
+        assert _bm25_rows(spark, idx, terms) == _bm25_rows(spark, rebuilt, terms)
+    assert idx.corpus.collect() == rebuilt.corpus_stats().collect()
+
+    # vector replace-by-id: doc 1 serves its NEW embedding only
+    vec_new = [float((d * 7) % 13 - 6) for d in range(64)]
+    s2 = serve_loop.serve_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, "kubernetes schedules containers onto nodes respecting quotas v2", vec_new)],
+            "doc_id long, text string, embedding array<double>",
+        ),
+        base,
+        prefix,
+        vec_col="embedding",
+        postings_buckets=4,
+    )
+    assert s2["indexed"] == 1
+    top = serve_loop.vector_search_served(spark, base, vec_new, k=2).collect()
+    assert top[0]["doc_id"] == 1 and top[0]["sim"] == 1.0
+    old_hits = serve_loop.vector_search_served(spark, base, _emb(1), k=6).collect()
+    assert all(not (r["doc_id"] == 1 and r["sim"] == 1.0) for r in old_hits)
+
+
+def test_crash_before_manifest_publish_retry_converges(spark, tmp_path):
+    """Kill the batch at the LAST commit (everything updated, manifest not
+    published), retry it in full: the served state must equal a clean run's
+    — the idempotence design (overwrite segments, anti+union state merges,
+    re-derived scalars) exercised for real."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming import (
+        state_store,
+    )
+
+    clean, crashy = str(tmp_path / "clean"), str(tmp_path / "crashy")
+    pc, pk = _prefix(tmp_path) + "c", _prefix(tmp_path) + "k"
+    b2 = [(100, "adaptive query execution replans stages from runtime statistics"),
+          (101, DOCS[0][1])]
+    _serve(spark, _df(spark, DOCS), clean, pc)
+    _serve(spark, _df(spark, b2), clean, pc)
+
+    _serve(spark, _df(spark, DOCS), crashy, pk)
+    real_commit = serve_loop.commit_state
+    calls = {"n": 0}
+
+    def crash_on_manifest(df, target_path, keep=2):
+        calls["n"] += 1
+        if target_path.endswith("/manifest"):
+            raise RuntimeError("injected crash before publish")
+        return real_commit(df, target_path, keep=keep)
+
+    serve_loop.commit_state = crash_on_manifest
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            _serve(spark, _df(spark, b2), crashy, pk)
+    finally:
+        serve_loop.commit_state = real_commit
+    # Structured Streaming retries the whole batch
+    s = _serve(spark, _df(spark, b2), crashy, pk)
+    assert s["seg"] == 2 and s["indexed"] == 1
+
+    ic = serve_loop.read_served_index(spark, clean)
+    ik = serve_loop.read_served_index(spark, crashy)
+    cols = ["token", "doc_id", "doc_len", "tf"]
+    assert sorted(map(tuple, ik.postings.select(cols).collect())) == sorted(
+        map(tuple, ic.postings.select(cols).collect())
+    )
+    assert ik.corpus.collect() == ic.corpus.collect()
+    for terms in (["adaptive"], ["spark", "executors"]):
+        assert _bm25_rows(spark, ik, terms) == _bm25_rows(spark, ic, terms)
+    assert [tuple(r) for r in serve_loop.vector_search_served(spark, crashy, _emb(100), k=3).collect()] == [
+        tuple(r) for r in serve_loop.vector_search_served(spark, clean, _emb(100), k=3).collect()
+    ]
+
+
+def test_compaction_preserves_served_results(spark, served):
+    base, prefix = served
+    _serve(
+        spark,
+        _df(spark, [(100, "adaptive query execution replans stages from runtime statistics"),
+                    (1, "kubernetes schedules containers onto nodes respecting resource quotas")]),
+        base,
+        prefix,
+    )
+    before_kw = {
+        t: _bm25_rows(spark, serve_loop.read_served_index(spark, base), [t])
+        for t in ("kubernetes", "adaptive", "documents")
+    }
+    before_vec = [
+        tuple(r)
+        for r in serve_loop.vector_search_served(spark, base, _emb(100), k=4).collect()
+    ]
+    serve_loop.compact_segments(spark, base, prefix, postings_buckets=4)
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.state_store import (
+        read_state,
+    )
+
+    man = read_state(spark, f"{base}/manifest")
+    assert man.count() == 1  # folded to one base segment
+    assert read_state(spark, f"{base}/tombstones").count() == 0
+    idx = serve_loop.read_served_index(spark, base)
+    for t, want in before_kw.items():
+        assert _bm25_rows(spark, idx, [t]) == want
+    assert [
+        tuple(r)
+        for r in serve_loop.vector_search_served(spark, base, _emb(100), k=4).collect()
+    ] == before_vec
+
+
+def test_serve_loop_sink_streaming(spark, tmp_path):
+    """The actual Structured Streaming composition: micro-batches from a file
+    source drive the same loop; after the stream drains, served results
+    equal the sequential serve_batch runs'."""
+    src = str(tmp_path / "src")
+    base, prefix = str(tmp_path / "serving"), _prefix(tmp_path) + "s"
+    seq_base, seq_prefix = str(tmp_path / "seq"), _prefix(tmp_path) + "q"
+
+    b1 = _df(spark, DOCS)
+    b2 = _df(spark, [(100, "adaptive query execution replans stages from runtime statistics"),
+                     (101, DOCS[0][1])])
+    b1.coalesce(1).write.mode("append").parquet(src)
+    _serve(spark, b1, seq_base, seq_prefix)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = serve_loop.serve_loop_sink(
+        stream,
+        spark,
+        base,
+        str(tmp_path / "ckpt"),
+        prefix,
+        vec_col="embedding",
+        postings_buckets=4,
+    )
+    q.awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    _serve(spark, b2, seq_base, seq_prefix)
+    q2 = serve_loop.serve_loop_sink(
+        stream,
+        spark,
+        base,
+        str(tmp_path / "ckpt"),
+        prefix,
+        vec_col="embedding",
+        postings_buckets=4,
+    )
+    q2.awaitTermination(120)
+
+    i_stream = serve_loop.read_served_index(spark, base)
+    i_seq = serve_loop.read_served_index(spark, seq_base)
+    cols = ["token", "doc_id", "doc_len", "tf"]
+    assert sorted(map(tuple, i_stream.postings.select(cols).collect())) == sorted(
+        map(tuple, i_seq.postings.select(cols).collect())
+    )
+    assert _bm25_rows(spark, i_stream, ["adaptive"])[0][0] == 100
+    top = serve_loop.vector_search_served(spark, base, _emb(100), k=2).collect()
+    assert top[0]["doc_id"] == 100 and top[0]["sim"] == 1.0
