@@ -48,6 +48,33 @@ def latest_wins(
     )
 
 
+def latest_wins_agg(
+    df: DataFrame, key_cols: list[str], order_col: str, tiebreak_cols: list[str] | None = None
+) -> DataFrame:
+    """Skew-proof latest-wins: ``groupBy(key).agg(max_by(row, (order,
+    tiebreaks)))`` — identical rows to :func:`latest_wins` (same NULL
+    ordering: a NULL order value loses to any non-NULL, struct comparison is
+    field-wise; deterministic whenever (order_col, *tiebreaks) is unique
+    within a key, which callers guarantee exactly as they do for the window).
+
+    Why it exists: the row_number window funnels EVERY row of a key into one
+    task — AQE skew handling splits skewed *joins*, never windows — so a
+    celebrity key holding 10% of a 100 TB corpus serializes 10 TB through one
+    executor. max_by is an aggregate with partial (map-side) merge: each map
+    task reduces the hot key to ONE row before the shuffle, so skew costs
+    nothing. Use the window form only when more than the top-1 row per key is
+    needed (rank/top-k); use this for dedup-to-one-row.
+    Pinned: partial_max_by visible pre-shuffle (tests/test_plans.py) and a
+    10%-hot-key bench entry (``preprocess_skewed`` in bench.py)."""
+    order = F.struct(F.col(order_col), *[F.col(c) for c in (tiebreak_cols or [])])
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max_by(row, order).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
+    )
+
+
 def merge_latest(
     existing: DataFrame, incoming: DataFrame, key_cols: list[str], order_col: str
 ) -> DataFrame:

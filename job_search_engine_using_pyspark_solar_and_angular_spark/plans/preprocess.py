@@ -20,14 +20,19 @@ How it differs (SURVEY.md §4.3 anti-pattern rewrites):
   ``left_anti`` joins by the operators module.
 - truncated/untruncated sub-branches (2 x 3 in the reference) collapse into
   ``when/coalesce`` expressions — same results, one pass, no extra unions.
-- ``sort().dropDuplicates()`` becomes the deterministic row_number window
-  (operators.dedup.latest_wins).
+- ``sort().dropDuplicates()`` becomes a deterministic max_by aggregation
+  (operators.dedup.latest_wins_agg).
 - array->string CSV export uses ``to_json`` (JVM) instead of a Python UDF.
 
 Scale: the whole pipeline is narrow (filters/projections/unions) except the
 final dedup — one shuffle on org_id. At 100 TB that shuffle is the only wide
-edge; AQE handles skew (celebrity tweets retweeted millions of times land on
-one org_id key and get split by skew-join handling).
+edge, and it is skew-proof by construction: latest_wins_agg is a max_by
+aggregation with partial (map-side) merge, so a celebrity org_id retweeted
+millions of times collapses to one row per map task BEFORE the shuffle
+(a row_number window would funnel the whole hot key into one task — AQE
+skew splitting applies to joins, never windows). Measured: the
+``preprocess_skewed`` bench entry runs the same volume with one org_id
+holding ~10% of all rows.
 """
 
 from __future__ import annotations
@@ -40,7 +45,7 @@ from ..functions.text import (
     normalize_apostrophes,
     parse_twitter_timestamp,
 )
-from ..operators.dedup import latest_wins
+from ..operators.dedup import latest_wins_agg
 
 # Engine's hiring vocabulary (same capability as the reference's 30-phrase
 # list at ``Tweets_preprocessing.py:584-589``; the exact phrase list is
@@ -163,7 +168,7 @@ def preprocess(
     (reference D1, ``Tweets_preprocessing.py:464-466``).
     """
     flat = flatten_tweets(raw)
-    deduped = latest_wins(flat, ["org_id"], "samp_datetime", ["samp_id"])
+    deduped = latest_wins_agg(flat, ["org_id"], "samp_datetime", ["samp_id"])
     return hiring_filter(deduped, terms=terms) if apply_hiring_filter else deduped
 
 

@@ -84,22 +84,33 @@ def _mk_status(doc_id: Column, text: Column, created_epoch: Column,
 
 def tweets_from_documents(docs: DataFrame) -> DataFrame:
     """Nested raw-tweet DataFrame: one observation per document plus a later
-    re-observation (higher counts) for every 7th doc."""
+    re-observation (higher counts) for every 7th doc.
+
+    If ``docs`` carries an optional ``org_doc_id`` column, the INNER
+    (quoted/retweeted) status takes that id instead of ``doc_id`` — many
+    outer observations then share one org_id, which is exactly a celebrity
+    tweet retweeted en masse. Used by :func:`scaled_tweet_corpus`'s
+    ``hot_pct`` to synthesize the skewed-dedup bench corpus; absent the
+    column, behavior is unchanged (org id == doc_id)."""
     # re-observations only for retweet/quote branches: an original's org_id
     # IS its samp_id, so a "re-observation" would be a different tweet.
-    base = docs.select("doc_id", "text", F.lit(0).alias("re_obs")).unionByName(
+    cols = ["doc_id", "text"] + (
+        ["org_doc_id"] if "org_doc_id" in docs.columns else []
+    )
+    base = docs.select(*cols, F.lit(0).alias("re_obs")).unionByName(
         docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 3 != 0)).select(
-            "doc_id", "text", F.lit(1).alias("re_obs")
+            *cols, F.lit(1).alias("re_obs")
         )
     )
     doc_id = F.col("doc_id")
+    org_doc = F.col("org_doc_id") if "org_doc_id" in docs.columns else doc_id
     text = F.col("text")
     branch = doc_id % 3
     org_epoch = F.lit(EPOCH_2022) + doc_id
     samp_epoch = org_epoch + 3600 + F.col("re_obs") * 7200
     fav_bonus = F.col("re_obs") * 5
 
-    org = _mk_status(doc_id, text, org_epoch, fav_bonus)
+    org = _mk_status(org_doc, text, org_epoch, fav_bonus)
     samp_id = doc_id + 1000000 + F.col("re_obs") * 1000000
 
     # the sampled (outer) status: for originals it IS the org status but with
@@ -144,6 +155,7 @@ def scaled_tweet_corpus(
     out_dir: str,
     target_mb: int = 120,
     files: int = 32,
+    hot_pct: int = 0,
 ) -> tuple[str, float]:
     """Materialize a >= ``target_mb`` raw-tweet corpus as JSON on disk, for
     benchmarking the end-to-end preprocess pipeline at the reference's
@@ -155,6 +167,12 @@ def scaled_tweet_corpus(
     ``files`` files: unlike the reference's multiLine JSON arrays (one
     non-splittable task per file), JSONL splits by byte range — the format a
     100 TB deployment would use.
+
+    ``hot_pct`` > 0 makes that percentage of all rows (retweet-branch rows
+    with ``doc_id % 30`` in the first hot_pct/10*3 residues ≡ 1 mod 3)
+    re-observations of ONE celebrity org — the skewed-dedup stress corpus
+    (verdict r3 ask #4): latest-wins then sees a single org_id carrying
+    ~hot_pct% of the corpus.
 
     Idempotent: returns the cached corpus if present (a _SIZE marker records
     bytes). Returns (path, size_mb).
@@ -183,6 +201,15 @@ def scaled_tweet_corpus(
         (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
         "text",
     )
+    if hot_pct:
+        # residues {1, 4, 7, ...} mod 30 are all ≡ 1 mod 3 (retweet branch,
+        # so org_id comes from the INNER status we override); each residue
+        # adds 1/30 ≈ 3.33% of rows to the celebrity key
+        residues = [1 + 3 * i for i in range(max(1, round(hot_pct / (100 / 30))))]
+        is_hot = (F.col("doc_id") % 30).isin(residues)
+        replicated = replicated.withColumn(
+            "org_doc_id", F.when(is_hot, F.lit(7)).otherwise(F.col("doc_id"))
+        )
     tweets = tweets_from_documents(replicated)
     tweets.repartition(files).write.mode("overwrite").json(out_dir)
 

@@ -178,6 +178,26 @@ def test_range_join_is_broadcast(spark):
     assert out.count() == e.count()  # left join keeps every fact row
 
 
+def test_latest_wins_agg_equals_window_form(spark):
+    """latest_wins_agg (skew-proof max_by) row-for-row equals the row_number
+    window on real data AND on the NULL-ordering edge cases (NULL order loses
+    to non-NULL; all-NULL key still yields its one row)."""
+    e = load_table(spark, SF_DIR, "events")
+    a = dedup.latest_wins(e, ["user_id"], "ts", ["event_id"])
+    b = dedup.latest_wins_agg(e, ["user_id"], "ts", ["event_id"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    edge = spark.createDataFrame(
+        [(1, None, 5, "a"), (1, 10, 1, "b"), (1, 10, 2, "c"), (2, None, 1, "d")],
+        "k int, t int, u int, v string",
+    )
+    for fn in (dedup.latest_wins, dedup.latest_wins_agg):
+        assert sorted(map(tuple, fn(edge, ["k"], "t", ["u"]).collect())) == [
+            (1, 10, 2, "c"),
+            (2, None, 1, "d"),
+        ], fn.__name__
+
+
 def test_merge_latest_idempotent(spark):
     e = load_table(spark, SF_DIR, "events")
     first = dedup.latest_wins(e, ["user_id"], "ts", ["event_id"])

@@ -205,6 +205,16 @@ def test_preprocess_flatten_is_single_pass(spark):
     assert len(re.findall(r"Scan parquet", p)) <= 2, p.count("Scan parquet")
 
 
+def test_preprocess_dedup_is_partial_agg_not_window(spark):
+    """The latest-wins dedup must compile to a two-phase max_by aggregation —
+    map-side combine shrinks a celebrity org_id to one row per task BEFORE
+    the shuffle — never a row_number window, which funnels the whole hot key
+    into one task (AQE skew-splits joins, not windows)."""
+    p = plan_of(spark, "ext_preprocess_pipeline")
+    assert "partial_max_by" in p, p
+    assert "Window" not in p, "dedup regressed to a window"
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Co-located join layout: two tables bucketed on the join key join with
     ZERO Exchange nodes (no shuffle on either side) — the bucketing contract

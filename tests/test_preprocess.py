@@ -304,3 +304,33 @@ def test_write_outputs_roundtrip(raw, spark, tmp_path):
     assert csv_back.count() == out.count()
     row = {r["org_id"]: r for r in csv_back.collect()}["101"]
     assert row["org_hashtags"] == '["jobs"]'
+
+
+def test_skewed_corpus_hot_key_dedups_to_one_row(spark):
+    """The hot_pct generator path (bench's preprocess_skewed corpus): ~10% of
+    retweet-branch rows share ONE celebrity org_id, and the skew-proof
+    latest-wins still reduces that key to exactly one output row."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources.synthetic import (
+        tweets_from_documents,
+    )
+
+    docs = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("hiring text "), F.col("id").cast("string")).alias("text"),
+    )
+    residues = [1, 4, 7]
+    hot = (F.col("doc_id") % 30).isin(residues)
+    skewed = docs.withColumn(
+        "org_doc_id", F.when(hot, F.lit(7)).otherwise(F.col("doc_id"))
+    )
+    out = preprocess(tweets_from_documents(skewed), apply_hiring_filter=False)
+    by_org = {r["org_id"]: r["cnt"] for r in
+              out.groupBy("org_id").count().withColumnRenamed("count", "cnt").collect()}
+    assert all(c == 1 for c in by_org.values())  # dedup invariant holds
+    assert 7 in by_org  # the celebrity org survived as one row
+    # the hot key really was hot pre-dedup: 60/600 base rows (+ re-obs)
+    flat = flatten_tweets(tweets_from_documents(skewed))
+    n_hot = flat.filter(F.col("org_id") == 7).count()
+    assert n_hot >= 60, n_hot
