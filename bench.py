@@ -4,9 +4,12 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
+   "served_refresh_sec": <per-micro-batch serve-loop cost>,
    "preprocess_scaled": {"input_mb": ..., "sec": ..., "mb_per_sec": ...,
                          "baseline_mb_per_sec": 1.11, "speedup_vs_baseline": ...},
    "preprocess_scaled_1gb": {same shape, ~1 GB input},
+   "preprocess_skewed": {same shape + "ratio_vs_uniform", one org_id = ~10% of rows},
+   "preprocess_scaled_10gb": {same shape, ~10 GB input, single timed run},
    "regressions": {name: {"prev": sec, "cur": sec, "ratio": ...}, ...}}
 
 ``regressions`` compares to the most recent BENCH_r{N}.json in the repo
@@ -198,7 +201,9 @@ def bench_ann_served(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def bench_preprocess_scaled(spark, target_mb: int = 120, tag: str = "") -> dict:
+def bench_preprocess_scaled(
+    spark, target_mb: int = 120, tag: str = "", hot_pct: int = 0, runs: int = 2
+) -> dict:
     from job_search_engine_using_pyspark_solar_and_angular_spark.plans.preprocess import (
         preprocess,
         write_outputs,
@@ -210,7 +215,7 @@ def bench_preprocess_scaled(spark, target_mb: int = 120, tag: str = "") -> dict:
 
     corpus_dir = os.path.join(BENCH_DIR, f"tweets_json{tag}")
     path, size_mb = scaled_tweet_corpus(
-        spark, "/root/testdata/sf0.1", corpus_dir, target_mb=target_mb
+        spark, "/root/testdata/sf0.1", corpus_dir, target_mb=target_mb, hot_pct=hot_pct
     )
     # explicit schema: taken from the generator's plan, not inferred per-file
     # (the reference re-infers per file — one of its measured costs; a fixed
@@ -224,7 +229,7 @@ def bench_preprocess_scaled(spark, target_mb: int = 120, tag: str = "") -> dict:
     out_parquet = os.path.join(BENCH_DIR, f"out_parquet{tag}")
     out_csv = os.path.join(BENCH_DIR, f"out_csv{tag}")
     sec = float("inf")
-    for _ in range(2):  # min of 2, same policy as the per-query timings
+    for _ in range(runs):  # min-of-runs, same policy as the per-query timings
         t0 = time.perf_counter()
         raw = spark.read.schema(schema).json(path)
         result = preprocess(raw)
@@ -241,6 +246,54 @@ def bench_preprocess_scaled(spark, target_mb: int = 120, tag: str = "") -> dict:
         "baseline_mb_per_sec": round(BASELINE_MB_PER_SEC, 2),
         "speedup_vs_baseline": round(mb_per_sec / BASELINE_MB_PER_SEC, 1),
     }
+
+
+def bench_served_refresh(spark, sf_dir: str) -> float:
+    """Per-micro-batch cost of the FULL serve loop (search/serve_loop.py:
+    dedup gate vs corpus LSH buckets -> fresh postings segment -> stats +
+    tombstones -> vector segment -> manifest publish) against corpus-sized
+    serving state. Bootstrap (segment 1 = the whole documents table) is
+    excluded — the reported figure is min-of-2 over successive ~200-doc
+    delta batches (half genuinely new, half near-dup arrivals the gate
+    suppresses), i.e. what a production re-index pays per batch."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search import (
+        serve_loop,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(BENCH_DIR, f"serving_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)  # fresh serving state per run
+    prefix = f"jse_serve_{sf_tag.replace('.', '_')}"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    corpus = docs.join(emb, "doc_id", "left")
+    serve_loop.serve_batch(spark, corpus, base, prefix, vec_col="embedding")
+
+    best = float("inf")
+    for i in (1, 2):
+        fresh = corpus.filter(F.col("doc_id") % 50 == i).select(
+            (F.col("doc_id") + 1_000_000 * i).alias("doc_id"),
+            F.format_string(
+                "fresh arrival %d engine refresh batch %d unique body %d",
+                F.col("doc_id"), F.lit(i), F.col("doc_id") + F.lit(7 * i),
+            ).alias("text"),
+            "embedding",
+        )
+        dups = corpus.filter(F.col("doc_id") % 50 == 10 + i).select(
+            (F.col("doc_id") + 2_000_000 * i).alias("doc_id"), "text", "embedding"
+        )
+        batch = fresh.unionByName(dups)
+        t0 = time.perf_counter()
+        serve_loop.serve_batch(spark, batch, base, prefix, vec_col="embedding")
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def regressions_vs_previous(timings: dict[str, float]) -> dict:
@@ -301,11 +354,21 @@ def main() -> None:
 
     timings["q20_bm25_served"] = bench_bm25_served(spark, sf_dir)
     timings["ann_lsh_served"] = bench_ann_served(spark, sf_dir)
+    served_refresh = bench_served_refresh(spark, sf_dir)
     scaled = bench_preprocess_scaled(spark)
     # sustained-throughput point: the same end-to-end job at ~1 GB (8x the
     # reference's measured volume) — the figure that shows per-job fixed
     # costs amortized, recorded in the artifact rather than claimed in prose
     scaled_1gb = bench_preprocess_scaled(spark, target_mb=1000, tag="_1gb")
+    # skew stress (r3 verdict ask #4): same volume, ONE org_id holding ~10%
+    # of all rows — the max_by dedup's map-side combine should keep this
+    # within noise of the uniform run (ratio_vs_uniform ~1.0)
+    skewed = bench_preprocess_scaled(spark, tag="_skew", hot_pct=10)
+    skewed["ratio_vs_uniform"] = round(skewed["sec"] / scaled["sec"], 2)
+    # sustained point past page-cache effects: ~10 GB, one timed run (fixed
+    # costs are already amortized at this volume; min-of-2 would double a
+    # ~2-minute probe for no information)
+    scaled_10gb = bench_preprocess_scaled(spark, target_mb=10_000, tag="_10gb", runs=1)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
@@ -317,8 +380,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "served_refresh_sec": served_refresh,
                 "preprocess_scaled": scaled,
                 "preprocess_scaled_1gb": scaled_1gb,
+                "preprocess_skewed": skewed,
+                "preprocess_scaled_10gb": scaled_10gb,
                 "regressions": regressions_vs_previous(timings),
             }
         )

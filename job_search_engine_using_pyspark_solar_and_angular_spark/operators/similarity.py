@@ -504,7 +504,11 @@ def lsh_bucket_int8(
     different length null-pads, the aggregate sum goes NULL, and every
     vector would silently land in bucket 0 (a degenerate one-bucket index
     with no pruning). Guarded: any row whose ``size(codes) != dim`` raises
-    at execution time instead of null-poisoning the dot product."""
+    at execution time instead of null-poisoning the dot product. The guard
+    is an ``assert_true`` on the SIZE alone, added as a NULL-coalesced zero
+    — wrapping the whole 4-plane dot product in when/otherwise(raise_error)
+    measured 2x slower on the full ANN query (the conditional blocks
+    subexpression reuse around the join on bucket)."""
     bits = []
     for j in range(num_planes):
         plane = F.array(
@@ -519,18 +523,18 @@ def lsh_bucket_int8(
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    guarded = F.when(
-        F.size(F.col(codes_col)) == F.lit(dim), bucket.cast("int")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("lsh_bucket_int8: codes length "),
-                F.size(F.col(codes_col)).cast("string"),
-                F.lit(f" != plane dim {dim}; pass dim= matching the embedding"),
-            )
-        ).cast("int")
+    guard = F.assert_true(
+        F.size(F.col(codes_col)) == F.lit(dim),
+        F.concat(
+            F.lit("lsh_bucket_int8: codes length "),
+            F.size(F.col(codes_col)).cast("string"),
+            F.lit(f" != plane dim {dim}; pass dim= matching the embedding"),
+        ),
+    )  # NULL when the size matches, raises otherwise
+    return quantized.withColumn(
+        bucket_col,
+        (bucket + F.coalesce(guard.cast("int"), F.lit(0))).cast("int"),
     )
-    return quantized.withColumn(bucket_col, guarded)
 
 
 def quantize_int8(

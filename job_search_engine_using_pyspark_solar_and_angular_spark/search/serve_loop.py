@@ -166,9 +166,10 @@ def serve_batch(
             replaced = None
             updated_stats = new_stats
         commit_state(updated_stats, p["doc_stats"])
-        # corpus constants re-derive from the committed doc_stats (NOT an
-        # increment — idempotent on retry); exact: integer sum / count
-        scalar = read_state(spark, p["doc_stats"]).agg(
+        # corpus constants re-derive from the full doc_stats (NOT an
+        # increment — idempotent on retry: updated_stats is a pure function
+        # of the previously COMMITTED state + this batch); exact: sum/count
+        scalar = updated_stats.agg(
             F.count("*").alias("n_docs"),
             F.avg(F.col("doc_len").cast("double")).alias("avg_dl"),
         )

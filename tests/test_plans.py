@@ -69,8 +69,12 @@ def test_no_python_udfs_in_relational_queries(spark):
             offenders.append(name)
         if "ArrowEvalPython" in p or "MapInPandas" in p:
             # Arrow-batched Python is sanctioned ONLY where built-ins can't
-            # express the op: multimodal decode and the numpy rerank tier.
-            if "multimodal" not in name and "rerank_np" not in name:
+            # express the op: multimodal (image/audio/video) decode and the
+            # numpy rerank tier.
+            if (
+                not any(m in name for m in ("multimodal", "image", "audio", "video"))
+                and "rerank_np" not in name
+            ):
                 offenders.append(f"{name} (arrow python outside multimodal)")
     assert not offenders, offenders
 

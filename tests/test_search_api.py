@@ -419,6 +419,15 @@ def test_search_with_query_correction(spark):
         spark, idx, "spak jion", k=10, max_dist=2
     )
     assert corrected == ["spark", "join"]
+
+    # a 2-DELETION typo ('spk' -> 'spark') also corrects at depth 2 but
+    # passes through unchanged at the default depth 1
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.api import (
+        correct_query_terms,
+    )
+
+    assert correct_query_terms(spark, idx, ["spk"], max_dist=2) == ["spark"]
+    assert correct_query_terms(spark, idx, ["spk"], max_dist=1) == ["spk"]
     got = [(r["doc_id"], r["score"]) for r in res.collect()]
     want = [
         (r["doc_id"], r["score"])
