@@ -64,6 +64,14 @@ def latest_wins_agg(
     task reduces the hot key to ONE row before the shuffle, so skew costs
     nothing. Use the window form only when more than the top-1 row per key is
     needed (rank/top-k); use this for dedup-to-one-row.
+
+    Physical shape: struct-typed aggregation buffers aren't hash-aggregable,
+    so this compiles to partial+final SortAggregate — the map side sorts its
+    partition by key (same order the window pays AFTER its full shuffle) and
+    ships ONE row per (mapper, key). Net vs the window at scale: shuffle
+    volume drops from every-row to per-mapper-winners, and no task ever owns
+    a whole hot key; locally on tiny data the struct buffer costs a small
+    constant (~15-30% on a 6k-row corpus), accepted deliberately.
     Pinned: partial_max_by visible pre-shuffle (tests/test_plans.py) and a
     10%-hot-key bench entry (``preprocess_skewed`` in bench.py)."""
     order = F.struct(F.col(order_col), *[F.col(c) for c in (tiebreak_cols or [])])
