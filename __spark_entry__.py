@@ -67,7 +67,9 @@ _PRIORITY = [
     *[n for n in _QUERIES if n.startswith("q") and n[1].isdigit()],  # q01..q24
     "sql_frontdoor",
     "ext_preprocess_pipeline",
-    "ext_asof_join",
+    # r4 rotation: ext_asof_join (driver-certified r1-r3) -> the serve-loop
+    # end-to-end row; asof stays exact-oracle-checked locally every run
+    "ext_serve_loop_e2e",
     "ext_ann_lsh_quantized",
     "ext_batch_cosine_topk",
     "ext_tpch_q1",

@@ -4961,3 +4961,54 @@ def ext_sql_lateral(spark, sf_dir):
     LATERAL comparison."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_lat")
     return spark.sql(_LATERAL_SQL)
+
+
+_SERVE_E2E_NEW_DOCS = [
+    (9000001, "spark join adaptive shuffle pruning fresh arrival one"),
+    (9000002, "spark broadcast join execution replans fresh arrival two"),
+]
+
+
+@query("ext_serve_loop_e2e")
+def ext_serve_loop_e2e(spark, sf_dir):
+    """The FULL streaming serve loop (search/serve_loop.py) driven
+    end-to-end as a certifiable query — the reference's production
+    architecture (``Main/SolrIndexer.java:25-45`` re-index per batch +
+    ``SolrRanker.java:66-91`` serve from the live index): bootstrap serving
+    state from the documents corpus (segment 1, self-gated), push one delta
+    micro-batch through gate -> delta-index -> publish (two genuinely new
+    docs index; one near-dup arrival — an exact copy of doc 1's text under
+    a new id — is suppressed by the MinHash-LSH gate), then serve BM25
+    top-10 for ['spark','join'] from the refreshed ON-DISK segment index.
+
+    The DuckDB oracle replays the same two-stage gate with the proven
+    banded-minhash SQL (shared with ext_minhash_candidates) and the same
+    BM25 arithmetic (shared with q20) over the resulting corpus — so a
+    green row certifies the serve loop's core claim: served results are
+    EXACTLY a batch rebuild over the latest-wins corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..search import serve_loop
+    from ..search.bm25 import bm25_search
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"jse_serve_e2e_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    prefix = f"jse_sl_e2e_{sf_tag}"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    serve_loop.serve_batch(spark, docs, base, prefix, postings_buckets=4)
+
+    delta = spark.createDataFrame(
+        _SERVE_E2E_NEW_DOCS, "doc_id long, text string"
+    ).unionByName(
+        docs.filter(F.col("doc_id") == 1).select(
+            F.lit(9000003).cast("long").alias("doc_id"), "text"
+        )
+    )
+    serve_loop.serve_batch(spark, delta, base, prefix, postings_buckets=4)
+
+    idx = serve_loop.read_served_index(spark, base)
+    return bm25_search(spark, idx, ["spark", "join"], k=10)

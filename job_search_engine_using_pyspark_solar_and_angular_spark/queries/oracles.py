@@ -3775,3 +3775,78 @@ SELECT facet, value, n, CAST(rn AS BIGINT) AS rn FROM ranked
 WHERE rn <= 5 ORDER BY facet, rn
 """
 
+
+
+def _serve_loop_e2e_oracle() -> str:
+    """ext_serve_loop_e2e: replay the serve loop's TWO-STAGE gate in SQL
+    (stage 1: bootstrap batch self-gates — a doc is suppressed iff it shares
+    a band bucket with ANY lower-id doc in the batch; stage 2: the delta
+    batch gates against the SURVIVORS' buckets plus lower-id delta docs),
+    then score BM25 over the resulting corpus with q20's arithmetic. The
+    banded-minhash fragments mirror _minhash_sig_cte/_band_cte (proven by
+    ext_minhash_candidates) but run over the combined corpus + delta."""
+    from .extensions import _SERVE_E2E_NEW_DOCS
+
+    new_vals = ", ".join(f"({i}, '{t}')" for i, t in _SERVE_E2E_NEW_DOCS)
+    mins = ", ".join(
+        f"MIN(({a} * (h % 2147483647) + {b}) % {MERSENNE_61}) AS m{i}"
+        for i, (a, b) in enumerate(_MINHASH_PARAMS[:16])
+    )
+    band_parts = []
+    for bidx in range(4):
+        cols = [f"m{bidx * 4 + j}" for j in range(4)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_parts.append(f"SELECT doc_id, {bidx} AS band, {key} AS bk FROM sigs2")
+    bands2 = " UNION ALL ".join(band_parts)
+    return f"""
+WITH allc AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {new_vals}) v(doc_id, text)
+  UNION ALL SELECT 9000003 AS doc_id, text FROM documents WHERE doc_id = 1
+),
+toks2 AS (SELECT doc_id, {TOKS} AS tk FROM allc),
+grams2 AS (
+  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks2)
+),
+hashes2 AS (SELECT DISTINCT doc_id, {md5long('sh')} AS h FROM grams2),
+sigs2 AS (SELECT doc_id, {mins} FROM hashes2 GROUP BY doc_id),
+bands2 AS ({bands2}),
+sup1 AS (
+  SELECT DISTINCT a.doc_id FROM bands2 a JOIN bands2 b
+    ON a.band = b.band AND a.bk = b.bk
+  WHERE a.doc_id < 9000000 AND b.doc_id < a.doc_id),
+surv1 AS (SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM sup1)),
+sup2 AS (
+  SELECT DISTINCT a.doc_id FROM bands2 a JOIN bands2 b
+    ON a.band = b.band AND a.bk = b.bk
+  WHERE a.doc_id >= 9000000 AND (
+        (b.doc_id < 9000000 AND b.doc_id IN (SELECT doc_id FROM surv1))
+     OR (b.doc_id >= 9000000 AND b.doc_id < a.doc_id))),
+corpus AS (
+  SELECT a.doc_id, a.text FROM allc a
+  WHERE a.doc_id IN (SELECT doc_id FROM surv1)
+     OR (a.doc_id >= 9000000 AND a.doc_id NOT IN (SELECT doc_id FROM sup2))),
+toksb AS (SELECT doc_id, unnest({TOKS}) AS token FROM corpus),
+postings AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toksb GROUP BY doc_id, token),
+dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM postings
+          WHERE token IN ('spark', 'join') GROUP BY token),
+scores AS (
+  SELECT p.doc_id,
+         SUM( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * {K1 + 1.0!r}
+              / (p.tf + {K1!r} * (1.0 - {B!r} + {B!r} * l.dl / s.avgdl)) ) AS raw
+  FROM postings p
+  JOIN dfreq d ON p.token = d.token
+  JOIN dlen l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT doc_id, ROUND(raw, 4) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+ORACLES["ext_serve_loop_e2e"] = _serve_loop_e2e_oracle()
