@@ -316,6 +316,22 @@ def _python_probe_buckets(
     return probes
 
 
+def _read_vector_segments(spark, p: dict, segs: list[int]) -> DataFrame | None:
+    """Union the vector segments that exist on disk; None when the loop ran
+    text-only (vec_col=None writes no vector segment for that batch — a
+    batch of docs without embeddings is normal, not an error)."""
+    import os
+
+    vecs = None
+    for s in segs:
+        path = f"{p['vectors']}/seg{s}"
+        if not os.path.isdir(path):
+            continue
+        df = spark.read.schema(VEC_SCHEMA).parquet(path)
+        vecs = df if vecs is None else vecs.unionByName(df)
+    return vecs
+
+
 def vector_search_served(
     spark: SparkSession,
     base: str,
@@ -337,10 +353,12 @@ def vector_search_served(
     if man is None:
         raise FileNotFoundError(f"no serving manifest committed under {base}")
     segs = [r["seg"] for r in man.orderBy("seg").collect()]
-    vecs = None
-    for s in segs:
-        df = spark.read.schema(VEC_SCHEMA).parquet(f"{p['vectors']}/seg{s}")
-        vecs = df if vecs is None else vecs.unionByName(df)
+    vecs = _read_vector_segments(spark, p, segs)
+    if vecs is None:
+        raise FileNotFoundError(
+            f"no vector segments under {base}: the serve loop ran without "
+            "vec_col, so there is no ANN tier to query"
+        )
     probes = _python_probe_buckets(query_vec, num_planes, dim, multiprobe)
     cands = _alive(vecs.filter(F.col("bucket").isin(probes)), read_state(spark, p["tombstones"]))
     qv = F.array(*[F.lit(float(v)) for v in query_vec])
@@ -375,20 +393,18 @@ def compact_segments(
         .option("path", f"{p['postings']}_seg{new_seg}")
         .saveAsTable(seg_table)
     )
-    vecs = None
-    for s, _ in old_segs:
-        df = spark.read.schema(VEC_SCHEMA).parquet(f"{p['vectors']}/seg{s}")
-        vecs = df if vecs is None else vecs.unionByName(df)
-    alive_vecs = _alive(vecs, read_state(spark, p["tombstones"]))
-    (
-        alive_vecs.select(
-            "doc_id", "embedding", F.lit(new_seg).cast("int").alias("seg"), "bucket"
+    vecs = _read_vector_segments(spark, p, [s for s, _ in old_segs])
+    if vecs is not None:
+        alive_vecs = _alive(vecs, read_state(spark, p["tombstones"]))
+        (
+            alive_vecs.select(
+                "doc_id", "embedding", F.lit(new_seg).cast("int").alias("seg"), "bucket"
+            )
+            .repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{p['vectors']}/seg{new_seg}")
         )
-        .repartition(F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{p['vectors']}/seg{new_seg}")
-    )
     commit_state(
         spark.createDataFrame([], "doc_id long, before_seg int"), p["tombstones"]
     )

@@ -263,3 +263,23 @@ def test_serve_loop_sink_streaming(spark, tmp_path):
     assert _bm25_rows(spark, i_stream, ["adaptive"])[0][0] == 100
     top = serve_loop.vector_search_served(spark, base, _emb(100), k=2).collect()
     assert top[0]["doc_id"] == 100 and top[0]["sim"] == 1.0
+
+
+def test_text_only_loop_has_no_vector_tier(spark, tmp_path):
+    """vec_col=None (a corpus without embeddings) is a first-class mode:
+    keyword serving and compaction work; the ANN tier reports itself absent
+    instead of crashing on missing segment dirs."""
+    base, prefix = str(tmp_path / "srv"), _prefix(tmp_path) + "t"
+    s = serve_loop.serve_batch(
+        spark,
+        spark.createDataFrame(DOCS, "doc_id long, text string"),
+        base, prefix, postings_buckets=4,
+    )
+    assert s["indexed"] == 6
+    idx = serve_loop.read_served_index(spark, base)
+    assert _bm25_rows(spark, idx, ["spark"])[0][0] == 1
+    with pytest.raises(FileNotFoundError, match="no vector segments"):
+        serve_loop.vector_search_served(spark, base, _emb(1), k=2)
+    serve_loop.compact_segments(spark, base, prefix, postings_buckets=4)
+    idx2 = serve_loop.read_served_index(spark, base)
+    assert _bm25_rows(spark, idx2, ["spark"]) == _bm25_rows(spark, idx, ["spark"])
