@@ -6,30 +6,37 @@ the served BM25/ANN tiers.
 
 Per micro-batch (:func:`serve_batch`):
 
-1. **Gate** — MinHash-LSH sketch ONLY the batch, join against the maintained
-   corpus bucket table: arrivals that share a band bucket with an existing
-   doc (different id — same-id is a replace-by-id UPDATE, reference
+1. **Gate** — MinHash-LSH sketch ONLY the batch, join against the live
+   corpus bucket rows (union of per-segment bucket tables, tombstone-
+   filtered): arrivals that share a band bucket with an existing doc
+   (different id — same-id is a replace-by-id UPDATE, reference
    ``SolrIndexer.java:36-45``) or with an earlier-id batch doc are
    suppressed. Cost scales with the batch, never the corpus.
 2. **Index delta** — survivors' postings are built fresh (churn-sized
    tokenize) and published as a NEW token-bucketed segment table; replaced
    doc_ids get a tombstone ``(doc_id, before_seg)``. This is the Lucene
    segment + delete-bitmap model expressed in Spark tables: the 100 TB
-   component (postings) is append-only, a re-index never rewrites history.
-3. **Stats** — per-doc lengths merge churn-sized into the versioned
-   doc_stats state; the 1-row corpus constants (n_docs, avg_dl) re-derive
-   from it so a served query reads 1 row, never re-aggregates the corpus.
+   components are append-only, a re-index never rewrites history.
+3. **Stats** — EVERYTHING doc-grain is segmented the same way: per-doc
+   lengths and the batch's LSH bucket rows are written as batch-sized
+   segment files (never a rewrite of corpus state — per-batch write volume
+   is O(batch), not O(corpus)); the corpus constants (n_docs, avg_dl) are
+   per-segment PARTIALS (new counts/sums plus the replaced docs' retracted
+   counts/sums, looked up churn-sized at batch time), so the served value
+   derives from <= n_segments rows — exact integer arithmetic, identical
+   to re-aggregating doc_stats.
 4. **Vector delta** — survivors' embeddings append as a bucket-partitioned
    segment under the int8-LSH layout, so served ANN still reads only probed
    bucket partitions (static partition pruning) and the same tombstones
    invalidate replaced vectors.
 5. **Publish** — the segment manifest commits LAST (versioned state store,
    atomic pointer flip): a crash anywhere earlier leaves the previous
-   manifest live and every step idempotent on Structured Streaming's retry
-   (segment writes are mode-overwrite to seg-deterministic locations; state
-   merges are anti-join+union / union-distinct; the corpus scalar re-derives
-   from doc_stats instead of incrementing). Pinned by the crash-injection
-   replay test.
+   manifest live — uncommitted segment directories are invisible because
+   every read iterates the manifest's segment list — and every step is
+   idempotent on Structured Streaming's retry (all segment writes are
+   mode-overwrite to seg-deterministic locations; partials derive from
+   COMMITTED state + the batch, never from increments). Pinned by the
+   crash-injection replay test.
 
 Served reads (:func:`read_served_index` / :func:`vector_search_served`)
 union the manifest's segments and drop tombstoned rows (seg < the doc's
@@ -98,18 +105,31 @@ def serve_batch(
     row whose id already exists in the corpus is a replace-by-id update."""
     p = _paths(base)
     man = read_state(spark, p["manifest"])
-    seg = 1 if man is None else 1 + man.agg(F.max("seg")).collect()[0][0]
+    prior_segs = (
+        [] if man is None else [r["seg"] for r in man.orderBy("seg").collect()]
+    )
+    seg = 1 if not prior_segs else 1 + prior_segs[-1]
+    max_committed = prior_segs[-1] if prior_segs else 0
+    # tombstones from a PREVIOUS crashed attempt of this very seg are
+    # clamped out (before_seg <= max committed seg) so a retry sees exactly
+    # the pre-batch live state — the differential partials stay idempotent
+    tombs_df = read_state(spark, p["tombstones"]) if prior_segs else None
 
     batch = batch.persist()
     nb = minhash_bucket_table(
         batch, id_col, text_col, shingle_n, num_perm, bands
     ).persist()
     survivors = None
+    replaced_stats = None
     try:
-        # ---- 1. gate: vs corpus buckets, then vs earlier-id batch docs ----
-        corpus_buckets = read_state(spark, p["lsh"])
+        # ---- 1. gate: vs live corpus buckets, then earlier-id batch docs ---
         sup_parts = []
-        if corpus_buckets is not None:
+        if prior_segs:
+            corpus_buckets = _alive(
+                _union_segments(spark, p["lsh"], prior_segs),
+                tombs_df,
+                max_committed,
+            )
             sup_parts.append(
                 nb.join(
                     corpus_buckets.select(
@@ -147,53 +167,68 @@ def serve_batch(
             .saveAsTable(seg_table)
         )
 
-        # ---- 3. stats + tombstones -----------------------------------------
+        # ---- 3. doc-grain SEGMENTS: stats, scalar partials, tombstones -----
+        # per-batch write volume is O(batch): the new stats rows and the
+        # batch's scalar partial are segment files; corpus state is never
+        # rewritten (the old design re-committed the full doc_stats and LSH
+        # tables every batch — O(corpus) write amplification at scale)
         new_stats = fresh.postings.groupBy("doc_id").agg(
             F.sum("tf").alias("doc_len")
         )
-        old_stats = read_state(spark, p["doc_stats"])
-        if old_stats is not None:
-            # ids being replaced (on a RETRY after doc_stats already
-            # committed this also captures genuinely-new survivor ids —
-            # harmless: their rows live in seg >= before_seg)
-            replaced = old_stats.join(surv_ids, "doc_id", "left_semi").select(
-                "doc_id"
+        if prior_segs:
+            alive_stats = _alive(
+                _union_segments(spark, p["doc_stats"], prior_segs),
+                tombs_df,
+                max_committed,
             )
-            updated_stats = old_stats.join(
-                surv_ids, "doc_id", "left_anti"
-            ).unionByName(new_stats)
-        else:
-            replaced = None
-            updated_stats = new_stats
-        commit_state(updated_stats, p["doc_stats"])
-        # corpus constants re-derive from the full doc_stats (NOT an
-        # increment — idempotent on retry: updated_stats is a pure function
-        # of the previously COMMITTED state + this batch); exact: sum/count
-        scalar = updated_stats.agg(
-            F.count("*").alias("n_docs"),
-            F.avg(F.col("doc_len").cast("double")).alias("avg_dl"),
+            # churn-sized: the replaced docs' OLD rows (for tombstones and
+            # the retraction side of this segment's scalar partial)
+            replaced_stats = alive_stats.join(
+                surv_ids, "doc_id", "left_semi"
+            ).persist()
+        new_stats.withColumn("seg", F.lit(seg)).write.mode("overwrite").parquet(
+            f"{p['doc_stats']}/seg{seg}"
         )
-        commit_state(scalar, p["scalar"])
+        newagg = new_stats.agg(
+            F.count("*").alias("n_new"),
+            F.coalesce(F.sum("doc_len"), F.lit(0)).cast("long").alias("sum_new"),
+        )
+        if replaced_stats is not None:
+            repagg = replaced_stats.agg(
+                F.count("*").alias("n_rep"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).cast("long").alias("sum_rep"),
+            )
+            partial = newagg.crossJoin(repagg)
+        else:
+            partial = newagg.select(
+                "n_new",
+                "sum_new",
+                F.lit(0).cast("long").alias("n_rep"),
+                F.lit(0).cast("long").alias("sum_rep"),
+            )
+        partial.select(
+            F.lit(seg).cast("int").alias("seg"),
+            F.col("n_new").cast("long").alias("n_new"),
+            "sum_new",
+            F.col("n_rep").cast("long").alias("n_rep"),
+            "sum_rep",
+        ).write.mode("overwrite").parquet(f"{p['scalar']}/seg{seg}")
 
-        if replaced is not None:
-            tomb_new = replaced.withColumn("before_seg", F.lit(seg))
-            tomb_old = read_state(spark, p["tombstones"])
+        if replaced_stats is not None:
+            tomb_new = replaced_stats.select("doc_id").withColumn(
+                "before_seg", F.lit(seg)
+            )
             tombs = (
                 tomb_new
-                if tomb_old is None
-                else tomb_old.unionByName(tomb_new)
+                if tombs_df is None
+                else tombs_df.unionByName(tomb_new)
             ).distinct()
             commit_state(tombs, p["tombstones"])
 
-        # ---- 4. LSH bucket state (refresh semantics: replaced rows drop) ---
-        surv_buckets = nb.join(surv_ids, "doc_id", "left_semi")
-        if corpus_buckets is not None:
-            lsh_new = corpus_buckets.join(
-                surv_ids, "doc_id", "left_anti"
-            ).unionByName(surv_buckets)
-        else:
-            lsh_new = surv_buckets
-        commit_state(lsh_new.distinct(), p["lsh"])
+        # ---- 4. LSH bucket segment (survivors' buckets, batch-sized) -------
+        nb.join(surv_ids, "doc_id", "left_semi").withColumn(
+            "seg", F.lit(seg)
+        ).write.mode("overwrite").parquet(f"{p['lsh']}/seg{seg}")
 
         # ---- 5. vector segment ---------------------------------------------
         if vec_col is not None:
@@ -241,45 +276,86 @@ def serve_batch(
         batch.unpersist()
         if survivors is not None:
             survivors.unpersist()
+        if replaced_stats is not None:
+            replaced_stats.unpersist()
 
 
-def _alive(postings: DataFrame, tombstones: DataFrame | None) -> DataFrame:
+def _alive(
+    rows: DataFrame, tombstones: DataFrame | None, max_seg: int | None = None
+) -> DataFrame:
     """Drop tombstoned rows: a row of segment s for doc d is dead iff d has
     a tombstone with s < before_seg (the re-index segment's own rows
     survive). Tombstones aggregate to one (doc_id, cut) row per doc and
-    broadcast — churn-sized between compactions."""
+    broadcast — churn-sized between compactions.
+
+    ``max_seg``: ignore tombstones with before_seg > max_seg. A crashed
+    attempt may have committed tombstones for a segment whose manifest
+    entry never published; clamping to the max COMMITTED seg makes both the
+    retry and every concurrent reader see exactly the pre-batch live
+    state."""
     if tombstones is None:
-        return postings
+        return rows
+    if max_seg is not None:
+        tombstones = tombstones.filter(F.col("before_seg") <= max_seg)
     cut = tombstones.groupBy("doc_id").agg(F.max("before_seg").alias("__cut"))
     return (
-        postings.join(F.broadcast(cut), "doc_id", "left")
+        rows.join(F.broadcast(cut), "doc_id", "left")
         .filter(F.col("seg") >= F.coalesce(F.col("__cut"), F.lit(0)))
         .drop("__cut")
     )
 
 
+def _union_segments(spark: SparkSession, base_path: str, segs: list[int]) -> DataFrame:
+    """Union per-segment parquet directories (doc_stats / lsh / scalar)."""
+    dfs = [spark.read.parquet(f"{base_path}/seg{s}") for s in segs]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def read_served_index(spark: SparkSession, base: str) -> SearchIndex:
     """The live SearchIndex: manifest segments unioned (each token-bucketed,
     so a term lookup still prunes to the query terms' buckets per segment),
-    tombstone-filtered, with the 1-row corpus constants from the store.
+    tombstone-filtered. Corpus constants derive from the per-segment scalar
+    PARTIALS — an agg over <= n_segments rows, never a corpus re-aggregation
+    — with bit-identical results (integer sums; one double division).
     term_stats derives lazily from alive postings (BM25 never touches it —
     per-term df comes from the pruned posting lists)."""
     p = _paths(base)
     man = read_state(spark, p["manifest"])
     if man is None:
         raise FileNotFoundError(f"no serving manifest committed under {base}")
-    tables = [r["table"] for r in man.orderBy("seg").collect()]
-    postings = spark.table(tables[0])
-    for t in tables[1:]:
-        postings = postings.unionByName(spark.table(t))
-    alive = _alive(postings, read_state(spark, p["tombstones"])).drop("seg")
-    doc_stats = read_state(spark, p["doc_stats"])
+    rows = man.orderBy("seg").collect()
+    segs = [r["seg"] for r in rows]
+    tombs = read_state(spark, p["tombstones"])
+    max_seg = segs[-1]
+    postings = spark.table(rows[0]["table"])
+    for r in rows[1:]:
+        postings = postings.unionByName(spark.table(r["table"]))
+    alive = _alive(postings, tombs, max_seg).drop("seg")
+    doc_stats = _alive(
+        _union_segments(spark, p["doc_stats"], segs), tombs, max_seg
+    ).drop("seg")
+    corpus = (
+        _union_segments(spark, p["scalar"], segs)
+        .agg(
+            (F.sum("n_new") - F.sum("n_rep")).alias("__n"),
+            (F.sum("sum_new") - F.sum("sum_rep")).alias("__s"),
+        )
+        .select(
+            F.col("__n").cast("long").alias("n_docs"),
+            (F.col("__s").cast("double") / F.col("__n").cast("double")).alias(
+                "avg_dl"
+            ),
+        )
+    )
     term_stats = alive.groupBy("token").agg(F.count("*").alias("df"))
     return SearchIndex(
         postings=alive,
         doc_stats=doc_stats,
         term_stats=term_stats,
-        corpus=read_state(spark, p["scalar"]),
+        corpus=corpus,
     )
 
 
@@ -360,7 +436,11 @@ def vector_search_served(
             "vec_col, so there is no ANN tier to query"
         )
     probes = _python_probe_buckets(query_vec, num_planes, dim, multiprobe)
-    cands = _alive(vecs.filter(F.col("bucket").isin(probes)), read_state(spark, p["tombstones"]))
+    cands = _alive(
+        vecs.filter(F.col("bucket").isin(probes)),
+        read_state(spark, p["tombstones"]),
+        segs[-1],
+    )
     qv = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         cands.select(
@@ -375,10 +455,18 @@ def vector_search_served(
 def compact_segments(
     spark: SparkSession, base: str, table_prefix: str, postings_buckets: int = 16
 ) -> None:
-    """Fold all live postings and vectors into fresh base segments and reset
-    the tombstones — Lucene's merge policy. Run off the serving path on a
-    cadence sized by churn; between compactions served reads pay one
-    broadcast tombstone filter and a per-segment union."""
+    """Fold all live postings, doc-grain segments, and vectors into fresh
+    base segments and reset the tombstones — Lucene's merge policy. Run off
+    the serving path on a cadence sized by churn; between compactions served
+    reads pay one broadcast tombstone filter and a per-segment union.
+
+    Crash-safe ordering: every folded segment is written FIRST, then the
+    manifest flips to [new_seg] (folded rows carry seg=new_seg so old
+    tombstones, whose before_seg <= old max, cannot kill them), and only
+    then are tombstones reset and old segments dropped — a crash at any
+    point leaves a correct view."""
+    import shutil
+
     p = _paths(base)
     idx = read_served_index(spark, base)
     man = read_state(spark, p["manifest"])
@@ -393,9 +481,29 @@ def compact_segments(
         .option("path", f"{p['postings']}_seg{new_seg}")
         .saveAsTable(seg_table)
     )
-    vecs = _read_vector_segments(spark, p, [s for s, _ in old_segs])
+    idx.doc_stats.withColumn("seg", F.lit(new_seg).cast("int")).write.mode(
+        "overwrite"
+    ).parquet(f"{p['doc_stats']}/seg{new_seg}")
+    idx.doc_stats.agg(
+        F.count("*").alias("n_new"),
+        F.coalesce(F.sum("doc_len"), F.lit(0)).cast("long").alias("sum_new"),
+    ).select(
+        F.lit(new_seg).cast("int").alias("seg"),
+        F.col("n_new").cast("long").alias("n_new"),
+        "sum_new",
+        F.lit(0).cast("long").alias("n_rep"),
+        F.lit(0).cast("long").alias("sum_rep"),
+    ).write.mode("overwrite").parquet(f"{p['scalar']}/seg{new_seg}")
+    tombs = read_state(spark, p["tombstones"])
+    old_seg_ids = [s for s, _ in old_segs]
+    _alive(
+        _union_segments(spark, p["lsh"], old_seg_ids), tombs, old_seg_ids[-1]
+    ).drop("seg").withColumn("seg", F.lit(new_seg).cast("int")).write.mode(
+        "overwrite"
+    ).parquet(f"{p['lsh']}/seg{new_seg}")
+    vecs = _read_vector_segments(spark, p, old_seg_ids)
     if vecs is not None:
-        alive_vecs = _alive(vecs, read_state(spark, p["tombstones"]))
+        alive_vecs = _alive(vecs, tombs, old_seg_ids[-1])
         (
             alive_vecs.select(
                 "doc_id", "embedding", F.lit(new_seg).cast("int").alias("seg"), "bucket"
@@ -406,14 +514,18 @@ def compact_segments(
             .parquet(f"{p['vectors']}/seg{new_seg}")
         )
     commit_state(
-        spark.createDataFrame([], "doc_id long, before_seg int"), p["tombstones"]
-    )
-    commit_state(
         spark.createDataFrame([(new_seg, seg_table)], "seg int, table string"),
         p["manifest"],
     )
-    for _, t in old_segs:
+    commit_state(
+        spark.createDataFrame([], "doc_id long, before_seg int"), p["tombstones"]
+    )
+    for s, t in old_segs:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # external tables keep their data on DROP — remove the postings dir
+        shutil.rmtree(f"{p['postings']}_seg{s}", ignore_errors=True)
+        for key in ("doc_stats", "lsh", "scalar", "vectors"):
+            shutil.rmtree(f"{p[key]}/seg{s}", ignore_errors=True)
 
 
 def serve_loop_sink(

@@ -277,9 +277,10 @@ def test_text_only_loop_has_no_vector_tier(spark, tmp_path):
     )
     assert s["indexed"] == 6
     idx = serve_loop.read_served_index(spark, base)
-    assert _bm25_rows(spark, idx, ["spark"])[0][0] == 1
+    before = _bm25_rows(spark, idx, ["spark"])
+    assert before[0][0] == 1
     with pytest.raises(FileNotFoundError, match="no vector segments"):
         serve_loop.vector_search_served(spark, base, _emb(1), k=2)
     serve_loop.compact_segments(spark, base, prefix, postings_buckets=4)
     idx2 = serve_loop.read_served_index(spark, base)
-    assert _bm25_rows(spark, idx2, ["spark"]) == _bm25_rows(spark, idx, ["spark"])
+    assert _bm25_rows(spark, idx2, ["spark"]) == before
