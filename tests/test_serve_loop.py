@@ -284,3 +284,25 @@ def test_text_only_loop_has_no_vector_tier(spark, tmp_path):
     serve_loop.compact_segments(spark, base, prefix, postings_buckets=4)
     idx2 = serve_loop.read_served_index(spark, base)
     assert _bm25_rows(spark, idx2, ["spark"]) == before
+
+
+def test_delta_segments_are_batch_sized(spark, served):
+    """The O(batch) write-volume claim, pinned on disk: a 2-doc delta batch
+    (1 survivor) writes segment files containing ONLY that batch's rows —
+    never a rewrite of corpus-sized stats or bucket state."""
+    base, prefix = served
+    s = _serve(
+        spark,
+        _df(spark, [(100, "adaptive query execution replans stages from runtime statistics"),
+                    (101, DOCS[0][1])]),
+        base, prefix,
+    )
+    assert s == {"seg": 2, "arrived": 2, "suppressed": 1, "indexed": 1}
+    stats2 = spark.read.parquet(f"{base}/doc_stats/seg2")
+    assert [r["doc_id"] for r in stats2.collect()] == [100]
+    lsh2 = spark.read.parquet(f"{base}/lsh_buckets/seg2")
+    assert {r["doc_id"] for r in lsh2.collect()} == {100}
+    scal2 = spark.read.parquet(f"{base}/corpus_stats/seg2").collect()
+    assert len(scal2) == 1 and scal2[0]["n_new"] == 1 and scal2[0]["n_rep"] == 0
+    # seg-1 state untouched by the delta (append-only, no rewrite)
+    assert spark.read.parquet(f"{base}/doc_stats/seg1").count() == len(DOCS)
