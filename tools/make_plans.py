@@ -20,7 +20,7 @@ PICKS = {
     "q12_broadcast_join": "dimension join as BroadcastHashJoin (no shuffle of the fact side)",
     "ext_tpch_q3": "selective scans with pushed filters + broadcast joins + TakeOrderedAndProject",
     "q20_bm25_search": "postings build -> query-term semi restriction -> score agg -> top-k",
-    "ext_preprocess_pipeline": "single-scan 3-way branch flatten -> window dedup -> regex filter",
+    "ext_preprocess_pipeline": "single-scan 3-way branch flatten -> partial max_by dedup (skew-proof) -> regex filter",
     "ext_diversity_sample": "row-local int8 quantize + argmin; only shuffle is the per-cluster quota window",
     "ext_ann_lsh_quantized": "integer LSH bucket (no shuffle) -> broadcast bucket probe -> top-k",
 }
