@@ -90,8 +90,17 @@ def ext_token_counts(spark, sf_dir):
 
 @query("ext_lang_id")
 def ext_lang_id(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", textstats.lang_id("text").alias("lang_pred"))
+    from ..functions.text import tokenize_normalized
+
+    # tokens staged once: HOFs don't codegen, so the inline form re-tokenizes
+    # once per language profile (see textstats.lang_id_scores)
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokenize_normalized("text")
+    )
+    return d.select(
+        "doc_id",
+        textstats.lang_id("text", toks=F.col("__toks")).alias("lang_pred"),
+    )
 
 
 @query("ext_quality")
@@ -1482,10 +1491,15 @@ def ext_curation_verdict(spark, sf_dir):
     # lang-ID and quality are row-local column expressions — fuse them into
     # ONE projection on the base scan instead of separate stage DataFrames
     # joined on doc_id (same values, same oracle; removes two full corpus
-    # scans and two doc_id shuffles from the funnel)
-    base = textstats.quality_score(docs).select(
+    # scans and two doc_id shuffles from the funnel). The normalized-token
+    # array stages ONCE and feeds every profile + the stopword ratio (HOFs
+    # don't codegen: the inline form re-tokenized per profile, ~2x slower)
+    from ..functions.text import tokenize_normalized
+
+    staged = docs.withColumn("__toks", tokenize_normalized("text"))
+    base = textstats.quality_score(staged, toks_col="__toks").select(
         "doc_id",
-        textstats.lang_id("text").alias("lang_pred"),
+        textstats.lang_id("text", toks=F.col("__toks")).alias("lang_pred"),
         "quality",
     )
     rep = pipeline.repetition_stats(docs).select("doc_id", "repetitive")
@@ -2377,9 +2391,14 @@ def ext_lang_confusion(spark, sf_dir):
     identifier against the fixture's ground-truth lang label — (truth,
     predicted, n) cells. The eval harness any model-backed lang-ID swap
     (pandas_udf hook) would be graded with."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokenize_normalized
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokenize_normalized("text")
+    )
     pred = d.select(
-        "doc_id", "lang", textstats.lang_id("text").alias("lang_pred")
+        "doc_id", "lang",
+        textstats.lang_id("text", toks=F.col("__toks")).alias("lang_pred"),
     )
     return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
 
