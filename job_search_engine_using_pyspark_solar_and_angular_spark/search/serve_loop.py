@@ -42,6 +42,9 @@ Served reads (:func:`read_served_index` / :func:`vector_search_served`)
 union the manifest's segments and drop tombstoned rows (seg < the doc's
 latest ``before_seg``) via a broadcast anti-filter — churn-sized until
 :func:`compact_segments` folds everything back into one base segment.
+Compaction deletes nothing; :func:`vacuum_segments` reclaims unreferenced
+segments and inert tombstones after the read grace window, so a reader
+that resolved the previous manifest mid-query stays consistent.
 
 Exactness: the served index is provably identical to a full rebuild over
 the latest-wins corpus — postings are a disjoint union of per-doc segment
@@ -314,16 +317,24 @@ def _union_segments(spark: SparkSession, base_path: str, segs: list[int]) -> Dat
     return out
 
 
-def read_served_index(spark: SparkSession, base: str) -> SearchIndex:
+def read_served_index(
+    spark: SparkSession, base: str, manifest_version: int | None = None
+) -> SearchIndex:
     """The live SearchIndex: manifest segments unioned (each token-bucketed,
     so a term lookup still prunes to the query terms' buckets per segment),
     tombstone-filtered. Corpus constants derive from the per-segment scalar
     PARTIALS — an agg over <= n_segments rows, never a corpus re-aggregation
     — with bit-identical results (integer sums; one double division).
     term_stats derives lazily from alive postings (BM25 never touches it —
-    per-term df comes from the pruned posting lists)."""
+    per-term df comes from the pruned posting lists).
+
+    ``manifest_version`` pins a previously committed manifest (state-store
+    time travel): valid until :func:`vacuum_segments` reclaims that
+    version's segments, it reads the exact point-in-time snapshot — the
+    tombstone clamp (``before_seg <= that manifest's max seg``) hides any
+    tombstones committed after it, so later replaces don't bleed in."""
     p = _paths(base)
-    man = read_state(spark, p["manifest"])
+    man = read_state(spark, p["manifest"], version=manifest_version)
     if man is None:
         raise FileNotFoundError(f"no serving manifest committed under {base}")
     rows = man.orderBy("seg").collect()
@@ -453,20 +464,31 @@ def vector_search_served(
 
 
 def compact_segments(
-    spark: SparkSession, base: str, table_prefix: str, postings_buckets: int = 16
+    spark: SparkSession,
+    base: str,
+    table_prefix: str,
+    postings_buckets: int = 16,
+    vacuum_now: bool = True,
 ) -> None:
     """Fold all live postings, doc-grain segments, and vectors into fresh
-    base segments and reset the tombstones — Lucene's merge policy. Run off
-    the serving path on a cadence sized by churn; between compactions served
-    reads pay one broadcast tombstone filter and a per-segment union.
+    base segments — Lucene's merge policy. Run off the serving path on a
+    cadence sized by churn; between compactions served reads pay one
+    broadcast tombstone filter and a per-segment union.
 
     Crash-safe ordering: every folded segment is written FIRST, then the
     manifest flips to [new_seg] (folded rows carry seg=new_seg so old
-    tombstones, whose before_seg <= old max, cannot kill them), and only
-    then are tombstones reset and old segments dropped — a crash at any
-    point leaves a correct view."""
-    import shutil
+    tombstones, whose before_seg <= old max, cannot kill them) — a crash at
+    any point leaves a correct view.
 
+    Compaction itself deletes NOTHING and does not touch the tombstones:
+    a reader that resolved the previous manifest mid-query keeps both its
+    segment files and the exact tombstone set those segments need. (The
+    first design reset tombstones here; an old-manifest reader racing that
+    reset would re-read the emptied tombstone state and resurrect replaced
+    docs.) Old segments are reclaimed by :func:`vacuum_segments` — run it
+    once the longest read SLA has elapsed since the manifest flip, or pass
+    ``vacuum_now=True`` (the default, matching single-process use where no
+    concurrent reader exists)."""
     p = _paths(base)
     idx = read_served_index(spark, base)
     man = read_state(spark, p["manifest"])
@@ -517,15 +539,66 @@ def compact_segments(
         spark.createDataFrame([(new_seg, seg_table)], "seg int, table string"),
         p["manifest"],
     )
-    commit_state(
-        spark.createDataFrame([], "doc_id long, before_seg int"), p["tombstones"]
-    )
-    for s, t in old_segs:
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    if vacuum_now:
+        vacuum_segments(spark, base, table_prefix)
+
+
+def vacuum_segments(spark: SparkSession, base: str, table_prefix: str) -> None:
+    """Reclaim segments no longer referenced by the live manifest, and GC
+    tombstones that can no longer kill any live row — Delta's VACUUM beside
+    the state store's ``keep`` retention. Run on a cadence >= the longest
+    read SLA after :func:`compact_segments`: everything vacuum deletes is
+    exactly what an in-flight reader of a PRE-compaction manifest may still
+    be touching, so the gap between flip and vacuum IS the read grace
+    window.
+
+    No bookkeeping state: reclaimable segments are discovered from disk as
+    ``seg < max(live)`` and not in the manifest (a serve batch in flight
+    writes only ``seg = max(live)+1``, never below, so it is untouchable by
+    construction) — which also sweeps segments leaked by a compaction that
+    crashed after its manifest flip. Idempotent and crash-safe: deletion
+    order is irrelevant because nothing live is ever in the candidate set,
+    and the tombstone GC rewrites state through the versioned commit."""
+    import os
+    import re
+    import shutil
+
+    p = _paths(base)
+    man = read_state(spark, p["manifest"])
+    if man is None:
+        return
+    live = {r["seg"] for r in man.collect()}
+    mx = max(live)
+    seen: set[int] = set()
+    pat = re.compile(r"^seg(\d+)$")
+    for key in ("doc_stats", "lsh", "scalar", "vectors"):
+        root = p[key]
+        if os.path.isdir(root):
+            for name in os.listdir(root):
+                m = pat.match(name)
+                if m:
+                    seen.add(int(m.group(1)))
+    post_pat = re.compile(r"^postings_seg(\d+)$")
+    for name in os.listdir(base):
+        m = post_pat.match(name)
+        if m:
+            seen.add(int(m.group(1)))
+    for s in sorted(seen - live):
+        if s >= mx:  # in-flight writer territory — never touch
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_seg{s}")
         # external tables keep their data on DROP — remove the postings dir
         shutil.rmtree(f"{p['postings']}_seg{s}", ignore_errors=True)
         for key in ("doc_stats", "lsh", "scalar", "vectors"):
             shutil.rmtree(f"{p[key]}/seg{s}", ignore_errors=True)
+    # tombstone GC: (doc_id, before_seg=b) kills rows with seg < b only; once
+    # every live row has seg >= b the tombstone is inert and safe to drop.
+    tombs = read_state(spark, p["tombstones"])
+    if tombs is not None:
+        mn = min(live)
+        alive_tombs = tombs.filter(F.col("before_seg") > mn)
+        if alive_tombs.count() < tombs.count():
+            commit_state(alive_tombs, p["tombstones"])
 
 
 def serve_loop_sink(

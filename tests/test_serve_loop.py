@@ -306,3 +306,83 @@ def test_delta_segments_are_batch_sized(spark, served):
     assert len(scal2) == 1 and scal2[0]["n_new"] == 1 and scal2[0]["n_rep"] == 0
     # seg-1 state untouched by the delta (append-only, no rewrite)
     assert spark.read.parquet(f"{base}/doc_stats/seg1").count() == len(DOCS)
+
+
+def test_compaction_grace_window_for_inflight_readers(spark, served):
+    """The concurrent-reader race compaction must not lose: a reader that
+    resolved the manifest BEFORE the compaction flip keeps reading a
+    consistent snapshot afterwards. Compaction deletes nothing and leaves
+    the tombstones alone (the first design reset them here — an old-manifest
+    reader re-reading the emptied tombstone state would resurrect doc 1's
+    replaced postings); vacuum_segments, run after the grace window, is
+    what reclaims the old segments and the now-inert tombstones."""
+    import os
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.state_store import (
+        current_version,
+        read_state,
+    )
+
+    base, prefix = served
+    _serve(
+        spark,
+        _df(spark, [(100, "adaptive query execution replans stages from runtime statistics"),
+                    (1, "kubernetes schedules containers onto nodes respecting resource quotas")]),
+        base,
+        prefix,
+    )
+    v_pre = current_version(f"{base}/manifest")
+    pre = {
+        t: _bm25_rows(spark, serve_loop.read_served_index(spark, base), [t])
+        for t in ("shuffles", "kubernetes", "adaptive", "documents")
+    }
+    assert pre["shuffles"] == []  # doc 1's OLD text is tombstoned
+    assert pre["kubernetes"][0][0] == 1 and pre["adaptive"][0][0] == 100
+
+    serve_loop.compact_segments(spark, base, prefix, postings_buckets=4, vacuum_now=False)
+
+    # old segments + tombstones intact on disk: the pinned reader is whole
+    assert os.path.isdir(f"{base}/doc_stats/seg1")
+    assert read_state(spark, f"{base}/tombstones").count() > 0
+    idx_old = serve_loop.read_served_index(spark, base, manifest_version=v_pre)
+    for t, want in pre.items():
+        assert _bm25_rows(spark, idx_old, [t]) == want  # no resurrection
+    idx_live = serve_loop.read_served_index(spark, base)
+    for t, want in pre.items():
+        assert _bm25_rows(spark, idx_live, [t]) == want
+
+    serve_loop.vacuum_segments(spark, base, prefix)
+    for s in (1, 2):
+        assert not os.path.isdir(f"{base}/doc_stats/seg{s}")
+        assert not os.path.isdir(f"{base}/postings_seg{s}")
+    assert read_state(spark, f"{base}/tombstones").count() == 0  # all inert
+    idx2 = serve_loop.read_served_index(spark, base)
+    for t, want in pre.items():
+        assert _bm25_rows(spark, idx2, [t]) == want
+
+
+def test_vacuum_sweeps_leaked_segments_spares_inflight(spark, served):
+    """vacuum discovers reclaimable segments from disk (< max live seg and
+    unreferenced), so segments leaked by a compaction that crashed after its
+    manifest flip are swept too — while a seg ABOVE the live max (an
+    in-flight serve batch's half-written segment) is never touched."""
+    import os
+    import shutil
+
+    base, prefix = served
+    _serve(
+        spark,
+        _df(spark, [(100, "adaptive query execution replans stages from runtime statistics")]),
+        base,
+        prefix,
+    )
+    serve_loop.compact_segments(spark, base, prefix, postings_buckets=4, vacuum_now=False)
+    # fabricate an in-flight writer: seg 9 dirs exist, manifest doesn't know it
+    shutil.copytree(f"{base}/doc_stats/seg1", f"{base}/doc_stats/seg9")
+    serve_loop.vacuum_segments(spark, base, prefix)
+    assert not os.path.isdir(f"{base}/doc_stats/seg1")
+    assert not os.path.isdir(f"{base}/doc_stats/seg2")
+    assert os.path.isdir(f"{base}/doc_stats/seg3")  # the folded live segment
+    assert os.path.isdir(f"{base}/doc_stats/seg9")  # in-flight: spared
+    idx = serve_loop.read_served_index(spark, base)
+    assert _bm25_rows(spark, idx, ["adaptive"])[0][0] == 100
