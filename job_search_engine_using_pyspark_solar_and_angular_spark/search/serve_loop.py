@@ -35,8 +35,13 @@ Per micro-batch (:func:`serve_batch`):
    every read iterates the manifest's segment list — and every step is
    idempotent on Structured Streaming's retry (all segment writes are
    mode-overwrite to seg-deterministic locations; partials derive from
-   COMMITTED state + the batch, never from increments). Pinned by the
-   crash-injection replay test.
+   COMMITTED state + the batch, never from increments). The foreachBatch
+   ``batch_id`` rides in the manifest row itself, so POST-publish
+   redelivery (at-least-once) is skipped by a high-water-mark check that
+   can never disagree with what is live — re-application after publish
+   would re-gate the batch against the post-batch corpus and is NOT
+   idempotent (see :func:`serve_batch`). Pinned by the every-failpoint
+   crash sweep in tests/test_serve_loop.py.
 
 Served reads (:func:`read_served_index` / :func:`vector_search_served`)
 union the manifest's segments and drop tombstoned rows (seg < the doc's
@@ -99,24 +104,56 @@ def serve_batch(
     num_planes: int = 4,
     dim: int = 64,
     postings_buckets: int = 16,
+    batch_id: int | None = None,
+    failpoint=None,
 ) -> dict:
     """One micro-batch of the serve loop (the foreachBatch body of
     :func:`serve_loop_sink`, exposed so crash-retry semantics are directly
     testable). Returns {"seg", "arrived", "suppressed", "indexed"}.
 
     ``batch`` must carry one row per ``id_col`` (upstream latest-wins); a
-    row whose id already exists in the corpus is a replace-by-id update."""
+    row whose id already exists in the corpus is a replace-by-id update.
+
+    ``batch_id`` makes redelivery exactly-once: the id is recorded IN the
+    manifest row (one atomic commit — there is no window where the segment
+    is published but its batch_id is not), and a batch whose id is already
+    <= the manifest's high-water mark returns ``{"skipped": True}``
+    untouched. This guard is what makes POST-publish redelivery safe:
+    re-running an already-published batch would re-gate it against the
+    post-batch corpus — e.g. a batch that both replaced doc X and carried a
+    near-dup of X's OLD text would admit on re-run the dup it suppressed
+    the first time (the old text's bucket rows are tombstoned by then).
+    Pre-publish crashes never need the guard (nothing is live until the
+    manifest flips); :func:`serve_loop_sink` always passes foreachBatch's
+    monotonic batch_id. Manual/bootstrap callers may omit it — then THEY
+    own not re-applying a published batch.
+
+    ``failpoint`` (tests only): a callable invoked with a label after each
+    durable mutation — raising from it simulates a crash at exactly that
+    point. The crash-sweep test retries the batch after a crash at EVERY
+    label and pins convergence to the clean run, including the
+    post-publish redelivery (skipped via the batch_id guard)."""
     p = _paths(base)
     man = read_state(spark, p["manifest"])
-    prior_segs = (
-        [] if man is None else [r["seg"] for r in man.orderBy("seg").collect()]
-    )
+    man_rows = [] if man is None else man.orderBy("seg").collect()
+    if batch_id is not None and man is not None and "batch_id" in man.columns:
+        applied = max(
+            (r["batch_id"] for r in man_rows if r["batch_id"] is not None),
+            default=None,
+        )
+        if applied is not None and applied >= batch_id:
+            return {"skipped": True, "batch_id": batch_id, "applied": applied}
+    prior_segs = [r["seg"] for r in man_rows]
     seg = 1 if not prior_segs else 1 + prior_segs[-1]
     max_committed = prior_segs[-1] if prior_segs else 0
     # tombstones from a PREVIOUS crashed attempt of this very seg are
     # clamped out (before_seg <= max committed seg) so a retry sees exactly
     # the pre-batch live state — the differential partials stay idempotent
     tombs_df = read_state(spark, p["tombstones"]) if prior_segs else None
+
+    def _fp(label: str) -> None:
+        if failpoint is not None:
+            failpoint(label)
 
     batch = batch.persist()
     nb = minhash_bucket_table(
@@ -157,6 +194,7 @@ def serve_batch(
             suppressed.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
         ).persist()
         surv_ids = survivors.select(F.col(id_col).alias("doc_id"))
+        _fp("gated")
 
         # ---- 2. fresh postings segment (token-bucketed table) --------------
         fresh = build_index(survivors, id_col, text_col)
@@ -169,6 +207,7 @@ def serve_batch(
             .option("path", f"{p['postings']}_seg{seg}")
             .saveAsTable(seg_table)
         )
+        _fp("postings")
 
         # ---- 3. doc-grain SEGMENTS: stats, scalar partials, tombstones -----
         # per-batch write volume is O(batch): the new stats rows and the
@@ -192,6 +231,7 @@ def serve_batch(
         new_stats.withColumn("seg", F.lit(seg)).write.mode("overwrite").parquet(
             f"{p['doc_stats']}/seg{seg}"
         )
+        _fp("doc_stats")
         newagg = new_stats.agg(
             F.count("*").alias("n_new"),
             F.coalesce(F.sum("doc_len"), F.lit(0)).cast("long").alias("sum_new"),
@@ -216,6 +256,7 @@ def serve_batch(
             F.col("n_rep").cast("long").alias("n_rep"),
             "sum_rep",
         ).write.mode("overwrite").parquet(f"{p['scalar']}/seg{seg}")
+        _fp("scalar")
 
         if replaced_stats is not None:
             tomb_new = replaced_stats.select("doc_id").withColumn(
@@ -227,11 +268,13 @@ def serve_batch(
                 else tombs_df.unionByName(tomb_new)
             ).distinct()
             commit_state(tombs, p["tombstones"])
+        _fp("tombstones")
 
         # ---- 4. LSH bucket segment (survivors' buckets, batch-sized) -------
         nb.join(surv_ids, "doc_id", "left_semi").withColumn(
             "seg", F.lit(seg)
         ).write.mode("overwrite").parquet(f"{p['lsh']}/seg{seg}")
+        _fp("lsh")
 
         # ---- 5. vector segment ---------------------------------------------
         if vec_col is not None:
@@ -257,14 +300,22 @@ def serve_batch(
                 .partitionBy("bucket")
                 .parquet(f"{p['vectors']}/seg{seg}")
             )
+        _fp("vectors")
 
         # ---- 6. PUBLISH: manifest commits last ------------------------------
+        # batch_id rides in the same atomic commit as the segment pointer:
+        # either both are live or neither, so the redelivery guard can never
+        # disagree with what is actually published
         man_new = spark.createDataFrame(
-            [(seg, seg_table)], "seg int, table string"
+            [(seg, seg_table, batch_id)], "seg int, table string, batch_id long"
         )
         if man is not None:
+            if "batch_id" not in man.columns:
+                man = man.withColumn("batch_id", F.lit(None).cast("long"))
             man_new = man.unionByName(man_new).distinct()
+        _fp("pre_publish")
         commit_state(man_new, p["manifest"])
+        _fp("published")
 
         n_arrived = batch.count()
         n_indexed = survivors.count()
@@ -492,7 +543,18 @@ def compact_segments(
     p = _paths(base)
     idx = read_served_index(spark, base)
     man = read_state(spark, p["manifest"])
-    old_segs = [(r["seg"], r["table"]) for r in man.orderBy("seg").collect()]
+    man_rows = man.orderBy("seg").collect()
+    old_segs = [(r["seg"], r["table"]) for r in man_rows]
+    # the redelivery high-water mark must survive the fold: dropping it
+    # would let a redelivered last batch re-apply after compaction
+    applied = max(
+        (
+            r["batch_id"]
+            for r in man_rows
+            if "batch_id" in man.columns and r["batch_id"] is not None
+        ),
+        default=None,
+    )
     new_seg = old_segs[-1][0] + 1
     seg_table = f"{table_prefix}_seg{new_seg}"
     (
@@ -536,7 +598,9 @@ def compact_segments(
             .parquet(f"{p['vectors']}/seg{new_seg}")
         )
     commit_state(
-        spark.createDataFrame([(new_seg, seg_table)], "seg int, table string"),
+        spark.createDataFrame(
+            [(new_seg, seg_table, applied)], "seg int, table string, batch_id long"
+        ),
         p["manifest"],
     )
     if vacuum_now:
@@ -615,7 +679,10 @@ def serve_loop_sink(
     docstring), so exactly-once serving state over at-least-once delivery."""
 
     def _body(batch: DataFrame, batch_id: int) -> None:
-        serve_batch(spark, batch, base, table_prefix, **serve_kwargs)
+        # batch_id threads into the manifest commit: a redelivered batch
+        # (at-least-once foreachBatch) whose publish already succeeded is
+        # skipped instead of re-gated against the post-batch corpus
+        serve_batch(spark, batch, base, table_prefix, batch_id=batch_id, **serve_kwargs)
 
     writer = stream_df.writeStream.foreachBatch(_body).option(
         "checkpointLocation", checkpoint

@@ -386,3 +386,115 @@ def test_vacuum_sweeps_leaked_segments_spares_inflight(spark, served):
     assert os.path.isdir(f"{base}/doc_stats/seg9")  # in-flight: spared
     idx = serve_loop.read_served_index(spark, base)
     assert _bm25_rows(spark, idx, ["adaptive"])[0][0] == 100
+
+
+# ---------------------------------------------------------------------------
+# every-failpoint crash sweep: a crash at EACH durable-mutation boundary,
+# then the Structured Streaming retry (same batch, same batch_id), must
+# converge to the clean run — including post-publish redelivery, which is
+# the case raw re-application does NOT handle (see serve_batch docstring)
+# and the batch_id guard exists for.
+# ---------------------------------------------------------------------------
+
+B2 = [
+    (100, "adaptive query execution replans stages from runtime statistics"),
+    (101, DOCS[0][1]),  # near-dup of doc 1's OLD text -> gated out
+    (1, "kubernetes schedules containers onto nodes respecting resource quotas"),
+]
+CRASH_LABELS = [
+    "gated", "postings", "doc_stats", "scalar", "tombstones", "lsh",
+    "vectors", "pre_publish", "published",
+]
+
+
+def _served_fingerprint(spark, base):
+    idx = serve_loop.read_served_index(spark, base)
+    return {
+        "postings": sorted(
+            map(tuple, idx.postings.select("token", "doc_id", "doc_len", "tf").collect())
+        ),
+        "corpus": [tuple(r) for r in idx.corpus.collect()],
+        "bm25": {
+            t: _bm25_rows(spark, idx, [t])
+            for t in ("adaptive", "kubernetes", "shuffles", "documents")
+        },
+        "vec": [
+            tuple(r)
+            for r in serve_loop.vector_search_served(spark, base, _emb(100), k=3).collect()
+        ],
+    }
+
+
+@pytest.fixture(scope="module")
+def crash_ref(spark, tmp_path_factory):
+    """The clean two-batch run's served state, computed once for the sweep."""
+    tmp = tmp_path_factory.mktemp("crashref")
+    base, prefix = str(tmp / "srv"), "sl_crashref"
+    serve_loop.serve_batch(
+        spark, _df(spark, DOCS), base, prefix,
+        vec_col="embedding", postings_buckets=4, batch_id=0,
+    )
+    s = serve_loop.serve_batch(
+        spark, _df(spark, B2), base, prefix,
+        vec_col="embedding", postings_buckets=4, batch_id=1,
+    )
+    assert s == {"seg": 2, "arrived": 3, "suppressed": 1, "indexed": 2}
+    fp = _served_fingerprint(spark, base)
+    # doc 1's old text is fully replaced: its signature term matches nothing
+    assert fp["bm25"]["shuffles"] == []
+    assert fp["bm25"]["kubernetes"][0][0] == 1
+    return fp
+
+
+@pytest.mark.parametrize("label", CRASH_LABELS)
+def test_crash_sweep_every_failpoint_converges(spark, tmp_path, crash_ref, label):
+    base, prefix = str(tmp_path / "srv"), _prefix(tmp_path)
+    serve_loop.serve_batch(
+        spark, _df(spark, DOCS), base, prefix,
+        vec_col="embedding", postings_buckets=4, batch_id=0,
+    )
+
+    def fp(lbl):
+        if lbl == label:
+            raise RuntimeError(f"injected crash at {lbl}")
+
+    with pytest.raises(RuntimeError, match=f"injected crash at {label}"):
+        serve_loop.serve_batch(
+            spark, _df(spark, B2), base, prefix,
+            vec_col="embedding", postings_buckets=4, batch_id=1, failpoint=fp,
+        )
+    s = serve_loop.serve_batch(
+        spark, _df(spark, B2), base, prefix,
+        vec_col="embedding", postings_buckets=4, batch_id=1,
+    )
+    if label == "published":
+        # the crash hit AFTER the manifest flip: the batch is live, and the
+        # retry must NOT re-apply (re-gating against the post-batch corpus
+        # would admit doc 101 — its corpus twin's old text is tombstoned by
+        # now); the batch_id high-water mark in the manifest skips it
+        assert s == {"skipped": True, "batch_id": 1, "applied": 1}
+    else:
+        assert s == {"seg": 2, "arrived": 3, "suppressed": 1, "indexed": 2}
+    assert _served_fingerprint(spark, base) == crash_ref
+
+
+def test_redelivery_guard_survives_compaction(spark, tmp_path, crash_ref):
+    """The batch_id high-water mark rides the compaction fold: redelivering
+    the last batch after compact_segments is still a skip, and the served
+    state (including the gated near-dup staying out) is unchanged."""
+    base, prefix = str(tmp_path / "srv"), _prefix(tmp_path)
+    serve_loop.serve_batch(
+        spark, _df(spark, DOCS), base, prefix,
+        vec_col="embedding", postings_buckets=4, batch_id=0,
+    )
+    serve_loop.serve_batch(
+        spark, _df(spark, B2), base, prefix,
+        vec_col="embedding", postings_buckets=4, batch_id=1,
+    )
+    serve_loop.compact_segments(spark, base, prefix, postings_buckets=4)
+    s = serve_loop.serve_batch(
+        spark, _df(spark, B2), base, prefix,
+        vec_col="embedding", postings_buckets=4, batch_id=1,
+    )
+    assert s == {"skipped": True, "batch_id": 1, "applied": 1}
+    assert _served_fingerprint(spark, base) == crash_ref
