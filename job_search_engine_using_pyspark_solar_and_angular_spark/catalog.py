@@ -104,8 +104,16 @@ def write_bucketed(
     fact-to-fact join into a one-time layout cost at write.
 
     Pinned by tests/test_plans.py::test_bucketed_join_has_no_shuffle.
+
+    The pre-write ``repartition(buckets, *keys)`` matches bucketBy's hash
+    spec (pmod(murmur3, N)), so each task holds exactly one bucket: N files
+    total instead of input-partitions x N.
     """
-    writer = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    writer = (
+        df.repartition(buckets, *[F.col(k) for k in keys])
+        .write.mode("overwrite")
+        .bucketBy(buckets, *keys)
+    )
     if sort:
         writer = writer.sortBy(*keys)
     writer.option("path", path).saveAsTable(name)

@@ -163,9 +163,15 @@ def write_index(
 
     Bucketing postings by token means a keyword query touches only the buckets
     of its query terms, and the postings⋈term_stats join is shuffle-free.
+
+    The pre-write ``repartition(buckets, token)`` is the same hash spec
+    bucketBy uses (pmod(murmur3, N)), so each task holds exactly one bucket
+    and the table is N files instead of input-partitions x N tiny ones —
+    term lookups open one file per probed bucket.
     """
     (
-        index.postings.write.mode("overwrite")
+        index.postings.repartition(buckets, "token")
+        .write.mode("overwrite")
         .bucketBy(buckets, "token")
         .sortBy("token", "doc_id")
         .option("path", f"{base_path}/postings")
@@ -205,7 +211,8 @@ def write_positional(postings: DataFrame, path: str, table: str, buckets: int = 
     """Persist positional postings bucketed by token — phrase-query term
     lookups read only the phrase terms' buckets, like the BM25 path."""
     (
-        postings.write.mode("overwrite")
+        postings.repartition(buckets, "token")  # one file per bucket
+        .write.mode("overwrite")
         .option("path", path)
         .bucketBy(buckets, "token")
         .sortBy("token", "doc_id", "pos")

@@ -161,6 +161,7 @@ def serve_batch(
     ).persist()
     survivors = None
     replaced_stats = None
+    fresh_post = None
     try:
         # ---- 1. gate: vs live corpus buckets, then earlier-id batch docs ---
         sup_parts = []
@@ -197,10 +198,21 @@ def serve_batch(
         _fp("gated")
 
         # ---- 2. fresh postings segment (token-bucketed table) --------------
+        # persisted: the batch is tokenized ONCE and feeds the segment
+        # write, the doc-stats segment, and the scalar partial (unpersisted
+        # chains would re-tokenize the batch for each — 3x the dominant
+        # per-batch compute at scale)
         fresh = build_index(survivors, id_col, text_col)
+        fresh_post = fresh.postings.persist()
         seg_table = f"{table_prefix}_seg{seg}"
         (
-            fresh.postings.withColumn("seg", F.lit(seg))
+            # repartition(N, token) is the SAME hash spec bucketBy uses
+            # (pmod(murmur3, N)), so every task holds exactly one bucket and
+            # the segment is N files instead of tasks x buckets tiny ones —
+            # served reads open N files per segment, and the delta write
+            # stops paying per-file creation for empty bucket slices
+            fresh_post.withColumn("seg", F.lit(seg))
+            .repartition(postings_buckets, "token")
             .write.mode("overwrite")
             .bucketBy(postings_buckets, "token")
             .sortBy("token", "doc_id")
@@ -214,7 +226,7 @@ def serve_batch(
         # batch's scalar partial are segment files; corpus state is never
         # rewritten (the old design re-committed the full doc_stats and LSH
         # tables every batch — O(corpus) write amplification at scale)
-        new_stats = fresh.postings.groupBy("doc_id").agg(
+        new_stats = fresh_post.groupBy("doc_id").agg(
             F.sum("tf").alias("doc_len")
         )
         if prior_segs:
@@ -332,6 +344,8 @@ def serve_batch(
             survivors.unpersist()
         if replaced_stats is not None:
             replaced_stats.unpersist()
+        if fresh_post is not None:
+            fresh_post.unpersist()
 
 
 def _alive(
@@ -559,6 +573,7 @@ def compact_segments(
     seg_table = f"{table_prefix}_seg{new_seg}"
     (
         idx.postings.withColumn("seg", F.lit(new_seg))
+        .repartition(postings_buckets, "token")  # one file per bucket
         .write.mode("overwrite")
         .bucketBy(postings_buckets, "token")
         .sortBy("token", "doc_id")
