@@ -75,24 +75,34 @@ _PRIORITY = [
     "ext_tpch_q1",
     "ext_scd2",
     "ext_hybrid_rrf",
-    "ext_except",
+    # r4 rotation, second wave: 13 more twice-certified slots (except,
+    # pos_tag, spell_correct, minhash_candidates, simhash_near_dups,
+    # ngram_jaccard, decontaminate, pack_sequences, repetition,
+    # heavy_hitters, pagerank, tpch_q3, x2_cosine_topk) swapped for
+    # never-driver-certified queries that upgrade capabilities whose
+    # correctness column was previously pass(local)-only: Solr facets /
+    # more-like-this / phrase search, embedding near-dup, substring-span
+    # dedup, boilerplate line dedup, SemDeDup diversity + cluster assign,
+    # chunking, curriculum, domain mixing, PII redaction, BPE. Rotated-out
+    # queries stay exact-oracle-checked locally every run.
     "ext_multimodal_features",
-    "ext_pos_tag",
-    "ext_spell_correct",
-    "ext_minhash_candidates",
-    "ext_simhash_near_dups",
-    "ext_ngram_jaccard",
     "ext_curation_verdict",
-    "x2_cosine_topk",
     "ext_dedup_clusters",
-    "ext_decontaminate",
-    "ext_pack_sequences",
-    "ext_repetition",
-    "ext_heavy_hitters",
     "ext_ann_quantized",
-    "ext_pagerank",
-    "ext_tpch_q3",
     "ext_search_e2e",
+    "ext_near_dedup",
+    "ext_repeated_spans",
+    "ext_dedup_lines",
+    "ext_diversity_sample",
+    "ext_cluster_assign",
+    "ext_chunk_documents",
+    "ext_curriculum",
+    "ext_domain_mix",
+    "ext_pii_redact",
+    "ext_bpe_merges",
+    "ext_search_facets",
+    "ext_more_like_this",
+    "ext_phrase_search",
 ]
 
 
