@@ -377,7 +377,10 @@ def connected_components(
     """
     # one materialization of the (possibly expensive) pair-generation plan:
     # persist pairs so the symmetric union reads it once, then checkpoint
-    # edges so NO later round's plan reaches back into the pair pipeline
+    # edges so NO later round's plan reaches back into the pair pipeline.
+    # The edges cut MUST stay eager: pairs_p is unpersisted right after, so
+    # a deferred cut would recompute the whole pair pipeline uncached (and
+    # twice — both union branches) at first use.
     pairs_p = pairs.persist()
     edges = lineage_cut(
         pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -386,11 +389,14 @@ def connected_components(
         checkpoint_dir,
     )
     pairs_p.unpersist()
+    # per-round cuts are lazy: the convergence-sum action right below each
+    # cut materializes it in the same job (one job per round, not two)
     labels = lineage_cut(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node")),
         checkpoint_dir,
+        eager=False,
     )
     # convergence via label-sum monotonicity: each node's label is
     # non-increasing (min over a set containing itself), so the total is
@@ -408,6 +414,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id")),
             checkpoint_dir,
+            eager=False,
         )
         new_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if new_sum == prev_sum:
@@ -743,7 +750,9 @@ def connected_components_star(
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
         )
-        edges = lineage_cut(sym(ls), checkpoint_dir)
+        # lazy round cuts: the sig() convergence action below materializes
+        # both star halves in one job (see checkpointing module docstring)
+        edges = lineage_cut(sym(ls), checkpoint_dir, eager=False)
         # small-star: v <= u -> (v, m), plus (u, m)
         with_m = edges.join(mins(edges), "a")
         ss = (
@@ -751,7 +760,7 @@ def connected_components_star(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(with_m.select("a", F.col("m").alias("b")))
         )
-        edges = lineage_cut(sym(ss), checkpoint_dir)
+        edges = lineage_cut(sym(ss), checkpoint_dir, eager=False)
         cur = sig(edges)
         if cur == prev:
             break

@@ -111,13 +111,17 @@ def pagerank_int(
         checkpoint_dir,
     )
     pairs_p.unpersist()
+    # round-state cuts are lazy: nothing needs a barrier job per round —
+    # the caller's action materializes the chain with lineage still cut at
+    # every round boundary (checkpointing module docstring)
     deg = lineage_cut(
-        edges.groupBy("a").agg(F.count("*").alias("deg")), checkpoint_dir
+        edges.groupBy("a").agg(F.count("*").alias("deg")), checkpoint_dir,
+        eager=False,
     )
     n = deg.count()
     base = (15 * (scale // n)) // 100
     rank = deg.select(F.col("a").alias("node"), F.lit(scale // n).alias("rank"))
-    edges_deg = lineage_cut(edges.join(deg, "a"), checkpoint_dir)
+    edges_deg = lineage_cut(edges.join(deg, "a"), checkpoint_dir, eager=False)
     for _ in range(iters):
         contrib = edges_deg.join(
             rank, edges_deg.a == rank.node
@@ -134,6 +138,7 @@ def pagerank_int(
                 ).alias("rank"),
             ),
             checkpoint_dir,
+            eager=False,
         )
     return rank
 
@@ -165,8 +170,12 @@ def pagerank_personalized_int(
         checkpoint_dir,
     )
     pairs_p.unpersist()
+    # round-state cuts are lazy: nothing needs a barrier job per round —
+    # the caller's action materializes the chain with lineage still cut at
+    # every round boundary (checkpointing module docstring)
     deg = lineage_cut(
-        edges.groupBy("a").agg(F.count("*").alias("deg")), checkpoint_dir
+        edges.groupBy("a").agg(F.count("*").alias("deg")), checkpoint_dir,
+        eager=False,
     )
     seed = edges.agg(F.min("a").alias("__seed"))
     nodes = deg.select(F.col("a").alias("node")).crossJoin(F.broadcast(seed))
@@ -178,7 +187,7 @@ def pagerank_personalized_int(
         .cast("long")
         .alias("rank"),
     )
-    edges_deg = lineage_cut(edges.join(deg, "a"), checkpoint_dir)
+    edges_deg = lineage_cut(edges.join(deg, "a"), checkpoint_dir, eager=False)
     for _ in range(iters):
         contrib = edges_deg.join(
             rank, edges_deg.a == rank.node
@@ -196,6 +205,7 @@ def pagerank_personalized_int(
                 ).cast("long").alias("rank"),
             ),
             checkpoint_dir,
+            eager=False,
         )
     return rank
 
@@ -240,6 +250,7 @@ def bfs_distances(
             .groupBy("node")
             .agg(F.min("dist").alias("dist")),
             checkpoint_dir,
+            eager=False,
         )
     return dist
 
@@ -277,5 +288,6 @@ def kcore(
                 keep.select(F.col("a").alias("b")), "b", "left_semi"
             ),
             checkpoint_dir,
+            eager=False,
         )
     return e.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg"))
