@@ -144,56 +144,95 @@ def redact_pii(
     )
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent values in a SORTED array<string> — i.e.
+    the count of the array's most frequent element — one row-local O(n)
+    fold. Empty array -> 0. Elements must be non-empty strings (the fold's
+    initial ``prev`` sentinel is "")."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_signals(tk: Column) -> Column:
+    """Row-local Gopher repetition signals over a normalized-token array:
+    struct(n_tokens, n_distinct, top_token_frac, top_bigram_frac). The
+    top-unigram / top-bigram counts are longest-equal-runs of the SORTED
+    (bi)gram arrays — identical, value for value, to an
+    explode -> groupBy(gram).count -> max(count) formulation, with ZERO
+    shuffles: at 100 TB this replaces a token-grain exchange (every unigram
+    AND bigram of the corpus through two shuffles) with a scan-speed
+    projection. A zero-token array yields top_token_frac NULL (no signal),
+    matching the grouped formulation which produced no row at all."""
+    n_tokens = F.size(tk).cast("long")
+    n_bigrams = F.greatest(n_tokens - 1, F.lit(0)).cast("long")
+    top_cnt = _max_run(F.array_sort(tk))
+    top_bg_cnt = _max_run(F.array_sort(token_ngrams(tk, 2)))
+    return F.struct(
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_distinct"),
+        F.when(n_tokens > 0, F.round(top_cnt / n_tokens, 4)).alias(
+            "top_token_frac"
+        ),
+        F.when(n_bigrams > 0, F.round(top_bg_cnt / n_bigrams, 4))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     top_token_max: float = 0.20,
     top_bigram_max: float = 0.18,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Gopher-style repetition signals per document: token count, distinct
     count, the fraction of tokens taken by the most frequent token and by the
     most frequent bigram, and a keep/drop ``repetitive`` flag.
 
-    Plan: unigram and bigram streams UNION into one (doc_id, n, gram) count,
-    then ONE doc_id rollup with conditional aggregates — two shuffles total,
-    no self-join, no window. Documents with zero tokens produce no row (they
-    have no repetition signal; quality_score already flags empties)."""
+    Plan: ZERO shuffles — every signal is a row-local fold over the
+    normalized-token array (:func:`repetition_signals`; the previous
+    formulation exploded unigram+bigram streams through two corpus-wide
+    exchanges for the same values — the unchanged DuckDB oracle pins the
+    equivalence). Documents with zero tokens produce no row (they have no
+    repetition signal; quality_score already flags empties). ``toks_col``:
+    a pre-staged normalized-token array column to reuse (see
+    lang_id_scores)."""
     from ..io import ensure_parallelism
 
-    toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+    # stage the token ARRAY as a real column first: repetition_signals
+    # references its input several times, and a multiply-referenced
+    # tokenize/HOF EXPRESSION would re-evaluate per reference (Catalyst
+    # only keeps multiply-referenced non-cheap ALIASES staged)
+    tk = F.col(toks_col) if toks_col else tokenize_normalized(text_col)
+    sig = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), tk.alias("__tk"))
+        .select("doc_id", repetition_signals(F.col("__tk")).alias("s"))
+        .filter(F.col("s")["n_tokens"] > 0)
     )
-    unigrams = toks.select(
-        "doc_id", F.lit(1).alias("n"), F.explode("tk").alias("gram")
-    )
-    bigrams = toks.select(
+    top_token_frac = F.col("s")["top_token_frac"]
+    top_bigram_frac = F.col("s")["top_bigram_frac"]
+    return sig.select(
         "doc_id",
-        F.lit(2).alias("n"),
-        F.explode(token_ngrams(F.col("tk"), 2)).alias("gram"),
-    )
-    counts = (
-        unigrams.unionByName(bigrams)
-        .groupBy("doc_id", "n", "gram")
-        .agg(F.count("*").alias("c"))
-    )
-    uni = F.col("n") == 1
-    bi = F.col("n") == 2
-    stats = counts.groupBy("doc_id").agg(
-        F.sum(F.when(uni, F.col("c"))).alias("n_tokens"),
-        F.count(F.when(uni, F.lit(1))).alias("n_distinct"),
-        F.max(F.when(uni, F.col("c"))).alias("top_cnt"),
-        F.sum(F.when(bi, F.col("c"))).alias("n_bigrams"),
-        F.max(F.when(bi, F.col("c"))).alias("top_bg_cnt"),
-    )
-    top_token_frac = F.round(F.col("top_cnt") / F.col("n_tokens"), 4)
-    top_bigram_frac = F.coalesce(
-        F.round(F.col("top_bg_cnt") / F.col("n_bigrams"), 4), F.lit(0.0)
-    )
-    return stats.select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("s")["n_tokens"].alias("n_tokens"),
+        F.col("s")["n_distinct"].alias("n_distinct"),
         top_token_frac.alias("top_token_frac"),
         top_bigram_frac.alias("top_bigram_frac"),
         (

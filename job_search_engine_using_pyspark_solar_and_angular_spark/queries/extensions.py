@@ -1497,12 +1497,20 @@ def ext_curation_verdict(spark, sf_dir):
     from ..functions.text import tokenize_normalized
 
     staged = docs.withColumn("__toks", tokenize_normalized("text"))
+    # repetition is row-local since the fold rewrite (repetition_signals) —
+    # fuse it into the same projection instead of a separate corpus scan
+    # joined back on doc_id (zero-token docs: frac is NULL, exactly like
+    # the old left join's missing row)
+    rep_sig = pipeline.repetition_signals(F.col("__toks"))
     base = textstats.quality_score(staged, toks_col="__toks").select(
         "doc_id",
         textstats.lang_id("text", toks=F.col("__toks")).alias("lang_pred"),
         "quality",
+        (
+            (rep_sig["top_token_frac"] > 0.20)
+            | (rep_sig["top_bigram_frac"] > 0.18)
+        ).alias("repetitive"),
     )
-    rep = pipeline.repetition_stats(docs).select("doc_id", "repetitive")
     # ONE corpus tokenize+shingle+md5 pass feeds BOTH the LSH clustering and
     # both sides of decontamination (values identical to computing each
     # independently — same oracle; at 100 TB this removes a full extra scan)
@@ -1521,11 +1529,7 @@ def ext_curation_verdict(spark, sf_dir):
         doc_shingles=sh.filter(F.col("doc_id") % 50 != 0),
         bench_shingles=sh.filter(F.col("doc_id") % 50 == 0),
     ).select("doc_id", "contamination")
-    joined = (
-        base.join(rep, "doc_id", "left")
-        .join(removed, "doc_id", "left")
-        .join(cont, "doc_id", "left")
-    )
+    joined = base.join(removed, "doc_id", "left").join(cont, "doc_id", "left")
     verdict = (
         F.when(F.col("lang_pred") != "en", F.lit("lang"))
         .when(F.col("quality") < 0.55, F.lit("quality"))

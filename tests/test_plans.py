@@ -263,13 +263,17 @@ def test_shard_ops_one_exchange_no_global_sort(spark):
         assert "SinglePartition" not in p, name
 
 
-def test_repetition_two_shuffles_partial_agg(spark):
-    """repetition_stats: gram-count shuffle + doc rollup shuffle, nothing
-    more (the unigram/bigram union must NOT add a per-n aggregate + join),
-    with map-side partial aggregation."""
+def test_repetition_zero_shuffles_row_local(spark):
+    """repetition_stats: ZERO shuffles — every signal (counts, distinct,
+    top-unigram/bigram run folds) is a row-local projection over the staged
+    token array; no explode, no aggregate, no join may reappear. (The old
+    formulation exploded unigram+bigram streams through two corpus-wide
+    exchanges for the same values — pinned equivalent by the unchanged
+    DuckDB oracle.)"""
     p = plan_of(spark, "ext_repetition")
-    assert p.count("Exchange hashpartitioning") == 2
-    assert "partial_" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Generate" not in p  # no explode
+    assert "Aggregate" not in p
     assert "Join" not in p
 
 
