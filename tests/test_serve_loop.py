@@ -498,3 +498,24 @@ def test_redelivery_guard_survives_compaction(spark, tmp_path, crash_ref):
     )
     assert s == {"skipped": True, "batch_id": 1, "applied": 1}
     assert _served_fingerprint(spark, base) == crash_ref
+
+
+def test_parallel_writes_equal_sequential(spark, tmp_path, crash_ref):
+    """serve_batch runs its independent pre-publish segment writes from a
+    thread pool when no failpoint is active; with a failpoint it runs them
+    in the pinned sequential label order. Both paths must produce
+    hash-identical served state (crash_ref is the clean PARALLEL run;
+    here the same two batches run fully sequential via a no-op
+    failpoint)."""
+    base, prefix = str(tmp_path / "srv"), _prefix(tmp_path)
+    noop = lambda lbl: None  # noqa: E731 — forces the sequential branch
+    serve_loop.serve_batch(
+        spark, _df(spark, DOCS), base, prefix,
+        vec_col="embedding", postings_buckets=4, batch_id=0, failpoint=noop,
+    )
+    s = serve_loop.serve_batch(
+        spark, _df(spark, B2), base, prefix,
+        vec_col="embedding", postings_buckets=4, batch_id=1, failpoint=noop,
+    )
+    assert s == {"seg": 2, "arrived": 3, "suppressed": 1, "indexed": 2}
+    assert _served_fingerprint(spark, base) == crash_ref
