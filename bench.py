@@ -5,6 +5,8 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
    "served_refresh_sec": <per-micro-batch serve-loop cost>,
+   "streaming_ingest": {"input_mb": ..., "sec": ..., "mb_per_sec": ...,
+                        "n_batches": ...},  # Structured Streaming ingest loop
    "preprocess_scaled": {"input_mb": ..., "sec": ..., "mb_per_sec": ...,
                          "baseline_mb_per_sec": 1.11, "speedup_vs_baseline": ...},
    "preprocess_scaled_1gb": {same shape, ~1 GB input},
@@ -248,6 +250,68 @@ def bench_preprocess_scaled(
     }
 
 
+def bench_streaming_ingest(spark) -> dict:
+    """Structured-Streaming form of the reference's collector -> preprocess
+    loop (S1/§2.11: tweepy listener + per-epoch batch loop,
+    ``DataCollector.py:19-64`` + ``Tweets_preprocessing.py:605-621``): the
+    same ~124 MB JSONL corpus consumed as a file-source STREAM in
+    maxFilesPerTrigger micro-batches, each batch run through the full
+    preprocess plan (flatten -> dedup -> filter) in foreachBatch and fully
+    materialized (noop write, same policy as the per-query timings).
+    Reports end-to-end MB/s across all micro-batches — the figure that
+    shows what the continuously-running ingest loop sustains, checkpoint
+    and trigger overhead included (one timed pass; the corpus and schema
+    are the cached ones the batch probe uses)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.plans.preprocess import (
+        preprocess,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources.synthetic import (
+        scaled_tweet_corpus,
+        tweets_from_documents,
+    )
+
+    corpus_dir = os.path.join(BENCH_DIR, "tweets_json")
+    path, size_mb = scaled_tweet_corpus(
+        spark, "/root/testdata/sf0.1", corpus_dir, target_mb=120
+    )
+    schema = tweets_from_documents(
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+            "doc_id", "text"
+        )
+    ).schema
+    ck = os.path.join(BENCH_DIR, "stream_ingest_ck")
+    shutil.rmtree(ck, ignore_errors=True)
+    batches = []
+
+    def _sink(batch, batch_id):
+        force(preprocess(batch))
+        batches.append(batch_id)
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .json(path)
+    )
+    t0 = time.perf_counter()
+    q = (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sec = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(ck, ignore_errors=True)
+    return {
+        "input_mb": size_mb,
+        "sec": sec,
+        "mb_per_sec": round(size_mb / sec, 2),
+        "n_batches": len(batches),
+        "baseline_mb_per_sec": round(BASELINE_MB_PER_SEC, 2),
+        "speedup_vs_baseline": round(size_mb / sec / BASELINE_MB_PER_SEC, 1),
+    }
+
+
 def bench_served_refresh(spark, sf_dir: str) -> float:
     """Per-micro-batch cost of the FULL serve loop (search/serve_loop.py:
     dedup gate vs corpus LSH buckets -> fresh postings segment -> stats +
@@ -355,6 +419,7 @@ def main() -> None:
     timings["q20_bm25_served"] = bench_bm25_served(spark, sf_dir)
     timings["ann_lsh_served"] = bench_ann_served(spark, sf_dir)
     served_refresh = bench_served_refresh(spark, sf_dir)
+    streaming_ingest = bench_streaming_ingest(spark)
     scaled = bench_preprocess_scaled(spark)
     # sustained-throughput point: the same end-to-end job at ~1 GB (8x the
     # reference's measured volume) — the figure that shows per-job fixed
@@ -381,6 +446,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "served_refresh_sec": served_refresh,
+                "streaming_ingest": streaming_ingest,
                 "preprocess_scaled": scaled,
                 "preprocess_scaled_1gb": scaled_1gb,
                 "preprocess_skewed": skewed,
