@@ -750,17 +750,46 @@ def serve_loop_sink(
     checkpoint: str,
     table_prefix: str,
     trigger_once: bool = True,
+    auto_compact_max_segments: int | None = None,
     **serve_kwargs,
 ):
     """The streaming composition: every micro-batch runs the full
     gate -> delta-index -> publish loop. Idempotent per batch (see module
-    docstring), so exactly-once serving state over at-least-once delivery."""
+    docstring), so exactly-once serving state over at-least-once delivery.
+
+    ``auto_compact_max_segments``: Lucene's merge policy for the loop —
+    when a batch's publish leaves the manifest holding at least this many
+    segments, :func:`compact_segments` runs inline before the next batch,
+    so a long-running loop's per-read segment fan-in (manifest collect +
+    per-segment unions + tombstone filter) stays bounded instead of
+    growing with every batch forever. Unset (the default) leaves
+    compaction cadence to the operator (DEPLOY.md).
+
+    Crash-safe by ordering alone: compaction runs strictly AFTER the
+    batch's manifest publish, and itself flips the manifest only after
+    every folded segment is written — a crash mid-compaction leaves the
+    multi-segment manifest live and the threshold simply re-triggers
+    after the next batch; a redelivery after a post-compaction crash is
+    skipped because the fold carries the batch_id high-water mark
+    (test_redelivery_guard_survives_compaction). Inline vacuum is the
+    single-writer default (compact_segments vacuum_now) — a deployment
+    with concurrent out-of-process readers should instead compact off the
+    serving path with a read grace window, per DEPLOY.md."""
 
     def _body(batch: DataFrame, batch_id: int) -> None:
         # batch_id threads into the manifest commit: a redelivered batch
         # (at-least-once foreachBatch) whose publish already succeeded is
         # skipped instead of re-gated against the post-batch corpus
         serve_batch(spark, batch, base, table_prefix, batch_id=batch_id, **serve_kwargs)
+        if auto_compact_max_segments is not None:
+            man = read_state(spark, _paths(base)["manifest"])
+            if man is not None and man.count() >= auto_compact_max_segments:
+                compact_segments(
+                    spark,
+                    base,
+                    table_prefix,
+                    postings_buckets=serve_kwargs.get("postings_buckets", 16),
+                )
 
     writer = stream_df.writeStream.foreachBatch(_body).option(
         "checkpointLocation", checkpoint

@@ -867,3 +867,52 @@ def test_asof_join_matches_python_reference(spark, lrows, rrows):
         cands = [(rt, rv) for rk, rt, rv in rrows if rk == k and rt <= t]
         want[lid] = max(cands)[1] if cands else None
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SET
+def test_repetition_fold_matches_python_counter(spark, docs):
+    """The row-local max-run fold == collections.Counter most-common count,
+    for unigrams AND bigrams, on arbitrary token arrays (including empties
+    and all-identical runs). Pins the explode-free repetition_stats rewrite
+    against an independent Python reference."""
+    from collections import Counter
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.pipeline import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)],
+        "doc_id long, tk array<string>",
+    )
+    got = {
+        r["doc_id"]: (
+            r["s"]["n_tokens"],
+            r["s"]["n_distinct"],
+            r["s"]["top_token_frac"],
+            r["s"]["top_bigram_frac"],
+        )
+        for r in df.select(
+            "doc_id", repetition_signals(df["tk"]).alias("s")
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        uni = Counter(toks)
+        bi = Counter(
+            " ".join(toks[j : j + 2]) for j in range(n - 1)
+        )
+        want_ttf = (
+            round(uni.most_common(1)[0][1] / n, 4) if n else None
+        )
+        want_tbf = (
+            round(bi.most_common(1)[0][1] / (n - 1), 4) if n >= 2 else 0.0
+        )
+        assert got[i] == (n, len(uni), want_ttf, want_tbf), (i, toks)

@@ -519,3 +519,54 @@ def test_parallel_writes_equal_sequential(spark, tmp_path, crash_ref):
     )
     assert s == {"seg": 2, "arrived": 3, "suppressed": 1, "indexed": 2}
     assert _served_fingerprint(spark, base) == crash_ref
+
+
+def test_sink_auto_compaction_bounds_segments(spark, tmp_path):
+    """auto_compact_max_segments: a 4-batch stream with threshold 2 keeps
+    the manifest bounded (compaction folds after every batch once >= 2
+    segments exist) while serving state stays hash-identical to the same
+    batches through an uncompacted sink — merge policy changes cost, never
+    results."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.state_store import (
+        read_state,
+    )
+
+    batches = [
+        _df(spark, DOCS),
+        _df(spark, [(100, "adaptive query execution replans stages from runtime statistics")]),
+        _df(spark, [(1, "kubernetes schedules containers onto nodes respecting resource quotas"),
+                    (101, DOCS[0][1])]),  # replace doc 1 + near-dup of its OLD text
+        _df(spark, [(102, "columnar shuffles compress sorted runs before network transfer")]),
+    ]
+    src = str(tmp_path / "src")
+    bases = {
+        "auto": (str(tmp_path / "auto"), _prefix(tmp_path) + "a", 2),
+        "plain": (str(tmp_path / "plain"), _prefix(tmp_path) + "p", None),
+    }
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(batches[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        for name, (base, prefix, thresh) in bases.items():
+            q = serve_loop.serve_loop_sink(
+                stream, spark, base, str(tmp_path / f"ck_{name}"), prefix,
+                vec_col="embedding", postings_buckets=4,
+                auto_compact_max_segments=thresh,
+            )
+            q.awaitTermination(120)
+
+    auto_base = bases["auto"][0]
+    plain_base = bases["plain"][0]
+    # bounded: the post-batch fold leaves exactly ONE live segment whenever
+    # the threshold was reached; never more than thresh
+    n_live = read_state(spark, serve_loop._paths(auto_base)["manifest"]).count()
+    assert n_live <= 2
+    assert read_state(
+        spark, serve_loop._paths(plain_base)["manifest"]
+    ).count() == 4
+    assert _served_fingerprint(spark, auto_base) == _served_fingerprint(
+        spark, plain_base
+    )
