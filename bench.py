@@ -127,6 +127,7 @@ HEADLINE = [
     # cluster-quota diversity-sampling selection step, the trainer-handoff
     # shard manifest, and the one-row corpus dataset card
     "ext_ann_lsh_quantized",
+    "ext_ann_pq",
     "ext_diversity_sample",
     "ext_shard_manifest",
     "ext_dataset_card",

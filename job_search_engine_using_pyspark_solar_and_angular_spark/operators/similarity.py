@@ -689,6 +689,158 @@ def quantize_int8_corpus(
     return with_stats.select(F.col(id_col), codes.alias("codes"))
 
 
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011) — the memory-compression tier of a 100 TB vector index: a
+    vector stores as ``m`` sub-codebook ids (here m=8 bytes against 512
+    bytes of float64), and query scoring reads ONLY the codes.
+
+    Integer-EXACT variant, same discipline as :func:`cluster_assign_int8`:
+    shared-space int8 codes (:func:`quantize_int8_corpus`), sub-codebooks
+    = the ``ksub`` lowest-md5(id) corpus vectors' sub-slices (leader
+    codebooks — hash-selected, append-stable; Lloyd-refined float
+    codebooks would be partition-order sensitive and drop to rows-only),
+    encode = per-subspace integer-L2 argmin with (dist, codebook-id)
+    tie-break, ADC = sum over subspaces of integer L2 between the QUERY's
+    sub-code and the corpus vector's ASSIGNED sub-centroid. Every step is
+    integer/hash arithmetic — full SQL oracle (ext_ann_pq).
+
+    Returns top-``k`` (id, pq_code, adc_dist2) by ascending ADC distance,
+    id tie-break; ``pq_code`` is the dash-joined codebook-id string (the
+    m-byte compressed representation, human-readable).
+
+    Scale shape: codes materialize ONCE (lineage_cut — the same compressed
+    table the int8-LSH tier persists); the codebook folds into ONE
+    broadcast row; encode + ADC are row-local HOF math over that broadcast
+    (the m per-subspace argmin structs stage in ONE projection — each is
+    multiply-referenced, and un-staged expressions re-evaluate per
+    reference); the only shuffle is the final TakeOrderedAndProject. At
+    serving scale the encode runs once at index time and ADC reads m
+    SMALL-int columns per candidate — the bytes/candidate that make PQ the
+    RAM-resident tier when even int8 full codes blow the budget."""
+    from .checkpointing import lineage_cut
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    dsub = dim // m
+    codes = lineage_cut(
+        quantize_int8_corpus(embeddings, id_col, vec_col), checkpoint_dir
+    )
+    corpus = codes.filter(F.col(id_col) != query_id)
+
+    def _subs_of(col):
+        # the m sub-slices as one array<array<int>> — built ONCE per value
+        # (codebook and query: once globally in their 1-row frames; corpus:
+        # once per row in a staged projection). Re-slicing inside the
+        # per-entry lambdas instead ran the whole query 3x slower: every
+        # (row, codebook-entry, subspace) evaluation allocated fresh slices
+        return F.array(*[F.slice(col, j * dsub + 1, dsub) for j in range(m)])
+
+    cb_row = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col("codes").alias("cc"),
+            md5_long(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "cid")
+        .limit(ksub)
+        .agg(F.collect_list(F.struct("cid", "cc")).alias("__cb0"))
+        .select(
+            F.transform(
+                "__cb0",
+                lambda e: F.struct(
+                    e.cid.alias("cid"), _subs_of(e.cc).alias("subs")
+                ),
+            ).alias("__cb")
+        )
+    )
+    q_row = codes.filter(F.col(id_col) == query_id).select(
+        _subs_of(F.col("codes")).alias("__qs")
+    )
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    guard = F.assert_true(
+        F.size(F.col("codes")) == F.lit(dim),
+        F.concat(
+            F.lit("pq_adc_topk: codes length "),
+            F.size(F.col("codes")).cast("string"),
+            F.lit(f" != dim {dim}; pass dim= matching the embedding"),
+        ),
+    )
+    pre = (
+        corpus.crossJoin(F.broadcast(cb_row))
+        .crossJoin(F.broadcast(q_row))
+        .select(
+            F.col(id_col),
+            "__cb",
+            "__qs",
+            _subs_of(F.col("codes")).alias("__subs"),
+            F.coalesce(guard.cast("long"), F.lit(0)).alias("__g"),
+        )
+    )
+    # per-subspace argmin over the broadcast codebook; the winner carries
+    # its OWN sub-codes so ADC needs no positional lookup (collect_list
+    # order never matters: argmin is order-independent, ties break on cid)
+    def _best(jj: int):
+        # single-arg lambda only: F.transform reads a second lambda
+        # parameter as the array INDEX column
+        return F.array_min(
+            F.transform(
+                F.col("__cb"),
+                lambda e: F.struct(
+                    _d2(
+                        F.element_at(F.col("__subs"), jj + 1),
+                        F.element_at(e.subs, jj + 1),
+                    ).alias("d"),
+                    e.cid.alias("cid"),
+                    F.element_at(e.subs, jj + 1).alias("cc_sub"),
+                ),
+            )
+        )
+
+    best_structs = [_best(j) for j in range(m)]
+    staged = pre.select(
+        F.col(id_col),
+        "__qs",
+        F.array(*best_structs).alias("__pq"),
+        "__g",
+    )
+    adc = F.col("__g")
+    cids = []
+    for j in range(m):
+        e = F.element_at(F.col("__pq"), j + 1)
+        adc = adc + _d2(
+            F.element_at(F.col("__qs"), j + 1), e.getField("cc_sub")
+        )
+        cids.append(e.getField("cid").cast("string"))
+    return (
+        staged.select(
+            F.col(id_col),
+            F.concat_ws("-", *cids).alias("pq_code"),
+            adc.alias("adc_dist2"),
+        )
+        .orderBy(F.col("adc_dist2").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cluster_assign_int8(
     embeddings: DataFrame,
     n_centroids: int = 8,

@@ -1666,6 +1666,17 @@ def ext_ann_quantized(spark, sf_dir):
     return similarity.quantized_rerank_topk(corpus, q, k=5, m=50)
 
 
+@query("ext_ann_pq")
+def ext_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with ADC scoring (Jégou et al. 2011): the
+    memory-compression tier — each vector stored as 8 sub-codebook ids,
+    query scored against assigned sub-centroids only. Integer-exact
+    (shared-space int8 codes, leader sub-codebooks, integer L2), so unlike
+    classic float PQ this tier is EXACT-oracle-checked end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(emb, query_id=0, k=10)
+
+
 @query("ext_ann_lsh_multiprobe")
 def ext_ann_lsh_multiprobe(spark, sf_dir):
     """Multi-probe integer LSH (Lv et al.): beside the query's own bucket,

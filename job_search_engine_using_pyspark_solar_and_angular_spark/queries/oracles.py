@@ -797,7 +797,7 @@ FROM documents GROUP BY shard ORDER BY shard
 
 # shared CTE chain for the integer-exact clustering family: corpus int8
 # codes (per-dimension min/max), md5-selected exemplars, integer-L2 argmin
-_CLUSTER_CTES = """
+_CODES_CTES = """
 dims AS (
   SELECT i.pos,
          MIN(CAST(e.embedding[i.pos] AS DOUBLE)) AS mn,
@@ -814,7 +814,9 @@ codes AS (
       z -> CASE WHEN z[3] = z[2] THEN 0
                 ELSE CAST(floor((z[1] - z[2]) * 255.0 / (z[3] - z[2]) + 0.5)
                      AS INT) - 128 END) AS c
-  FROM embeddings, stats s),
+  FROM embeddings, stats s)"""
+
+_CLUSTER_CTES = _CODES_CTES + """,
 ex AS (
   SELECT vec_id AS centroid_id, c AS cc FROM codes
   ORDER BY CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id LIMIT 8),
@@ -832,6 +834,43 @@ best AS (
 ORACLES["ext_cluster_assign"] = (
     "WITH " + _CLUSTER_CTES
     + "SELECT vec_id, centroid_id, dist2 FROM best WHERE r = 1 ORDER BY vec_id"
+)
+
+# PQ-ADC (ext_ann_pq): same shared-space codes; sub-codebooks are the 8
+# lowest-md5 corpus vectors' slices; encode = per-subspace L2 argmin
+# (d2, cid tie-break); ADC = sum over subspaces of query-to-assigned-
+# sub-centroid L2. m=8 subspaces of 8 dims each, k=10.
+ORACLES["ext_ann_pq"] = (
+    "WITH " + _CODES_CTES + """,
+cb AS (
+  SELECT vec_id AS cid, c AS cc FROM codes WHERE vec_id != 0
+  ORDER BY CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+  LIMIT 8),
+qs AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
+enc AS (
+  SELECT codes.vec_id, j.j, cb.cid,
+    list_sum(list_transform(
+      list_zip(list_slice(codes.c, j.j*8+1, j.j*8+8),
+               list_slice(cb.cc,   j.j*8+1, j.j*8+8)),
+      z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS BIGINT))) AS d2,
+    list_sum(list_transform(
+      list_zip(list_slice(q.qc, j.j*8+1, j.j*8+8),
+               list_slice(cb.cc, j.j*8+1, j.j*8+8)),
+      z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS BIGINT))) AS dq2
+  FROM codes, (SELECT unnest(generate_series(0, 7)) AS j) j, cb, qs q
+  WHERE codes.vec_id != 0),
+best AS (
+  SELECT vec_id, j, cid, dq2,
+    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS r
+  FROM enc),
+agg AS (
+  SELECT vec_id,
+    string_agg(CAST(cid AS VARCHAR), '-' ORDER BY j) AS pq_code,
+    CAST(SUM(dq2) AS BIGINT) AS adc_dist2
+  FROM best WHERE r = 1 GROUP BY vec_id)
+SELECT vec_id, pq_code, adc_dist2 FROM agg
+ORDER BY adc_dist2, vec_id LIMIT 10
+"""
 )
 
 ORACLES["ext_diversity_sample"] = (

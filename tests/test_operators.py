@@ -1192,3 +1192,47 @@ def test_incremental_dedup_check_matches_full_corpus(spark):
     # the planted cross-boundary copies must be caught
     caught = {(n, o) for n, o in got}
     assert (10000, 0) in caught and (10001, 1) in caught
+
+
+def test_pq_adc_exact_for_codebook_exemplars(spark):
+    """PQ/ADC invariant: a corpus vector that IS a codebook exemplar encodes
+    every subspace to ITSELF (sub-distance 0, and no other entry can beat 0
+    with a smaller (d, cid) because d >= 0), so its ADC distance equals the
+    FULL integer L2 between the query's codes and its codes — ADC is exact
+    on the codebook, approximate off it. Also pins the code shape: m=8
+    dash-joined codebook ids, all drawn from the hash-selected codebook."""
+    import hashlib
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        pq_adc_topk,
+        quantize_int8_corpus,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in quantize_int8_corpus(emb).collect()
+    }
+    corpus_ids = [i for i in codes if i != 0]
+
+    def md5l(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    cb_ids = set(sorted(corpus_ids, key=lambda v: (md5l(v), v))[:8])
+    out = {
+        r["vec_id"]: r
+        for r in pq_adc_topk(emb, query_id=0, k=len(codes)).collect()
+    }
+    assert set(out) == set(corpus_ids)
+    q = codes[0]
+    n_exact = 0
+    for vid, r in out.items():
+        parts = r["pq_code"].split("-")
+        assert len(parts) == 8
+        assert all(int(p) in cb_ids for p in parts)
+        if vid in cb_ids:
+            full_l2 = sum((a - b) * (a - b) for a, b in zip(q, codes[vid]))
+            assert r["adc_dist2"] == full_l2, vid
+            assert r["pq_code"] == "-".join([str(vid)] * 8)
+            n_exact += 1
+    assert n_exact == 8
