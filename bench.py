@@ -204,6 +204,32 @@ def bench_ann_served(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def bench_ann_pq_served(spark, sf_dir: str) -> float:
+    """The IVFPQ served deployment shape beside ann_lsh_served: ADC query
+    against the on-disk PQ index — driver-side LUT from the bounded stats/
+    codebook components, static partition pruning to the probe buckets,
+    m table lookups per candidate (embeddings never read). Index cached
+    under .bench/ per sf."""
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        ann_pq_served,
+        write_vector_index_pq,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(BENCH_DIR, f"pqidx_{sf_tag}")
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        write_vector_index_pq(emb.filter(F.col("vec_id") != 0), path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    force(ann_pq_served(spark, path, qv, k=5))  # warm
+    t0 = time.perf_counter()
+    force(ann_pq_served(spark, path, qv, k=5))
+    return round(time.perf_counter() - t0, 3)
+
+
 def bench_preprocess_scaled(
     spark, target_mb: int = 120, tag: str = "", hot_pct: int = 0, runs: int = 2
 ) -> dict:
@@ -419,6 +445,7 @@ def main() -> None:
 
     timings["q20_bm25_served"] = bench_bm25_served(spark, sf_dir)
     timings["ann_lsh_served"] = bench_ann_served(spark, sf_dir)
+    timings["ann_pq_served"] = bench_ann_pq_served(spark, sf_dir)
     served_refresh = bench_served_refresh(spark, sf_dir)
     streaming_ingest = bench_streaming_ingest(spark)
     scaled = bench_preprocess_scaled(spark)

@@ -639,10 +639,29 @@ def quantized_rerank_topk(
     )
 
 
+def corpus_scales(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension corpus min/max packed into ONE row (__mns, __mxs) —
+    the shared-space quantization scales of :func:`quantize_int8_corpus`,
+    exposed so a persisted index can store them and quantize queries in
+    the exact space it was built in."""
+    dims = embeddings.select(F.posexplode(vec_col).alias("pos", "x"))
+    stats = dims.groupBy("pos").agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    return stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda t: t.mn).alias("__mns"),
+        F.transform("s", lambda t: t.mx).alias("__mxs"),
+    )
+
+
 def quantize_int8_corpus(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scales: DataFrame | None = None,
 ) -> DataFrame:
     """CORPUS-quantization: int8 codes in one SHARED space, scaled by
     per-DIMENSION corpus min/max (unlike :func:`quantize_int8`, whose
@@ -658,18 +677,12 @@ def quantize_int8_corpus(
     Scale shape: one posexplode + (dim) min/max agg — dim-count rows —
     re-packed into two arrays in a 1-ROW frame that broadcast-crossJoins
     back into the corpus; the corpus itself never shuffles and the stats
-    stay in-plan (no driver collect)."""
-    dims = embeddings.select(F.posexplode(vec_col).alias("pos", "x"))
-    stats = dims.groupBy("pos").agg(
-        F.min(F.col("x").cast("double")).alias("mn"),
-        F.max(F.col("x").cast("double")).alias("mx"),
-    )
-    arrs = stats.agg(
-        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
-    ).select(
-        F.transform("s", lambda t: t.mn).alias("__mns"),
-        F.transform("s", lambda t: t.mx).alias("__mxs"),
-    )
+    stay in-plan (no driver collect).
+
+    ``scales``: a precomputed :func:`corpus_scales` frame (e.g. read back
+    from a persisted index's stats file) — lets an index SERVE path and
+    later encodes share the exact scales the index was built with."""
+    arrs = corpus_scales(embeddings, vec_col) if scales is None else scales
     with_stats = embeddings.crossJoin(F.broadcast(arrs))
     paired = F.zip_with(
         F.col(vec_col),
@@ -836,6 +849,219 @@ def pq_adc_topk(
             F.concat_ws("-", *cids).alias("pq_code"),
             adc.alias("adc_dist2"),
         )
+        .orderBy(F.col("adc_dist2").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def write_vector_index_pq(
+    embeddings: DataFrame,
+    path: str,
+    num_planes: int = 4,
+    m: int = 8,
+    ksub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVFPQ-style SERVED tier (FAISS's IVF+PQ layout in
+    Spark tables): integer-LSH coarse buckets give the partition layout
+    (a query reads only its probed partitions) and each vector's payload
+    is its m PQ sub-codebook POSITIONS — m small ints per candidate, the
+    bytes/candidate that serve ANN when even int8 full codes blow the RAM
+    budget. Three components under ``path``:
+
+    - ``stats``    — ONE row (__mns, __mxs): the shared-space scales;
+      queries must quantize with these to score in the index's space
+    - ``codebook`` — ``ksub`` rows (pos, cid, cc): canonical (md5, cid)
+      order, pos 1-based (the tiny window runs over ksub rows only)
+    - ``codes``    — (id, pq positions, bucket) partitioned by bucket
+
+    Codes derive from the PERSISTED stats read back (bit-identical to the
+    in-plan stats — exact double arithmetic either way — but reading them
+    back makes the build/serve contract self-evident)."""
+    from pyspark.sql import Window
+
+    corpus_scales(embeddings, vec_col).write.mode("overwrite").parquet(
+        f"{path}/stats"
+    )
+    spark = embeddings.sparkSession
+    scales = spark.read.parquet(f"{path}/stats")
+    codes = quantize_int8_corpus(embeddings, id_col, vec_col, scales=scales)
+    dsub = dim // m
+
+    def _subs_of(col):
+        return F.array(*[F.slice(col, j * dsub + 1, dsub) for j in range(m)])
+
+    cb = (
+        codes.select(
+            F.col(id_col).alias("cid"),
+            F.col("codes").alias("cc"),
+            md5_long(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "cid")
+        .limit(ksub)
+        # ksub rows total — the single-partition window is bounded
+        .withColumn(
+            "pos", F.row_number().over(Window.orderBy("__h", "cid"))
+        )
+        .select("pos", "cid", "cc")
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    cb_row = (
+        spark.read.parquet(f"{path}/codebook")
+        .agg(F.collect_list(F.struct("pos", "cid", "cc")).alias("__cb0"))
+        .select(
+            F.transform(
+                "__cb0",
+                lambda e: F.struct(
+                    e.pos.alias("pos"),
+                    e.cid.alias("cid"),
+                    _subs_of(e.cc).alias("subs"),
+                ),
+            ).alias("__cb")
+        )
+    )
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pre = codes.crossJoin(F.broadcast(cb_row)).select(
+        F.col(id_col),
+        "__cb",
+        _subs_of(F.col("codes")).alias("__subs"),
+        F.col("codes").alias("__codes"),
+    )
+
+    def _best(jj: int):
+        return F.array_min(
+            F.transform(
+                F.col("__cb"),
+                lambda e: F.struct(
+                    _d2(
+                        F.element_at(F.col("__subs"), jj + 1),
+                        F.element_at(e.subs, jj + 1),
+                    ).alias("d"),
+                    e.cid.alias("cid"),
+                    e.pos.alias("pos"),
+                ),
+            )
+        ).getField("pos")
+
+    encoded = pre.select(
+        F.col(id_col),
+        F.array(*[_best(j) for j in range(m)]).alias("pq"),
+        F.col("__codes").alias("codes"),
+    )
+    b = lsh_bucket_int8(encoded, num_planes=num_planes, dim=dim)
+    (
+        b.select(id_col, "pq", "bucket")
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/codes")
+    )
+
+
+def _python_quantize_shared(
+    vec: list[float], mns: list[float], mxs: list[float]
+) -> list[int]:
+    """Shared-space int8 quantization of one query vector, driver-side —
+    the exact arithmetic of :func:`quantize_int8_corpus` (floor on doubles;
+    Python floats ARE IEEE doubles, so codes are bit-identical — pinned by
+    test_pq_served_matches_python_reference)."""
+    import math
+
+    out = []
+    for x, mn, mx in zip(vec, mns, mxs):
+        out.append(
+            0
+            if mx == mn
+            else int(math.floor((float(x) - mn) * 255.0 / (mx - mn) + 0.5)) - 128
+        )
+    return out
+
+
+def _python_bucket_int8(
+    codes: list[int], num_planes: int, dim: int, multiprobe: bool
+) -> list[int]:
+    """Integer-LSH bucket of pre-quantized codes, driver-side — same
+    Rademacher planes and >=0 convention as :func:`lsh_bucket_int8`;
+    multiprobe adds every Hamming-1 neighbor."""
+    if len(codes) != dim:
+        raise ValueError(f"query dim {len(codes)} != index dim {dim}")
+    bucket = 0
+    for j in range(num_planes):
+        if (
+            sum(c * _rademacher_component(j, d) for d, c in enumerate(codes))
+            >= 0
+        ):
+            bucket |= 1 << j
+    probes = [bucket]
+    if multiprobe:
+        probes += [bucket ^ (1 << j) for j in range(num_planes)]
+    return probes
+
+
+def ann_pq_served(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    num_planes: int = 4,
+    m: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve PQ-ADC ANN from the on-disk IVFPQ index: quantize the query
+    into the index's persisted shared space, compute its probe buckets, and
+    build the classic ADC LOOKUP TABLE — lut[j][pos] = integer L2 between
+    the query's j-th sub-code and sub-codebook entry ``pos`` — all
+    driver-side from the two bounded index components (stats: 1 row;
+    codebook: ksub rows — the same serving-envelope class as the manifest
+    collect). The scan then reads ONLY the probed ``bucket=`` partitions
+    (static partition pruning, pinned by PartitionFilters plan test) and
+    scores each candidate with m array lookups on its m stored positions —
+    never touching embeddings or even full int8 codes. Returns
+    (id, adc_dist2) ascending, id tie-break."""
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    cb = sorted(
+        spark.read.parquet(f"{path}/codebook").collect(), key=lambda r: r["pos"]
+    )
+    qc = _python_quantize_shared(query_vec, stats["__mns"], stats["__mxs"])
+    probes = _python_bucket_int8(qc, num_planes, dim, multiprobe)
+    dsub = dim // m
+    lut = [
+        [
+            sum(
+                (qc[j * dsub + i] - row["cc"][j * dsub + i]) ** 2
+                for i in range(dsub)
+            )
+            for row in cb
+        ]
+        for j in range(m)
+    ]
+    lut_col = F.array(
+        *[
+            F.array(*[F.lit(int(v)).cast("long") for v in row])
+            for row in lut
+        ]
+    )
+    idx = spark.read.parquet(f"{path}/codes").filter(
+        F.col("bucket").isin(probes)
+    )
+    adc = F.lit(0).cast("long")
+    for j in range(m):
+        adc = adc + F.element_at(
+            F.element_at(lut_col, j + 1), F.element_at(F.col("pq"), j + 1)
+        )
+    return (
+        idx.select(F.col(id_col), adc.alias("adc_dist2"))
         .orderBy(F.col("adc_dist2").asc(), F.col(id_col))
         .limit(k)
     )

@@ -1236,3 +1236,59 @@ def test_pq_adc_exact_for_codebook_exemplars(spark):
             assert r["pq_code"] == "-".join([str(vid)] * 8)
             n_exact += 1
     assert n_exact == 8
+
+
+def test_pq_served_matches_python_reference_and_prunes(spark, tmp_path):
+    """IVFPQ served tier end-to-end: (a) ADC scores from the on-disk index
+    match a pure-Python reference computed from the persisted stats +
+    codebook + codes (independent arithmetic: driver-side shared-space
+    quantization, LUT build, per-candidate table lookups); (b) the result
+    set is exactly the probed buckets' members; (c) the scan reaches
+    parquet through STATIC partition pruning on the bucket column."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        _python_bucket_int8,
+        _python_quantize_shared,
+        ann_pq_served,
+        write_vector_index_pq,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "pqidx")
+    write_vector_index_pq(corpus, path)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+
+    served = ann_pq_served(spark, path, qv, k=10_000)
+    got = [(r["vec_id"], r["adc_dist2"]) for r in served.collect()]
+
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    cb = sorted(
+        spark.read.parquet(f"{path}/codebook").collect(),
+        key=lambda r: r["pos"],
+    )
+    codes_rows = spark.read.parquet(f"{path}/codes").collect()
+    qc = _python_quantize_shared(qv, stats["__mns"], stats["__mxs"])
+    probes = set(_python_bucket_int8(qc, 4, 64, True))
+    want = []
+    for r in codes_rows:
+        if r["bucket"] not in probes:
+            continue
+        adc = 0
+        for j, pos in enumerate(r["pq"]):
+            cc = cb[pos - 1]["cc"]
+            adc += sum(
+                (qc[j * 8 + i] - cc[j * 8 + i]) ** 2 for i in range(8)
+            )
+        want.append((r["vec_id"], adc))
+    want.sort(key=lambda t: (t[1], t[0]))
+    assert got == want and len(got) > 0
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
+    assert pf is not None, plan[:1500]
