@@ -1677,6 +1677,34 @@ def ext_ann_pq(spark, sf_dir):
     return similarity.pq_adc_topk(emb, query_id=0, k=10)
 
 
+@query("ext_ann_pq_rerank")
+def ext_ann_pq_rerank(spark, sf_dir):
+    """PQ-then-rerank — the production composition DEPLOY.md recommends
+    for the compressed tier: integer-ADC shortlist (top-50) from PQ codes
+    -> full-precision round-4 cosine rerank of just those candidates ->
+    top-5. Both stages deterministic (integer ADC + id tie-breaks; round-4
+    cosine), so the composed funnel keeps an exact oracle — recall lost to
+    quantization is bounded by the shortlist width, while rerank cost is
+    50 vectors instead of the corpus."""
+    from ..functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shortlist = similarity.pq_adc_topk(emb, query_id=0, k=50).select("vec_id")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.round(cosine(F.col("embedding"), F.col("qv")), 4) + F.lit(0.0)
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
 @query("ext_ann_lsh_multiprobe")
 def ext_ann_lsh_multiprobe(spark, sf_dir):
     """Multi-probe integer LSH (Lv et al.): beside the query's own bucket,

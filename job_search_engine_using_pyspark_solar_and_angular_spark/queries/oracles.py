@@ -836,12 +836,12 @@ ORACLES["ext_cluster_assign"] = (
     + "SELECT vec_id, centroid_id, dist2 FROM best WHERE r = 1 ORDER BY vec_id"
 )
 
-# PQ-ADC (ext_ann_pq): same shared-space codes; sub-codebooks are the 8
+# PQ-ADC CTEs: same shared-space codes; sub-codebooks are the 8
 # lowest-md5 corpus vectors' slices; encode = per-subspace L2 argmin
 # (d2, cid tie-break); ADC = sum over subspaces of query-to-assigned-
-# sub-centroid L2. m=8 subspaces of 8 dims each, k=10.
-ORACLES["ext_ann_pq"] = (
-    "WITH " + _CODES_CTES + """,
+# sub-centroid L2. m=8 subspaces of 8 dims each. Shared by ext_ann_pq
+# and the shortlist of ext_ann_pq_rerank.
+_PQ_CTES = _CODES_CTES + """,
 cb AS (
   SELECT vec_id AS cid, c AS cc FROM codes WHERE vec_id != 0
   ORDER BY CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
@@ -867,9 +867,25 @@ agg AS (
   SELECT vec_id,
     string_agg(CAST(cid AS VARCHAR), '-' ORDER BY j) AS pq_code,
     CAST(SUM(dq2) AS BIGINT) AS adc_dist2
-  FROM best WHERE r = 1 GROUP BY vec_id)
+  FROM best WHERE r = 1 GROUP BY vec_id)"""
+
+ORACLES["ext_ann_pq"] = (
+    "WITH " + _PQ_CTES + """
 SELECT vec_id, pq_code, adc_dist2 FROM agg
 ORDER BY adc_dist2, vec_id LIMIT 10
+"""
+)
+
+ORACLES["ext_ann_pq_rerank"] = (
+    "WITH " + _PQ_CTES + """,
+shortlist AS (SELECT vec_id FROM agg ORDER BY adc_dist2, vec_id LIMIT 50)
+SELECT e.vec_id,
+  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS sim
+FROM embeddings e
+JOIN shortlist s ON e.vec_id = s.vec_id,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY sim DESC, e.vec_id LIMIT 5
 """
 )
 
