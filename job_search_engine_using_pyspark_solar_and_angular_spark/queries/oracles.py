@@ -3808,6 +3808,7 @@ ORACLES["ext_ann_tier_recall"] = (
             ("lsh_int8", "ext_ann_lsh_quantized"),
             ("lsh_multiprobe", "ext_ann_lsh_multiprobe"),
             ("quantized_rerank", "ext_ann_quantized"),
+            ("pq_rerank", "ext_ann_pq_rerank"),
         )
     )
     + " ORDER BY tier"
