@@ -221,7 +221,10 @@ def bench_ann_pq_served(spark, sf_dir: str) -> float:
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(BENCH_DIR, f"pqidx_{sf_tag}")
     emb = load_table(spark, sf_dir, "embeddings")
-    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+    if not (
+        os.path.exists(os.path.join(path, "codes", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "meta", "_SUCCESS"))
+    ):
         write_vector_index_pq(emb.filter(F.col("vec_id") != 0), path)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     force(ann_pq_served(spark, path, qv, k=5))  # warm

@@ -13,9 +13,12 @@ Scale notes (see SCALE.md for the full argument):
 - decontaminate: the benchmark side is distilled to DISTINCT shingle hashes
   before the join — a benchmark suite is MBs, so it broadcasts; the corpus
   side streams through map-side. Both aggs are keyed on doc_id.
-- repetition_stats: ONE union of unigram/bigram streams -> ONE (doc_id, n,
-  gram) count -> ONE doc_id rollup with conditional aggregates (the SimHash
-  round-2 reshape applied here from the start — no per-n join).
+- repetition_stats: ZERO shuffles — every signal is a row-local fold over
+  the staged token array (longest-equal-run of the sorted (bi)gram arrays
+  == most-frequent-gram count; plan test pins no Exchange/Generate/
+  Aggregate/Join). The original union-of-gram-streams formulation pushed
+  every unigram AND bigram of the corpus through two exchanges for the
+  same values.
 - corpus_shuffle / pack_sequences: partitioned by the hash-derived shard, so
   the window sort is per-shard (shards ~ O(cluster parallelism)), never a
   global single-task order. Position/packing math is integer-exact.
@@ -200,7 +203,6 @@ def repetition_stats(
     text_col: str = "text",
     top_token_max: float = 0.20,
     top_bigram_max: float = 0.18,
-    toks_col: str | None = None,
 ) -> DataFrame:
     """Gopher-style repetition signals per document: token count, distinct
     count, the fraction of tokens taken by the most frequent token and by the
@@ -211,16 +213,16 @@ def repetition_stats(
     formulation exploded unigram+bigram streams through two corpus-wide
     exchanges for the same values — the unchanged DuckDB oracle pins the
     equivalence). Documents with zero tokens produce no row (they have no
-    repetition signal; quality_score already flags empties). ``toks_col``:
-    a pre-staged normalized-token array column to reuse (see
-    lang_id_scores)."""
+    repetition signal; quality_score already flags empties). A caller that
+    already staged a normalized-token column composes
+    :func:`repetition_signals` directly, as the curation funnel does."""
     from ..io import ensure_parallelism
 
     # stage the token ARRAY as a real column first: repetition_signals
     # references its input several times, and a multiply-referenced
     # tokenize/HOF EXPRESSION would re-evaluate per reference (Catalyst
     # only keeps multiply-referenced non-cheap ALIASES staged)
-    tk = F.col(toks_col) if toks_col else tokenize_normalized(text_col)
+    tk = tokenize_normalized(text_col)
     sig = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("doc_id"), tk.alias("__tk"))

@@ -702,6 +702,45 @@ def quantize_int8_corpus(
     return with_stats.select(F.col(id_col), codes.alias("codes"))
 
 
+def _pq_subs_of(col, m: int, dsub: int):
+    """The m sub-slices of a codes array as one array<array<int>> — built
+    ONCE per value (codebook and query: once globally in their 1-row
+    frames; corpus: once per row in a staged projection). Re-slicing
+    inside the per-entry lambdas instead ran the PQ query 3x slower:
+    every (row, codebook-entry, subspace) evaluation allocated fresh
+    slices. Shared by :func:`pq_adc_topk` and
+    :func:`write_vector_index_pq` so the in-plan tier and the persisted
+    index can never drift in sub-slice layout."""
+    return F.array(*[F.slice(col, j * dsub + 1, dsub) for j in range(m)])
+
+
+def _int_l2(a, b):
+    """Integer squared L2 between two int arrays (zip_with + fold) — the
+    shared distance of every integer-exact vector op here."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_leader_rows(codes: DataFrame, ksub: int, id_col: str) -> DataFrame:
+    """The ``ksub`` leader-codebook rows (cid, cc): lowest md5(id), id
+    tie-break — hash-selected so the codebook spreads across the corpus
+    and stays append-stable. One definition, used by both the in-plan tier
+    and the index writer (the tie-break and hash here are what the SQL
+    oracles replicate)."""
+    return (
+        codes.select(
+            F.col(id_col).alias("cid"),
+            F.col("codes").alias("cc"),
+            md5_long(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "cid")
+        .limit(ksub)
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -751,44 +790,23 @@ def pq_adc_topk(
         quantize_int8_corpus(embeddings, id_col, vec_col), checkpoint_dir
     )
     corpus = codes.filter(F.col(id_col) != query_id)
-
-    def _subs_of(col):
-        # the m sub-slices as one array<array<int>> — built ONCE per value
-        # (codebook and query: once globally in their 1-row frames; corpus:
-        # once per row in a staged projection). Re-slicing inside the
-        # per-entry lambdas instead ran the whole query 3x slower: every
-        # (row, codebook-entry, subspace) evaluation allocated fresh slices
-        return F.array(*[F.slice(col, j * dsub + 1, dsub) for j in range(m)])
-
     cb_row = (
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            F.col("codes").alias("cc"),
-            md5_long(F.col(id_col).cast("string")).alias("__h"),
-        )
-        .orderBy("__h", "cid")
-        .limit(ksub)
+        _pq_leader_rows(corpus, ksub, id_col)
         .agg(F.collect_list(F.struct("cid", "cc")).alias("__cb0"))
         .select(
             F.transform(
                 "__cb0",
                 lambda e: F.struct(
-                    e.cid.alias("cid"), _subs_of(e.cc).alias("subs")
+                    e.cid.alias("cid"),
+                    _pq_subs_of(e.cc, m, dsub).alias("subs"),
                 ),
             ).alias("__cb")
         )
     )
     q_row = codes.filter(F.col(id_col) == query_id).select(
-        _subs_of(F.col("codes")).alias("__qs")
+        _pq_subs_of(F.col("codes"), m, dsub).alias("__qs")
     )
-
-    def _d2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
+    _d2 = _int_l2
     guard = F.assert_true(
         F.size(F.col("codes")) == F.lit(dim),
         F.concat(
@@ -804,7 +822,7 @@ def pq_adc_topk(
             F.col(id_col),
             "__cb",
             "__qs",
-            _subs_of(F.col("codes")).alias("__subs"),
+            _pq_subs_of(F.col("codes"), m, dsub).alias("__subs"),
             F.coalesce(guard.cast("long"), F.lit(0)).alias("__g"),
         )
     )
@@ -871,6 +889,10 @@ def write_vector_index_pq(
     bytes/candidate that serve ANN when even int8 full codes blow the RAM
     budget. Three components under ``path``:
 
+    - ``meta``     — ONE row (m, ksub, dim, num_planes): the build
+      parameters; :func:`ann_pq_served` READS these instead of trusting
+      caller arguments (an m or num_planes mismatch would otherwise
+      silently NULL-poison ADC or probe the wrong buckets)
     - ``stats``    — ONE row (__mns, __mxs): the shared-space scales;
       queries must quantize with these to score in the index's space
     - ``codebook`` — ``ksub`` rows (pos, cid, cc): canonical (md5, cid)
@@ -879,32 +901,32 @@ def write_vector_index_pq(
 
     Codes derive from the PERSISTED stats read back (bit-identical to the
     in-plan stats — exact double arithmetic either way — but reading them
-    back makes the build/serve contract self-evident)."""
+    back makes the build/serve contract self-evident). The codes frame is
+    lineage_cut: codebook selection and the encode pass both consume it,
+    and an uncut plan re-quantized the whole corpus for each."""
     from pyspark.sql import Window
 
+    from .checkpointing import lineage_cut
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    dsub = dim // m
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(m, ksub, dim, num_planes)],
+        "m int, ksub int, dim int, num_planes int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     corpus_scales(embeddings, vec_col).write.mode("overwrite").parquet(
         f"{path}/stats"
     )
-    spark = embeddings.sparkSession
     scales = spark.read.parquet(f"{path}/stats")
-    codes = quantize_int8_corpus(embeddings, id_col, vec_col, scales=scales)
-    dsub = dim // m
-
-    def _subs_of(col):
-        return F.array(*[F.slice(col, j * dsub + 1, dsub) for j in range(m)])
-
+    codes = lineage_cut(
+        quantize_int8_corpus(embeddings, id_col, vec_col, scales=scales)
+    )
     cb = (
-        codes.select(
-            F.col(id_col).alias("cid"),
-            F.col("codes").alias("cc"),
-            md5_long(F.col(id_col).cast("string")).alias("__h"),
-        )
-        .orderBy("__h", "cid")
-        .limit(ksub)
+        _pq_leader_rows(codes, ksub, id_col)
         # ksub rows total — the single-partition window is bounded
-        .withColumn(
-            "pos", F.row_number().over(Window.orderBy("__h", "cid"))
-        )
+        .withColumn("pos", F.row_number().over(Window.orderBy("__h", "cid")))
         .select("pos", "cid", "cc")
     )
     cb.write.mode("overwrite").parquet(f"{path}/codebook")
@@ -917,23 +939,15 @@ def write_vector_index_pq(
                 lambda e: F.struct(
                     e.pos.alias("pos"),
                     e.cid.alias("cid"),
-                    _subs_of(e.cc).alias("subs"),
+                    _pq_subs_of(e.cc, m, dsub).alias("subs"),
                 ),
             ).alias("__cb")
         )
     )
-
-    def _d2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     pre = codes.crossJoin(F.broadcast(cb_row)).select(
         F.col(id_col),
         "__cb",
-        _subs_of(F.col("codes")).alias("__subs"),
+        _pq_subs_of(F.col("codes"), m, dsub).alias("__subs"),
         F.col("codes").alias("__codes"),
     )
 
@@ -942,7 +956,7 @@ def write_vector_index_pq(
             F.transform(
                 F.col("__cb"),
                 lambda e: F.struct(
-                    _d2(
+                    _int_l2(
                         F.element_at(F.col("__subs"), jj + 1),
                         F.element_at(e.subs, jj + 1),
                     ).alias("d"),
@@ -1012,9 +1026,6 @@ def ann_pq_served(
     path: str,
     query_vec: list[float],
     k: int = 5,
-    num_planes: int = 4,
-    m: int = 8,
-    dim: int = 64,
     multiprobe: bool = True,
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -1022,13 +1033,24 @@ def ann_pq_served(
     into the index's persisted shared space, compute its probe buckets, and
     build the classic ADC LOOKUP TABLE — lut[j][pos] = integer L2 between
     the query's j-th sub-code and sub-codebook entry ``pos`` — all
-    driver-side from the two bounded index components (stats: 1 row;
-    codebook: ksub rows — the same serving-envelope class as the manifest
-    collect). The scan then reads ONLY the probed ``bucket=`` partitions
-    (static partition pruning, pinned by PartitionFilters plan test) and
-    scores each candidate with m array lookups on its m stored positions —
-    never touching embeddings or even full int8 codes. Returns
-    (id, adc_dist2) ascending, id tie-break."""
+    driver-side from the bounded index components (meta + stats: 1 row
+    each; codebook: ksub rows — the same serving-envelope class as the
+    manifest collect). The scan then reads ONLY the probed ``bucket=``
+    partitions (static partition pruning, pinned by PartitionFilters plan
+    test) and scores each candidate with m array lookups on its m stored
+    positions — never touching embeddings or even full int8 codes.
+    Returns (id, adc_dist2) ascending, id tie-break.
+
+    The build parameters (m, dim, num_planes) come from the index's
+    persisted ``meta`` row, never from caller arguments: a trusted-caller
+    mismatch would silently NULL-poison every ADC sum (element_at past the
+    pq array returns NULL and NULLs sort first) or probe the wrong bucket
+    set — the contract is the index's to enforce. The query vector's
+    length is still validated against the persisted dim."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    m, dim, num_planes = meta["m"], meta["dim"], meta["num_planes"]
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     cb = sorted(
         spark.read.parquet(f"{path}/codebook").collect(), key=lambda r: r["pos"]

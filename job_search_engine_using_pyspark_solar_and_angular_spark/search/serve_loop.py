@@ -209,7 +209,7 @@ def serve_batch(
         # failpoint they run CONCURRENTLY from a small thread pool (Spark
         # schedules jobs from multiple submitter threads onto idle slots —
         # a delta batch's jobs are tiny, so per-job fixed cost, not
-        # compute, dominates the sequential form: measured ~4.6s -> ~3.2s
+        # compute, dominates the sequential form: measured ~4.6s -> ~3.5s
         # per ~200-doc batch at sf0.1). A failpoint forces the sequential
         # order so the crash sweep pins one deterministic label sequence.
 
