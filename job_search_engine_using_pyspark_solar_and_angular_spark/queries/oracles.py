@@ -831,9 +831,16 @@ best AS (
   FROM scored)
 """
 
+# dist2 MUST be cast back to BIGINT: list_sum over BIGINT returns HUGEINT
+# (arrow decimal128(38,0)), which a pandas/arrow fetch path renders as
+# float64 ("123.0" vs Spark's "123") — the exact driver-side hash mismatch
+# of CORRECTNESS_r04. The values were always numerically identical (the
+# quantization's nearest floor boundary sits 5.2e-05 away at sf0.01, nine
+# orders of magnitude beyond any ULP effect); only the result TYPE differed.
 ORACLES["ext_cluster_assign"] = (
     "WITH " + _CLUSTER_CTES
-    + "SELECT vec_id, centroid_id, dist2 FROM best WHERE r = 1 ORDER BY vec_id"
+    + "SELECT vec_id, centroid_id, CAST(dist2 AS BIGINT) AS dist2"
+    + " FROM best WHERE r = 1 ORDER BY vec_id"
 )
 
 # PQ-ADC CTEs: same shared-space codes; sub-codebooks are the 8

@@ -52,6 +52,33 @@ def _canon_value(v):
     return str(v)
 
 
+def type_class(t) -> str:
+    """Coarse numeric/type class of a Spark simpleString or DuckDB DESCRIBE
+    type. The driver fetches oracle results via arrow/pandas, where DuckDB
+    HUGEINT/DECIMAL become decimal128 -> float64 — so a Spark-bigint vs
+    DuckDB-hugeint column hashes as "123" vs "123.0" even when numerically
+    identical (the CORRECTNESS_r04 ext_cluster_assign red). Classing HUGEINT/
+    DECIMAL apart from int surfaces that hazard locally."""
+    t = str(t).lower()
+    if "hugeint" in t or "decimal" in t:
+        return "decimal"
+    if any(x in t for x in ("bigint", "int", "long", "smallint", "tinyint", "byte", "short")):
+        return "int"
+    if any(x in t for x in ("double", "float", "real")):
+        return "float"
+    if "bool" in t:
+        return "bool"
+    if any(x in t for x in ("varchar", "string", "char", "text")):
+        return "str"
+    if "timestamp" in t:
+        return "ts"
+    if "date" in t:
+        return "date"
+    if t.startswith("array") or t.endswith("[]") or "list" in t:
+        return "array"
+    return t
+
+
 def canon_rows(cols, rows):
     """Sort columns by name, canonicalize values, sort rows."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -69,6 +96,23 @@ def assert_matches_oracle(spark_df, ddb_con, sql, name=""):
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column names differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    )
+    # Type-CLASS parity: the local fetchall path canonicalizes Decimal('123')
+    # and 123 identically, but the driver's arrow/pandas path does not — so
+    # compare classes explicitly (DESCRIBE plans the query without running it).
+    s_classes = {f.name: type_class(f.dataType.simpleString()) for f in spark_df.schema.fields}
+    d_classes = {
+        r[0]: type_class(r[1]) for r in ddb_con.execute("DESCRIBE " + sql).fetchall()
+    }
+    class_diffs = {
+        c: (s_classes[c], d_classes[c])
+        for c in s_classes
+        if c in d_classes and s_classes[c] != d_classes[c]
+    }
+    assert not class_diffs, (
+        f"{name}: result type-class drift (spark, duckdb): {class_diffs} — "
+        "cast the oracle (or the query) so both sides agree; an arrow/pandas "
+        "fetch renders DECIMAL/HUGEINT as float64 and the driver hash diverges"
     )
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"

@@ -1292,3 +1292,86 @@ def test_pq_served_matches_python_reference_and_prunes(spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
     assert pf is not None, plan[:1500]
+
+
+def test_quantize_int8_boundary_parity_spark_vs_duckdb(spark):
+    """Boundary sweep of the shared-space int8 quantization
+    (floor((x-mn)*255/(mx-mn)+0.5) - 128) on SYNTHETIC vectors engineered
+    to land EXACTLY on the floor's half-integer boundaries — with mn=0 and
+    mx=255, x = k + 0.5 scales to exactly k + 0.5 in IEEE doubles (the
+    multiply by 255 and divide by 255 are both exact here), so floor(v+0.5)
+    sits precisely on its discontinuity. Spark, DuckDB, and plain Python
+    must agree code-for-code.
+
+    Context (CORRECTNESS_r04 adjudication): the driver's one red,
+    ext_cluster_assign, was NOT this arithmetic — on the real sf0.01 data
+    the nearest boundary is 5.2e-05 away, nine orders of magnitude beyond
+    one ULP. It was the oracle's dist2 returning HUGEINT (arrow
+    decimal128 -> pandas float64). This test pins the arithmetic anyway, at
+    the exact values where an engine divergence WOULD show."""
+    import math
+
+    import duckdb
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        quantize_int8_corpus,
+    )
+
+    # 4 dims; rows include the scale anchors (0 and 255 per dim) plus every
+    # flavor of boundary value: exact half-integers, integers, and
+    # nearest-double neighbors of a half-integer on both sides.
+    half = 100.5
+    below = math.nextafter(half, -math.inf)
+    above = math.nextafter(half, math.inf)
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [255.0, 255.0, 255.0, 255.0]),
+        (3, [0.5, 1.5, 100.5, 254.5]),
+        (4, [half, below, above, 127.5]),
+        (5, [1.0, 100.0, 200.0, 254.0]),
+        (6, [0.25, 99.75, 100.25, 200.5]),
+    ]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in quantize_int8_corpus(sdf).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE emb (vec_id BIGINT, embedding DOUBLE[])"
+    )
+    con.executemany("INSERT INTO emb VALUES (?, ?)", rows)
+    duck = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            """
+            WITH dims AS (
+              SELECT i.pos,
+                     MIN(CAST(e.embedding[i.pos] AS DOUBLE)) AS mn,
+                     MAX(CAST(e.embedding[i.pos] AS DOUBLE)) AS mx
+              FROM emb e
+              JOIN (SELECT unnest(generate_series(1, 4)) AS pos) i ON TRUE
+              GROUP BY i.pos),
+            stats AS (SELECT list(mn ORDER BY pos) AS mns,
+                             list(mx ORDER BY pos) AS mxs FROM dims)
+            SELECT vec_id,
+              list_transform(list_zip(embedding, s.mns, s.mxs),
+                z -> CASE WHEN z[3] = z[2] THEN 0
+                          ELSE CAST(floor((z[1] - z[2]) * 255.0
+                               / (z[3] - z[2]) + 0.5) AS INT) - 128 END)
+            FROM emb, stats s
+            """
+        ).fetchall()
+    }
+    con.close()
+
+    # Plain-Python IEEE reference (mn=0, mx=255 per construction).
+    ref = {
+        vid: [int(math.floor(x * 255.0 / 255.0 + 0.5)) - 128 for x in v]
+        for vid, v in rows
+    }
+    assert got == duck == ref
+    # The engineered boundary rows actually exercise the discontinuity:
+    # 100.5 -> floor(101.0) - 128 = -27, its below-neighbor -> -28.
+    assert got[4][0] == -27 and got[4][1] == -28 and got[4][2] == -27
