@@ -1775,15 +1775,17 @@ def ext_search_facets(spark, sf_dir):
 def ext_ann_tier_recall(spark, sf_dir):
     """Recall@5 of every EXACT-hashable ANN tier against the exact scorer,
     side by side — the evaluation table an index-tuning pass reads:
-    single-bucket integer LSH (cheapest, lowest recall), Hamming-1
-    multi-probe (recall recovered at ~5x probe cost), int8
-    coarse->rerank (highest recall, full coarse scan), and the PQ
-    shortlist->rerank funnel (compressed-tier recall). Composes the
-    already-verified tier queries; the oracle composes their SQL."""
+    single-bucket integer LSH (cheapest probe, KEPT for contrast — NOT the
+    served default precisely because this ladder showed it at recall 0.0
+    at sf0.01), Hamming-1 multi-probe (the ann_lsh_quantized_served
+    DEFAULT: recall 0.4/0.6 at ~5x probe cost), int8 coarse->rerank
+    (highest recall, full coarse scan), and the PQ shortlist->rerank
+    funnel (compressed-tier recall). Composes the already-verified tier
+    queries; the oracle composes their SQL."""
     exact = QUERIES["x2_cosine_topk"](spark, sf_dir).select("vec_id")
     tiers = {
-        "lsh_int8": "ext_ann_lsh_quantized",
-        "lsh_multiprobe": "ext_ann_lsh_multiprobe",
+        "lsh_single_bucket": "ext_ann_lsh_quantized",
+        "lsh_served_default": "ext_ann_lsh_multiprobe",
         "quantized_rerank": "ext_ann_quantized",
         "pq_rerank": "ext_ann_pq_rerank",
     }

@@ -3812,8 +3812,8 @@ ORACLES["ext_ann_tier_recall"] = (
     " UNION ALL ".join(
         _tier_recall_leg(t, ORACLES[q], ORACLES["x2_cosine_topk"])
         for t, q in (
-            ("lsh_int8", "ext_ann_lsh_quantized"),
-            ("lsh_multiprobe", "ext_ann_lsh_multiprobe"),
+            ("lsh_single_bucket", "ext_ann_lsh_quantized"),
+            ("lsh_served_default", "ext_ann_lsh_multiprobe"),
             ("quantized_rerank", "ext_ann_quantized"),
             ("pq_rerank", "ext_ann_pq_rerank"),
         )

@@ -263,10 +263,12 @@ def test_embedding_near_dups_bucket_cap_bounds_skew(spark):
 
 def test_served_vector_index_prunes_partitions_and_matches(spark, tmp_path):
     """The on-disk ANN tier: write_vector_index_int8 partitions by integer
-    LSH bucket; a served query must (a) return exactly the in-session
-    ext_ann_lsh_quantized results and (b) reach the scan through DYNAMIC
-    PARTITION PRUNING on the bucket column - partition pruning IS the
-    index."""
+    LSH bucket; a served query must (a) return exactly the in-session tier
+    results — the DEFAULT is Hamming-1 multiprobe (== ext_ann_lsh_multiprobe;
+    the single-bucket probe measured recall@5 = 0.0 at sf0.01, so it is
+    opt-in via multiprobe=False and must equal ext_ann_lsh_quantized) — and
+    (b) reach the scan through DYNAMIC PARTITION PRUNING on the bucket
+    column in BOTH modes: partition pruning IS the index."""
     from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
         QUERIES,
     )
@@ -275,17 +277,25 @@ def test_served_vector_index_prunes_partitions_and_matches(spark, tmp_path):
     path = str(tmp_path / "vecidx")
     similarity.write_vector_index_int8(emb.filter(F.col("vec_id") != 0), path)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    served = similarity.ann_lsh_quantized_served(spark, path, q, k=5)
 
-    got = [(r["vec_id"], r["sim"]) for r in served.collect()]
-    want = [
-        (r["vec_id"], r["sim"])
-        for r in QUERIES["ext_ann_lsh_quantized"](spark, SF_DIR).collect()
-    ]
-    assert got == want and len(got) == 5
+    for served, twin in (
+        (
+            similarity.ann_lsh_quantized_served(spark, path, q, k=5),
+            "ext_ann_lsh_multiprobe",
+        ),
+        (
+            similarity.ann_lsh_quantized_served(spark, path, q, k=5, multiprobe=False),
+            "ext_ann_lsh_quantized",
+        ),
+    ):
+        got = [(r["vec_id"], r["sim"]) for r in served.collect()]
+        want = [
+            (r["vec_id"], r["sim"]) for r in QUERIES[twin](spark, SF_DIR).collect()
+        ]
+        assert got == want and len(got) == 5, twin
 
-    plan = served._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruningexpression" in plan, plan[:1500]
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression" in plan, plan[:1500]
 
 
 def test_served_ivf_index_matches_in_session(spark, tmp_path):
@@ -1375,3 +1385,20 @@ def test_quantize_int8_boundary_parity_spark_vs_duckdb(spark):
     # The engineered boundary rows actually exercise the discontinuity:
     # 100.5 -> floor(101.0) - 128 = -27, its below-neighbor -> -28.
     assert got[4][0] == -27 and got[4][1] == -28 and got[4][2] == -27
+
+
+def test_served_lsh_default_recall_floor(spark):
+    """The r4 verdict's gate: the served LSH tier's DEFAULT (Hamming-1
+    multiprobe) must keep recall@5 >= 0.4 — measured 0.6 / 0.4 / 0.6 at
+    sf0.001 / 0.01 / 0.1, vs the single-bucket probe's 0.2 / 0.0 / 0.2
+    which is exactly why single-bucket is opt-in. Runs at whatever SF the
+    suite runs (including the sf0.1 scale sweep)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        QUERIES,
+    )
+
+    rows = {
+        r["tier"]: r["recall"]
+        for r in QUERIES["ext_ann_tier_recall"](spark, SF_DIR).collect()
+    }
+    assert rows["lsh_served_default"] >= 0.4, rows
