@@ -12,6 +12,7 @@ Prints ONE JSON line:
    "preprocess_scaled_1gb": {same shape, ~1 GB input},
    "preprocess_skewed": {same shape + "ratio_vs_uniform", one org_id = ~10% of rows},
    "preprocess_scaled_10gb": {same shape, ~10 GB input, single timed run},
+   "served_trials": {name: [sec, sec], ...},  # raw trials of served entries
    "regressions": {name: {"prev": sec, "cur": sec, "ratio": ...}, ...}}
 
 ``regressions`` compares to the most recent BENCH_r{N}.json in the repo
@@ -148,6 +149,26 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# raw per-trial timings of the served benches, recorded in the artifact so
+# a flagged "regression" can be adjudicated as noise (trial spread) vs plan
+# change without re-running on an idle machine — BENCH_r04 recorded three
+# phantom regressions precisely because the served entries were single-shot
+SERVED_TRIALS: dict[str, list[float]] = {}
+
+
+def timed_min(name: str, fn, trials: int = 2) -> float:
+    """Min-of-N timed runs of ``fn`` (the bench's standard policy — the
+    per-query loop in main() uses the same shape); raw trials recorded in
+    SERVED_TRIALS for the artifact."""
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(round(time.perf_counter() - t0, 3))
+    SERVED_TRIALS[name] = ts
+    return min(ts)
+
+
 def bench_bm25_served(spark, sf_dir: str) -> float:
     """q20's served deployment shape: BM25 against the token-bucketed on-disk
     index (write_index), where the per-request cost is posting-list reads —
@@ -174,9 +195,10 @@ def bench_bm25_served(spark, sf_dir: str) -> float:
         write_index(built, base, table=table)
         idx = read_index(spark, base, table=table)
     force(bm25_search(spark, idx, ["spark", "join"], 10))  # warm scan
-    t0 = time.perf_counter()
-    force(bm25_search(spark, idx, ["spark", "join"], 10))
-    return round(time.perf_counter() - t0, 3)
+    return timed_min(
+        "q20_bm25_served",
+        lambda: force(bm25_search(spark, idx, ["spark", "join"], 10)),
+    )
 
 
 def bench_ann_served(spark, sf_dir: str) -> float:
@@ -193,15 +215,24 @@ def bench_ann_served(spark, sf_dir: str) -> float:
     )
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(BENCH_DIR, f"vecidx_{sf_tag}")
+    # cache key carries the build parameters: a default change in
+    # write_vector_index_int8 must miss the cache, never silently bench a
+    # stale index built by older code
+    import inspect
+
+    sig = inspect.signature(write_vector_index_int8)
+    planes = sig.parameters["num_planes"].default
+    dim = sig.parameters["dim"].default
+    path = os.path.join(BENCH_DIR, f"vecidx_{sf_tag}_p{planes}_d{dim}")
     emb = load_table(spark, sf_dir, "embeddings")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_vector_index_int8(emb.filter(F.col("vec_id") != 0), path)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     force(ann_lsh_quantized_served(spark, path, q, k=5))  # warm
-    t0 = time.perf_counter()
-    force(ann_lsh_quantized_served(spark, path, q, k=5))
-    return round(time.perf_counter() - t0, 3)
+    return timed_min(
+        "ann_lsh_served",
+        lambda: force(ann_lsh_quantized_served(spark, path, q, k=5)),
+    )
 
 
 def bench_ann_pq_served(spark, sf_dir: str) -> float:
@@ -218,19 +249,38 @@ def bench_ann_pq_served(spark, sf_dir: str) -> float:
         write_vector_index_pq,
     )
 
+    import inspect
+
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(BENCH_DIR, f"pqidx_{sf_tag}")
+    # cache key carries the build parameters, and the persisted meta row is
+    # verified against the current defaults before reuse — a default or
+    # layout change in write_vector_index_pq must rebuild, never silently
+    # bench a stale index written by older code
+    sig = inspect.signature(write_vector_index_pq)
+    params = {
+        k: sig.parameters[k].default for k in ("m", "ksub", "dim", "num_planes")
+    }
+    tag = "_".join(f"{k}{v}" for k, v in sorted(params.items()))
+    path = os.path.join(BENCH_DIR, f"pqidx_{sf_tag}_{tag}")
     emb = load_table(spark, sf_dir, "embeddings")
-    if not (
-        os.path.exists(os.path.join(path, "codes", "_SUCCESS"))
-        and os.path.exists(os.path.join(path, "meta", "_SUCCESS"))
-    ):
+
+    def _cache_valid() -> bool:
+        if not (
+            os.path.exists(os.path.join(path, "codes", "_SUCCESS"))
+            and os.path.exists(os.path.join(path, "meta", "_SUCCESS"))
+        ):
+            return False
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        return all(meta[k] == v for k, v in params.items())
+
+    if not _cache_valid():
+        shutil.rmtree(path, ignore_errors=True)
         write_vector_index_pq(emb.filter(F.col("vec_id") != 0), path)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     force(ann_pq_served(spark, path, qv, k=5))  # warm
-    t0 = time.perf_counter()
-    force(ann_pq_served(spark, path, qv, k=5))
-    return round(time.perf_counter() - t0, 3)
+    return timed_min(
+        "ann_pq_served", lambda: force(ann_pq_served(spark, path, qv, k=5))
+    )
 
 
 def bench_preprocess_scaled(
@@ -291,7 +341,17 @@ def bench_streaming_ingest(spark) -> dict:
     Reports end-to-end MB/s across all micro-batches — the figure that
     shows what the continuously-running ingest loop sustains, checkpoint
     and trigger overhead included (one timed pass; the corpus and schema
-    are the cached ones the batch probe uses)."""
+    are the cached ones the batch probe uses).
+
+    maxFilesPerTrigger=8 (~32 MB/batch, 4 micro-batches): the r5 profile
+    measured per-batch cost ~0.95 s nearly FLAT from 16 MB to 63 MB
+    batches — fixed per-job cost (task launch, stage scheduling, reader
+    setup) dominates at this volume while trigger/commit overhead is only
+    ~0.1 s/batch — so halving the batch count at mFPT=4 was paying double
+    the fixed cost for no freshness a 124 MB corpus needs (measured 14.4
+    vs 26-28 MB/s warm). At production volume the same rule applies as a
+    rate: size the trigger so per-batch data work dominates the ~1 s fixed
+    job cost."""
     from job_search_engine_using_pyspark_solar_and_angular_spark.plans.preprocess import (
         preprocess,
     )
@@ -319,7 +379,7 @@ def bench_streaming_ingest(spark) -> dict:
 
     raw = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", 8)
         .json(path)
     )
     t0 = time.perf_counter()
@@ -386,7 +446,9 @@ def bench_served_refresh(spark, sf_dir: str) -> float:
         batch = fresh.unionByName(dups)
         t0 = time.perf_counter()
         serve_loop.serve_batch(spark, batch, base, prefix, vec_col="embedding")
-        best = min(best, time.perf_counter() - t0)
+        trial = round(time.perf_counter() - t0, 3)
+        SERVED_TRIALS.setdefault("served_refresh", []).append(trial)
+        best = min(best, trial)
     return round(best, 3)
 
 
@@ -482,6 +544,11 @@ def main() -> None:
                 "preprocess_scaled_1gb": scaled_1gb,
                 "preprocess_skewed": skewed,
                 "preprocess_scaled_10gb": scaled_10gb,
+                # raw per-trial served timings: lets a flagged regression be
+                # adjudicated as noise (trial spread) vs plan change from the
+                # artifact alone (r4 recorded three phantom regressions from
+                # single-shot served timings)
+                "served_trials": SERVED_TRIALS,
                 "regressions": regressions_vs_previous(timings),
             }
         )

@@ -371,3 +371,108 @@ def audio_chunk(
 # Pre-r4 name kept for callers written against the stub-era API; the chunk
 # math was always real, only the WAV-header awareness is new.
 audio_chunk_stub = audio_chunk
+
+
+# ---------------------------------------------------------------------------
+# OCR hook (reference: Ranking Model/src/main/java/Main/SolrIndexer.java:
+# 115-129 — Tesseract over tweet media before indexing). The Spark-side
+# plumbing (schema, Arrow batching, decode, pass-through rows) is real and
+# always tested; the character-recognition engine itself is import-gated:
+# pytesseract+PIL when installed, any injected callable otherwise (tests use
+# a deterministic fake), ImportError with guidance when neither.
+# ---------------------------------------------------------------------------
+
+OCR_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("format", StringType(), True),
+        StructField("ocr_text", StringType(), True),  # null = not OCRable
+        StructField("ocr_skipped", StringType(), True),  # reason, null = ran
+    ]
+)
+
+
+def ocr_available() -> bool:
+    """True when the default OCR engine (pytesseract + PIL) is importable
+    on the driver. Worker availability is assumed to match — on a real
+    cluster ship the same image/venv to executors."""
+    try:
+        import PIL.Image  # noqa: F401
+        import pytesseract  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def ocr_text(media: DataFrame, engine=None) -> DataFrame:
+    """OCR over binary image payloads via Arrow-batched ``mapInPandas`` —
+    the reference's media-enrichment stage (``SolrIndexer.java:115-129``)
+    re-expressed on the engine's multimodal contract.
+
+    ``engine``: a serializable callable ``(raw_bytes, decoded_or_none) ->
+    str`` run per payload INSIDE the Arrow batches; ``decoded_or_none`` is
+    the codecs.decode dict (pixels/width/height) for PPM/BMP, else None.
+    Defaults to pytesseract over a PIL image (constructed from the raw
+    bytes when PIL knows the container, else from the decoded RGB raster),
+    imported lazily per executor; when the default is requested but not
+    importable, raises ImportError DRIVER-side (fail fast, not per-task).
+
+    Non-image payloads (audio/video/unknown binary) pass through with
+    ``ocr_text`` null and ``ocr_skipped`` set — mixed corpora survive, the
+    same degradation contract as :func:`extract_features`. Scale shape:
+    map-only (no shuffle), payload bytes never leave the scan partition."""
+    from ..io import ensure_parallelism
+
+    if engine is None:
+        if not ocr_available():
+            raise ImportError(
+                "ocr_text: default engine needs pytesseract + PIL "
+                "(pip install pytesseract pillow + the tesseract binary), "
+                "or pass engine=callable(raw_bytes, decoded) -> str"
+            )
+
+        def engine(raw: bytes, decoded) -> str:  # noqa: F811
+            import io as _io
+
+            import PIL.Image as _Image
+            import pytesseract as _tess
+
+            try:
+                img = _Image.open(_io.BytesIO(raw))
+            except Exception:
+                if decoded is None or "pixels" not in decoded:
+                    raise
+                img = _Image.frombytes(
+                    "RGB", (decoded["width"], decoded["height"]), decoded["pixels"]
+                )
+            return _tess.image_to_string(img)
+
+    media = ensure_parallelism(media)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, mtype, p in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                raw = bytes(p) if p is not None else b""
+                kind = codecs.sniff(raw)
+                decoded = None
+                if kind in ("ppm", "bmp"):
+                    decoded = codecs.decode(raw)
+                if mtype != "image":
+                    rows.append((mid, mtype, kind, None, f"not an image: {mtype}"))
+                    continue
+                try:
+                    text = engine(raw, decoded)
+                except Exception as exc:  # undecodable container etc.
+                    rows.append((mid, mtype, kind, None, f"engine error: {exc}"))
+                    continue
+                rows.append((mid, mtype, kind, text, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "media_type", "format", "ocr_text", "ocr_skipped"],
+            )
+
+    return media.mapInPandas(_batches, schema=OCR_SCHEMA)

@@ -197,12 +197,22 @@ def repetition_signals(tk: Column) -> Column:
     )
 
 
+# Gopher-style repetition keep/drop thresholds — module-level so every
+# call site (repetition_stats' defaults AND the fused curation-funnel
+# projection in queries/extensions.py) reads ONE definition; a default
+# change can no longer silently diverge the fused verdict from the
+# standalone stats (and the DuckDB oracles embed the same literals via
+# these names at module import).
+TOP_TOKEN_MAX = 0.20
+TOP_BIGRAM_MAX = 0.18
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    top_token_max: float = 0.20,
-    top_bigram_max: float = 0.18,
+    top_token_max: float = TOP_TOKEN_MAX,
+    top_bigram_max: float = TOP_BIGRAM_MAX,
 ) -> DataFrame:
     """Gopher-style repetition signals per document: token count, distinct
     count, the fraction of tokens taken by the most frequent token and by the

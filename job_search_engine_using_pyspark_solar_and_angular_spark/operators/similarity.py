@@ -1077,7 +1077,24 @@ def ann_pq_served(
     idx = spark.read.parquet(f"{path}/codes").filter(
         F.col("bucket").isin(probes)
     )
-    adc = F.lit(0).cast("long")
+    # Corrupt-row guard: a stored pq position outside [1, ksub] (torn or
+    # mismatched index) would make element_at return NULL, NULL-poison
+    # adc_dist2, and — NULLs sorting FIRST under asc — silently TOP the
+    # k results. Fail loudly instead: assert_true on the position range,
+    # folded into the sum as a NULL-coalesced zero (the same ~0-cost shape
+    # as lsh_bucket_int8's dim guard — a when/otherwise(raise_error) wrap
+    # of the lookups would block subexpression reuse).
+    ksub = len(cb)
+    pos_ok = F.assert_true(
+        F.forall("pq", lambda p: (p >= 1) & (p <= F.lit(ksub)))
+        & (F.size("pq") == m),
+        F.concat(
+            F.lit(f"pq positions out of [1, {ksub}] or length != {m} "
+                  f"for {id_col}="),
+            F.col(id_col).cast("string"),
+        ),
+    )
+    adc = F.coalesce(pos_ok.cast("long"), F.lit(0).cast("long"))
     for j in range(m):
         adc = adc + F.element_at(
             F.element_at(lut_col, j + 1), F.element_at(F.col("pq"), j + 1)

@@ -1507,8 +1507,8 @@ def ext_curation_verdict(spark, sf_dir):
         textstats.lang_id("text", toks=F.col("__toks")).alias("lang_pred"),
         "quality",
         (
-            (rep_sig["top_token_frac"] > 0.20)
-            | (rep_sig["top_bigram_frac"] > 0.18)
+            (rep_sig["top_token_frac"] > pipeline.TOP_TOKEN_MAX)
+            | (rep_sig["top_bigram_frac"] > pipeline.TOP_BIGRAM_MAX)
         ).alias("repetitive"),
     )
     # ONE corpus tokenize+shingle+md5 pass feeds BOTH the LSH clustering and

@@ -13,6 +13,7 @@ sign bits are float-order-sensitive).
 from __future__ import annotations
 
 from ..operators.dedup import _MINHASH_PARAMS
+from ..operators.pipeline import TOP_BIGRAM_MAX, TOP_TOKEN_MAX
 from ..operators.similarity import rademacher_plane
 from ..search.bm25 import B, K1
 
@@ -1135,8 +1136,8 @@ stats AS (
 SELECT doc_id, n_tokens, n_distinct,
   ROUND(top_cnt / n_tokens, 4) AS top_token_frac,
   COALESCE(ROUND(top_bg_cnt / n_bigrams, 4), 0.0) AS top_bigram_frac,
-  (ROUND(top_cnt / n_tokens, 4) > 0.2
-   OR COALESCE(ROUND(top_bg_cnt / n_bigrams, 4), 0.0) > 0.18) AS repetitive
+  (ROUND(top_cnt / n_tokens, 4) > {TOP_TOKEN_MAX}
+   OR COALESCE(ROUND(top_bg_cnt / n_bigrams, 4), 0.0) > {TOP_BIGRAM_MAX}) AS repetitive
 FROM stats ORDER BY doc_id
 """
 

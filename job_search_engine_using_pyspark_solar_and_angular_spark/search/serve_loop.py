@@ -750,7 +750,7 @@ def serve_loop_sink(
     checkpoint: str,
     table_prefix: str,
     trigger_once: bool = True,
-    auto_compact_max_segments: int | None = None,
+    auto_compact_max_segments: int | None = 8,
     **serve_kwargs,
 ):
     """The streaming composition: every micro-batch runs the full
@@ -762,8 +762,12 @@ def serve_loop_sink(
     segments, :func:`compact_segments` runs inline before the next batch,
     so a long-running loop's per-read segment fan-in (manifest collect +
     per-segment unions + tombstone filter) stays bounded instead of
-    growing with every batch forever. Unset (the default) leaves
-    compaction cadence to the operator (DEPLOY.md).
+    growing with every batch forever. DEFAULT ON at 8 segments — a
+    long-running loop without any operator attention must not degrade
+    reads without bound (the r4 default of None did exactly that); pass
+    ``None`` to disable and own the cadence externally (DEPLOY.md — e.g.
+    a deployment with concurrent out-of-process readers compacting off
+    the serving path with a read grace window).
 
     Crash-safe by ordering alone: compaction runs strictly AFTER the
     batch's manifest publish, and itself flips the manifest only after

@@ -280,3 +280,59 @@ def test_extract_features_on_fixture_docs(spark):
         assert f["format"] == "unknown"
         assert f["n_bytes"] > 0 and len(f["sha256_16"]) == 16
         assert f["width"] is None and f["rms"] is None
+
+
+# ---------------------------------------------------------------------------
+# OCR hook (reference SolrIndexer.java:115-129 — Tesseract over tweet media)
+# ---------------------------------------------------------------------------
+
+
+def _fake_ocr_engine(raw, decoded):
+    """Deterministic stand-in engine: 'reads' a decoded raster by reporting
+    its dims and first-pixel RGB — enough to pin that the decoded raster
+    actually reaches the engine callable inside the Arrow batches."""
+    if decoded is None:
+        raise ValueError("container not decodable here")
+    px = decoded["pixels"]
+    return f"{decoded['width']}x{decoded['height']}:{px[0]},{px[1]},{px[2]}"
+
+
+def test_ocr_text_plumbing_with_injected_engine(spark):
+    """The OCR hook's Spark-side plumbing is always tested: schema, Arrow
+    batch shape, decode handoff, non-image pass-through, and the per-row
+    engine-error degradation (never a task failure for one bad payload)."""
+    out = {
+        r["media_id"]: r
+        for r in multimodal.ocr_text(
+            _mixed_media(spark), engine=_fake_ocr_engine
+        ).collect()
+    }
+    rgb = gradient_rgb(3, 2)
+    want = f"3x2:{rgb[0]},{rgb[1]},{rgb[2]}"
+    assert out[1]["ocr_text"] == want and out[1]["ocr_skipped"] is None
+    assert out[2]["ocr_text"] == want and out[2]["format"] == "bmp"
+    assert out[3]["ocr_text"] is None and "not an image" in out[3]["ocr_skipped"]
+    assert out[4]["ocr_text"] is None and "not an image" in out[4]["ocr_skipped"]
+    assert [f.name for f in multimodal.OCR_SCHEMA.fields] == [
+        "media_id", "media_type", "format", "ocr_text", "ocr_skipped",
+    ]
+
+
+def test_ocr_default_engine_raises_fast_when_absent(spark):
+    if multimodal.ocr_available():
+        pytest.skip("pytesseract present — covered by the real-engine test")
+    with pytest.raises(ImportError, match="pytesseract"):
+        multimodal.ocr_text(_mixed_media(spark))
+
+
+@pytest.mark.skipif(
+    not multimodal.ocr_available(), reason="pytesseract/PIL not installed"
+)
+def test_ocr_real_engine_reads_rendered_text(spark):
+    """With a real tesseract install: rendered glyphs must come back as
+    text. (Skipped in this container — the hook's import gate is the
+    deliverable; SURVEY §7.4 descopes the model itself.)"""
+    out = multimodal.ocr_text(
+        _mixed_media(spark).filter(F.col("media_id") == 1)
+    ).collect()
+    assert out[0]["ocr_skipped"] is None or out[0]["ocr_text"] is not None

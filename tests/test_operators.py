@@ -1402,3 +1402,44 @@ def test_served_lsh_default_recall_floor(spark):
         for r in QUERIES["ext_ann_tier_recall"](spark, SF_DIR).collect()
     }
     assert rows["lsh_served_default"] >= 0.4, rows
+
+
+def test_pq_served_rejects_corrupt_positions(spark, tmp_path):
+    """A torn/mismatched IVFPQ index whose stored pq positions fall outside
+    [1, ksub] must FAIL LOUDLY at serve time, never silently float corrupt
+    candidates to the top: element_at would return NULL for such a
+    position, and NULLs sort FIRST under the ascending adc_dist2 order —
+    the assert_true guard turns that into a per-row error instead."""
+    from py4j.protocol import Py4JJavaError
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        ann_pq_served,
+        write_vector_index_pq,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "pqidx")
+    write_vector_index_pq(corpus, path)
+    qv = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    # sanity: intact index serves
+    assert ann_pq_served(spark, path, qv, k=5).count() == 5
+
+    # corrupt EVERY row's first position to ksub+1 (out of codebook range)
+    # so the bad rows land in the probed buckets regardless of layout
+    codes = spark.read.parquet(f"{path}/codes")
+    corrupt = codes.withColumn(
+        "pq",
+        F.concat(F.array(F.lit(9)), F.slice("pq", 2, F.size("pq") - 1)),
+    )
+    tmp = str(tmp_path / "codes2")
+    corrupt.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(f"{path}/codes")
+    shutil.move(tmp, f"{path}/codes")
+
+    with pytest.raises((Py4JJavaError, Exception), match="pq positions out of"):
+        ann_pq_served(spark, path, qv, k=5).collect()

@@ -570,3 +570,52 @@ def test_sink_auto_compaction_bounds_segments(spark, tmp_path):
     assert _served_fingerprint(spark, auto_base) == _served_fingerprint(
         spark, plain_base
     )
+
+
+def test_parallel_wave1_write_failure_retry_converges(spark, tmp_path, crash_ref):
+    """Crash injection in the PARALLEL path (the branch production actually
+    runs — the failpoint sweep above exercises only the sequential branch):
+    one wave-1 write (_write_vectors, via its lsh_bucket_int8 call) raises
+    while its sibling wave-1 writes run concurrently and keep writing.
+    The batch must fail before publish (manifest not flipped), and the
+    plain retry must converge to the clean parallel fingerprint — partial
+    sibling segment files from the failed attempt are invisible (manifest
+    commits last) and overwritten idempotently."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        similarity,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.streaming.state_store import (
+        read_state,
+    )
+
+    base, prefix = str(tmp_path / "srv"), _prefix(tmp_path)
+    serve_loop.serve_batch(
+        spark, _df(spark, DOCS), base, prefix,
+        vec_col="embedding", postings_buckets=4, batch_id=0,
+    )
+
+    real = similarity.lsh_bucket_int8
+
+    def exploding(*args, **kwargs):
+        raise RuntimeError("injected wave-1 parallel write failure")
+
+    similarity.lsh_bucket_int8 = exploding
+    try:
+        with pytest.raises(RuntimeError, match="injected wave-1"):
+            serve_loop.serve_batch(
+                spark, _df(spark, B2), base, prefix,
+                vec_col="embedding", postings_buckets=4, batch_id=1,
+            )
+    finally:
+        similarity.lsh_bucket_int8 = real
+
+    # the failed attempt must NOT have published: manifest still at seg 1
+    man = read_state(spark, serve_loop._paths(base)["manifest"])
+    assert man.count() == 1
+
+    s = serve_loop.serve_batch(
+        spark, _df(spark, B2), base, prefix,
+        vec_col="embedding", postings_buckets=4, batch_id=1,
+    )
+    assert s == {"seg": 2, "arrived": 3, "suppressed": 1, "indexed": 2}
+    assert _served_fingerprint(spark, base) == crash_ref
