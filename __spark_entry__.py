@@ -38,71 +38,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The verification driver hash-checks the FIRST 50 entries of queries().
-# Window spec — every slot is exact-DuckDB-oracle checkable:
+# Window spec — every slot is exact-DuckDB-oracle checkable, and every slot
+# was pre-certified at sf0.01 through BOTH oracle fetch paths (fetchall and
+# pandas/arrow) by tools/certify_window.py before rotation:
 #   * slots 1-25: the declared set (Q01-Q24 + sql_frontdoor), the reference's
-#     own query surface (SURVEY.md §2.12);
-#   * slot 26: ext_preprocess_pipeline — the reference's entire batch job
-#     end-to-end (array outputs JSON-stringified for the hash canonicalizer);
-#   * slots 27-33 (rotated r4): as-of join + except stay; the other five
-#     twice-driver-certified slots (range_join, sessionize, window_analytics,
-#     cube, intersect — all still exact-oracle-green locally every run in
-#     tests/test_oracle_parity.py) rotated out for five never-driver-certified
-#     exact-oracle queries: the bucket-pruned int8-LSH ANN pipeline, grouped
-#     batch cosine top-k (two-phase salted partial top-k), TPC-H Q1, SCD2
-#     dimension build, and the hybrid BM25+vector RRF front door;
-#   * slots 34-36: multimodal Arrow contract + NLP (POS tag, spell correct);
-#   * slots 37-39: the dedup ladder's verification rungs — MinHash banded
-#     candidates, SimHash pigeonhole near-dups, exact n-gram Jaccard;
-#   * slots 40-50: curation capstone, cosine top-k, dedup clusters (iterative
-#     CC), decontamination, sequence packing, repetition, count-min heavy
-#     hitters, int8 quantized ANN (the exact-hashable ANN tier), integer
-#     PageRank, TPC-H Q3, and the flagship search path.
+#     own query surface (SURVEY.md §2.12) — always in;
+#   * slots 26-31 (rotated in r4, kept for a 2nd certification): the
+#     serve-loop end-to-end row, the bucket-pruned int8-LSH ANN pipeline,
+#     grouped batch cosine top-k, TPC-H Q1, SCD2, hybrid RRF;
+#   * slots 32-37 (r4 first-timers kept): MinHash near-dedup, substring-span
+#     dedup, line-level dedup, SemDeDup diversity sampling, cluster assign
+#     (the r4 red — re-certifying with the BIGINT-cast oracle), BPE merges;
+#   * slots 38-50 (r5 rotation, all never-driver-certified): 13
+#     multi-certified slots rotated out (preprocess_pipeline, multimodal,
+#     curation_verdict, dedup_clusters, ann_quantized, search_e2e — each
+#     driver-green 2+ rounds — plus 7 once-certified r4 slots:
+#     chunk_documents, curriculum, domain_mix, pii_redact, search_facets,
+#     more_like_this, phrase_search) for: verified-clusters (CC + pair
+#     verify), incremental agg, the retrieval-quality eval family
+#     (retrieval_eval / NDCG / MRR), session funnel, interval join, CDC
+#     apply, the flat z-normalization twin (ext_zscore_flat — array columns
+#     hash engine-dependently on a pandas/arrow fetch, so the window
+#     carries scalar rows), TF-IDF keywords, the ANN recall ladder (which
+#     certifies all four tier queries' composition, including the r5
+#     multiprobe served default), and the PQ tier (ext_ann_pq /
+#     ext_ann_pq_rerank). Rotated-out queries stay exact-oracle-checked
+#     locally every run (tests/test_oracle_parity.py).
 # Float-sensitive ANN variants (ext_ann_lsh / ext_ann_ivf /
 # ext_embedding_near_dups) are deliberately OUTSIDE the window: the driver
 # scores a no-oracle row as red, so they are recall-tested locally instead
 # (tests/test_similarity.py) with ext_ann_quantized + ext_ann_lsh_quantized
-# as their exact in-window/oracle-checked twins. Everything after slot 50 is
-# still exact-oracle-checked locally by tests/test_oracle_parity.py.
+# as their exact oracle-checked twins.
 _PRIORITY = [
     *[n for n in _QUERIES if n.startswith("q") and n[1].isdigit()],  # q01..q24
     "sql_frontdoor",
-    "ext_preprocess_pipeline",
-    # r4 rotation: ext_asof_join (driver-certified r1-r3) -> the serve-loop
-    # end-to-end row; asof stays exact-oracle-checked locally every run
     "ext_serve_loop_e2e",
     "ext_ann_lsh_quantized",
     "ext_batch_cosine_topk",
     "ext_tpch_q1",
     "ext_scd2",
     "ext_hybrid_rrf",
-    # r4 rotation, second wave: 13 more twice-certified slots (except,
-    # pos_tag, spell_correct, minhash_candidates, simhash_near_dups,
-    # ngram_jaccard, decontaminate, pack_sequences, repetition,
-    # heavy_hitters, pagerank, tpch_q3, x2_cosine_topk) swapped for
-    # never-driver-certified queries that upgrade capabilities whose
-    # correctness column was previously pass(local)-only: Solr facets /
-    # more-like-this / phrase search, embedding near-dup, substring-span
-    # dedup, boilerplate line dedup, SemDeDup diversity + cluster assign,
-    # chunking, curriculum, domain mixing, PII redaction, BPE. Rotated-out
-    # queries stay exact-oracle-checked locally every run.
-    "ext_multimodal_features",
-    "ext_curation_verdict",
-    "ext_dedup_clusters",
-    "ext_ann_quantized",
-    "ext_search_e2e",
     "ext_near_dedup",
     "ext_repeated_spans",
     "ext_dedup_lines",
     "ext_diversity_sample",
     "ext_cluster_assign",
-    "ext_chunk_documents",
-    "ext_curriculum",
-    "ext_domain_mix",
-    "ext_pii_redact",
     "ext_bpe_merges",
-    "ext_search_facets",
-    "ext_more_like_this",
-    "ext_phrase_search",
+    # r5 rotation: 13 never-driver-certified slots in
+    "ext_verified_clusters",
+    "ext_incremental_agg",
+    "ext_retrieval_eval",
+    "ext_ndcg",
+    "ext_mrr",
+    "ext_session_funnel",
+    "ext_interval_join",
+    "ext_apply_cdc",
+    "ext_zscore_flat",
+    "ext_tfidf_keywords",
+    "ext_ann_tier_recall",
+    "ext_ann_pq",
+    "ext_ann_pq_rerank",
 ]
 
 

@@ -2079,6 +2079,20 @@ def ext_zscore_embeddings(spark, sf_dir):
     return similarity.zscore_dims(emb)
 
 
+@query("ext_zscore_flat")
+def ext_zscore_flat(spark, sf_dir):
+    """The driver-hashable scalar-row twin of ext_zscore_embeddings (one
+    row per (vec_id, dim)): array columns hash engine-dependently on a
+    pandas/arrow oracle fetch (numpy repr vs list repr), so the
+    certification window carries this flat projection while the packed
+    array shape stays what pipelines consume."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    z = similarity.zscore_dims(emb)
+    return z.select(
+        "vec_id", F.posexplode("norm").alias("dim", "z")
+    )
+
+
 @query("ext_pagerank_personalized")
 def ext_pagerank_personalized(spark, sf_dir):
     """Personalized (seed-restart) integer PageRank over the LSH similarity

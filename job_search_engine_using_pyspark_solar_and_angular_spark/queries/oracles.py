@@ -1832,7 +1832,8 @@ ORDER BY e.doc_a, e.doc_b
 
 # per-dim stats from exact HUGEINT sums; every later op is the same IEEE
 # double expression as the Spark side, so arrays compare bit-identically
-ORACLES["ext_zscore_embeddings"] = """
+# shared z-normalization chain: scalar (vec_id, dim, z) rows
+_ZSCORE_CTES = """
 WITH idx AS (
   SELECT vec_id, embedding,
          unnest(generate_series(1, len(embedding))) AS ord
@@ -1856,8 +1857,21 @@ z AS (
                          * sqrt((n - 1) / (n * (n * ss - s * s))), 6)
               ELSE 0.0 END AS z
   FROM q JOIN st ON q.dim = st.dim)
-SELECT vec_id, list(z ORDER BY dim) AS norm FROM z GROUP BY vec_id ORDER BY vec_id
 """
+
+ORACLES["ext_zscore_embeddings"] = (
+    _ZSCORE_CTES
+    + "SELECT vec_id, list(z ORDER BY dim) AS norm FROM z"
+    + " GROUP BY vec_id ORDER BY vec_id"
+)
+
+# the driver-hashable flat twin: array columns hash engine-dependently on a
+# pandas/arrow fetch path (numpy repr vs list repr — caught by
+# tools/certify_window.py), so the rotation window carries scalar rows
+ORACLES["ext_zscore_flat"] = (
+    _ZSCORE_CTES
+    + "SELECT vec_id, CAST(dim AS INT) AS dim, z FROM z ORDER BY vec_id, dim"
+)
 
 
 # integer PageRank: 5 iterations unrolled as chained CTEs (all-integer
