@@ -702,6 +702,22 @@ def quantize_int8_corpus(
     return with_stats.select(F.col(id_col), codes.alias("codes"))
 
 
+# PQ tier defaults — ONE definition shared by pq_adc_topk,
+# write_vector_index_pq, the rerank funnel's shortlist width, the DuckDB
+# oracles (interpolated at import), and the tests. r5 recall study at
+# sf0.01/sf0.1 (1 query, top-5): ksub 8 -> 16 lifted the rerank funnel from
+# 0.6/0.2 to 0.8/0.6 while widening the shortlist alone did nothing (the
+# codes were the bottleneck, not the cut) — encode pays 2x (corpus x m x
+# ksub sub-distances), ADC serving cost is UNCHANGED (m lookups per
+# candidate; the LUT grows to m x 16 driver-side ints). ksub=32 measured
+# WORSE than 16 (hash-random leader codebooks fragment the subspaces
+# without k-means' quality). PQ_SHORTLIST=100: at 100-vector shortlists the
+# rerank stays candidate-bounded while adding the second recall step.
+PQ_M = 8
+PQ_KSUB = 16
+PQ_SHORTLIST = 100
+
+
 def _pq_subs_of(col, m: int, dsub: int):
     """The m sub-slices of a codes array as one array<array<int>> — built
     ONCE per value (codebook and query: once globally in their 1-row
@@ -745,8 +761,8 @@ def pq_adc_topk(
     embeddings: DataFrame,
     query_id: int = 0,
     k: int = 5,
-    m: int = 8,
-    ksub: int = 8,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -876,8 +892,8 @@ def write_vector_index_pq(
     embeddings: DataFrame,
     path: str,
     num_planes: int = 4,
-    m: int = 8,
-    ksub: int = 8,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -1680,16 +1680,20 @@ def ext_ann_pq(spark, sf_dir):
 @query("ext_ann_pq_rerank")
 def ext_ann_pq_rerank(spark, sf_dir):
     """PQ-then-rerank — the production composition DEPLOY.md recommends
-    for the compressed tier: integer-ADC shortlist (top-50) from PQ codes
-    -> full-precision round-4 cosine rerank of just those candidates ->
-    top-5. Both stages deterministic (integer ADC + id tie-breaks; round-4
-    cosine), so the composed funnel keeps an exact oracle — recall lost to
-    quantization is bounded by the shortlist width, while rerank cost is
-    50 vectors instead of the corpus."""
+    for the compressed tier: integer-ADC shortlist (top-PQ_SHORTLIST) from
+    PQ codes -> full-precision round-4 cosine rerank of just those
+    candidates -> top-5. Both stages deterministic (integer ADC + id
+    tie-breaks; round-4 cosine), so the composed funnel keeps an exact
+    oracle — recall lost to quantization is bounded by the shortlist
+    width, while rerank cost is PQ_SHORTLIST vectors instead of the
+    corpus. r5: ksub 8 -> 16 + shortlist 50 -> 100 lifted recall@5 from
+    0.6/0.2 to 0.8/0.6 at sf0.01/sf0.1 (see similarity.PQ_KSUB)."""
     from ..functions.vectors import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    shortlist = similarity.pq_adc_topk(emb, query_id=0, k=50).select("vec_id")
+    shortlist = similarity.pq_adc_topk(
+        emb, query_id=0, k=similarity.PQ_SHORTLIST
+    ).select("vec_id")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return (
         emb.join(F.broadcast(shortlist), "vec_id")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from ..operators.dedup import _MINHASH_PARAMS
 from ..operators.pipeline import TOP_BIGRAM_MAX, TOP_TOKEN_MAX
+from ..operators.similarity import PQ_KSUB, PQ_SHORTLIST
 from ..operators.similarity import rademacher_plane
 from ..search.bm25 import B, K1
 
@@ -849,11 +850,11 @@ ORACLES["ext_cluster_assign"] = (
 # (d2, cid tie-break); ADC = sum over subspaces of query-to-assigned-
 # sub-centroid L2. m=8 subspaces of 8 dims each. Shared by ext_ann_pq
 # and the shortlist of ext_ann_pq_rerank.
-_PQ_CTES = _CODES_CTES + """,
+_PQ_CTES = _CODES_CTES + f""",
 cb AS (
   SELECT vec_id AS cid, c AS cc FROM codes WHERE vec_id != 0
   ORDER BY CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
-  LIMIT 8),
+  LIMIT {PQ_KSUB}),
 qs AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
 enc AS (
   SELECT codes.vec_id, j.j, cb.cid,
@@ -885,8 +886,8 @@ ORDER BY adc_dist2, vec_id LIMIT 10
 )
 
 ORACLES["ext_ann_pq_rerank"] = (
-    "WITH " + _PQ_CTES + """,
-shortlist AS (SELECT vec_id FROM agg ORDER BY adc_dist2, vec_id LIMIT 50)
+    "WITH " + _PQ_CTES + f""",
+shortlist AS (SELECT vec_id FROM agg ORDER BY adc_dist2, vec_id LIMIT {PQ_SHORTLIST})
 SELECT e.vec_id,
   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                CAST(q.embedding AS DOUBLE[])), 4) + 0.0 AS sim

@@ -1218,6 +1218,10 @@ def test_pq_adc_exact_for_codebook_exemplars(spark):
         quantize_int8_corpus,
     )
 
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        PQ_KSUB,
+    )
+
     emb = load_table(spark, SF_DIR, "embeddings")
     codes = {
         r["vec_id"]: r["codes"]
@@ -1228,7 +1232,7 @@ def test_pq_adc_exact_for_codebook_exemplars(spark):
     def md5l(v: int) -> int:
         return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
 
-    cb_ids = set(sorted(corpus_ids, key=lambda v: (md5l(v), v))[:8])
+    cb_ids = set(sorted(corpus_ids, key=lambda v: (md5l(v), v))[:PQ_KSUB])
     out = {
         r["vec_id"]: r
         for r in pq_adc_topk(emb, query_id=0, k=len(codes)).collect()
@@ -1245,7 +1249,7 @@ def test_pq_adc_exact_for_codebook_exemplars(spark):
             assert r["adc_dist2"] == full_l2, vid
             assert r["pq_code"] == "-".join([str(vid)] * 8)
             n_exact += 1
-    assert n_exact == 8
+    assert n_exact == PQ_KSUB
 
 
 def test_pq_served_matches_python_reference_and_prunes(spark, tmp_path):
@@ -1427,12 +1431,13 @@ def test_pq_served_rejects_corrupt_positions(spark, tmp_path):
     # sanity: intact index serves
     assert ann_pq_served(spark, path, qv, k=5).count() == 5
 
-    # corrupt EVERY row's first position to ksub+1 (out of codebook range)
-    # so the bad rows land in the probed buckets regardless of layout
+    # corrupt EVERY row's first position to 0 (positions are 1-based, so 0
+    # is out of range for ANY ksub) so the bad rows land in the probed
+    # buckets regardless of layout
     codes = spark.read.parquet(f"{path}/codes")
     corrupt = codes.withColumn(
         "pq",
-        F.concat(F.array(F.lit(9)), F.slice("pq", 2, F.size("pq") - 1)),
+        F.concat(F.array(F.lit(0)), F.slice("pq", 2, F.size("pq") - 1)),
     )
     tmp = str(tmp_path / "codes2")
     corrupt.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
