@@ -522,6 +522,42 @@ def pack_sequences(
     )
 
 
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Packing-efficiency audit over :func:`pack_sequences` output — the
+    number a trainer checks before paying for a run: per shard, how many
+    context windows the layout produces and what fraction of their
+    capacity is real tokens. Concatenate-and-chunk wastes ONLY the tail of
+    each shard's final window (documents straddle boundaries mid-stream),
+    so waste == n_windows*budget - n_tokens and efficiency approaches
+    10000 bps as shards grow — exactly what this audit certifies, per
+    shard, in int64 floor-division arithmetic (hash-exact cross-engine).
+
+    Scale shape: one #shards-row agg over the (already tiny relative to
+    the corpus) packing table; no second corpus scan."""
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.expr(f"div(n_tokens + {int(budget) - 1}, {int(budget)})").alias(
+                "n_windows"
+            ),
+        )
+        .select(
+            "*",
+            (F.col("n_windows") * budget - F.col("n_tokens")).alias("waste_tokens"),
+            F.expr(f"div(10000 * n_tokens, n_windows * {int(budget)})").alias(
+                "efficiency_bps"
+            ),
+        )
+    )
+
+
 def partial_agg_states(
     df: DataFrame,
     ts_col: str = "ts",

@@ -130,6 +130,73 @@ def domain_mix(
     )
 
 
+def temperature_mix_apply(
+    df: DataFrame,
+    strata_col: str,
+    budget_tokens: int,
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """APPLY the temperature-scaled mix — :func:`temperature_mix` reports
+    the smoothed weights; this operator derives keep-rates from them and
+    actually downsamples. Equivalent to :func:`domain_mix` with
+    the target shares DERIVED from measured per-domain token mass instead
+    of hand-specified: share_s ∝ mass_s^(1/T), the standard multilingual /
+    multi-domain rebalancing (T=1 proportional i.e. no rebalancing, T>1
+    flattens toward uniform so small domains keep more of their data).
+
+    Exactness contract: supported temperatures are 1.0 and 2.0 — T=2 maps
+    to IEEE ``sqrt`` (correctly rounded by the standard, engine-identical),
+    whose output is micro-quantized to integer units BEFORE the
+    cross-domain normalization, and every later step (share, keep-rate,
+    bucket filter) is int64 floor-division — so the whole mix is
+    hash-exact cross-engine, unlike a float ``pow`` chain. Arbitrary T
+    would need pow (correctly-rounded nowhere guaranteed) and is rejected
+    rather than silently rows-only.
+
+    Scale shape (same as domain_mix): one #domains-row stats agg, shares
+    normalized against the broadcast 1-row total IN-PLAN (no driver
+    collect), broadcast back, row-local hash filter; the corpus is scanned
+    twice and never shuffled. int64 bounds: q <= ~3e12 at 100 TB token
+    mass, 10000*q <= ~3e16 < 2^63."""
+    from .textstats import token_count
+
+    if temperature == 1.0:
+        q = F.col("__tok").cast("double")
+    elif temperature == 2.0:
+        q = F.sqrt(F.col("__tok").cast("double"))
+    else:
+        raise ValueError(
+            f"temperature {temperature} unsupported: only 1.0 and 2.0 keep "
+            "the mix engine-exact (IEEE sqrt); arbitrary T needs pow, whose "
+            "rounding is engine-dependent"
+        )
+    stats = (
+        df.groupBy(strata_col)
+        .agg(F.sum(token_count(text_col)).alias("__tok"))
+        .withColumn("__q", F.round(q * 1_000_000, 0).cast("long"))
+    )
+    total = stats.agg(F.sum("__q").alias("__tq"))
+    rates = (
+        stats.crossJoin(F.broadcast(total))
+        .withColumn("__share_bps", F.expr("div(10000 * __q, __tq)"))
+        .select(
+            strata_col,
+            F.least(
+                F.lit(10_000).cast("long"),
+                F.expr(f"div(__share_bps * {int(budget_tokens)}, __tok)"),
+            ).alias("__rate_bps"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(_bucket(F.col(id_col), salt) < F.col("__rate_bps"))
+        .drop("__rate_bps")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -1480,6 +1480,31 @@ def ext_domain_mix(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+@query("ext_mix_temperature")
+def ext_mix_temperature(spark, sf_dir):
+    """Temperature-scaled data mixing (T=2): target shares derived from
+    measured per-source token mass as share ∝ sqrt(mass) — the standard
+    multilingual/multi-domain rebalancing — then the same integer
+    keep-rate + hash-bucket filter as ext_domain_mix. IEEE sqrt +
+    micro-quantization + int64 floor-division keep the whole mix
+    hash-exact cross-engine (sampling.temperature_mix)."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.temperature_mix_apply(d, "source", budget_tokens=5_000)
+    return out.select("doc_id", "source")
+
+
+@query("ext_packing_stats")
+def ext_packing_stats(spark, sf_dir):
+    """Packing-efficiency audit over the 512-token packing layout: per
+    shard, windows produced, tail waste, and efficiency in bps — all int64
+    floor-division over the pack_sequences table (pipeline.packing_stats)."""
+    d = load_table(spark, sf_dir, "documents")
+    packed = pipeline.pack_sequences(d, budget=512)
+    return pipeline.packing_stats(packed, budget=512)
+
+
 @query("ext_curation_verdict")
 def ext_curation_verdict(spark, sf_dir):
     """End-to-end corpus curation: every document labeled with its FIRST

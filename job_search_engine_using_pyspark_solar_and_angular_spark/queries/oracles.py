@@ -1388,6 +1388,53 @@ WHERE {md5long("CAST(d.doc_id AS VARCHAR) || ''")} % 10000 < r.rate_bps
 ORDER BY d.doc_id
 """
 
+# temperature-scaled mixing: shares derived as sqrt(token mass),
+# micro-quantized before the cross-domain sum; int64 floor-division (//)
+# everywhere after — mirror of sampling.temperature_mix at T=2
+ORACLES["ext_mix_temperature"] = f"""
+WITH stats AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, tok,
+         CAST(ROUND(sqrt(CAST(tok AS DOUBLE)) * 1000000, 0) AS BIGINT) AS q
+  FROM stats
+),
+tot AS (SELECT SUM(q) AS tq FROM q),
+rates AS (
+  SELECT source,
+    LEAST(CAST(10000 AS BIGINT), ((10000 * q // tq) * 5000) // tok) AS rate_bps
+  FROM q, tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {md5long("CAST(d.doc_id AS VARCHAR) || ''")} % 10000 < r.rate_bps
+ORDER BY d.doc_id
+"""
+
+# per-shard packing audit: same shard hash + token counts as the pack
+# oracle; windows/waste/efficiency in int64 floor division
+ORACLES["ext_packing_stats"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         {md5long("CAST(doc_id AS VARCHAR) || 'pack'")} AS h,
+         CAST(len({TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+f AS (SELECT *, CAST(h % 16 AS BIGINT) AS shard FROM base WHERE n_tokens > 0),
+agg AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM f GROUP BY shard
+)
+SELECT shard, n_docs, n_tokens,
+  (n_tokens + 511) // 512 AS n_windows,
+  ((n_tokens + 511) // 512) * 512 - n_tokens AS waste_tokens,
+  (10000 * n_tokens) // (((n_tokens + 511) // 512) * 512) AS efficiency_bps
+FROM agg ORDER BY shard
+"""
+
 ORACLES["ext_ring_negatives"] = f"""
 WITH h AS (
   SELECT doc_id, {md5long("CAST(doc_id AS VARCHAR) || 'neg'")} AS h

@@ -660,3 +660,51 @@ def test_write_shards_roundtrip_manifest(spark, tmp_path):
         for r in shard_assign(grown, n_shards=8).collect()
     }
     assert all(after[k] == v for k, v in before.items())
+
+
+def test_temperature_mix_apply_flattens_toward_uniform(spark):
+    """T=2 must keep MORE of a small domain's mass (relative to T=1
+    proportional) and less of a dominant domain's: the defining property
+    of temperature rebalancing. Also pins the exactness gate: arbitrary T
+    raises instead of going silently engine-dependent."""
+    import pytest as _pytest
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        sampling,
+    )
+
+    rows = [(i, "big" if i < 180 else "small", "tok " * 20) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def kept_frac(temperature):
+        out = sampling.temperature_mix_apply(
+            df, "source", budget_tokens=2_000, temperature=temperature
+        )
+        kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        return kept.get("small", 0) / 20.0, kept.get("big", 0) / 180.0
+
+    small_t2, big_t2 = kept_frac(2.0)
+    small_t1, big_t1 = kept_frac(1.0)
+    assert small_t2 >= small_t1
+    assert big_t2 <= big_t1
+    assert small_t2 > big_t2  # flattened: small domain keeps a larger fraction
+    with _pytest.raises(ValueError, match="unsupported"):
+        sampling.temperature_mix_apply(df, "source", 2_000, temperature=3.0)
+
+
+def test_packing_stats_hand_computed(spark):
+    """Efficiency audit on a hand-built layout: one shard, three docs of
+    300/300/300 tokens, budget 512 -> stream 900 tokens -> 2 windows,
+    waste 124, efficiency floor(10000*900/1024) = 8789 bps."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        pipeline as pl,
+    )
+
+    packed = spark.createDataFrame(
+        [(1, 0, 0, 0, 300, 1), (2, 0, 0, 300, 300, 2), (3, 0, 1, 88, 300, 1)],
+        "doc_id long, shard long, seq_id long, tok_start long, n_tokens long, n_seqs long",
+    )
+    row = pl.packing_stats(packed, budget=512).collect()[0]
+    assert (row["n_docs"], row["n_tokens"], row["n_windows"]) == (3, 900, 2)
+    assert row["waste_tokens"] == 2 * 512 - 900 == 124
+    assert row["efficiency_bps"] == (10000 * 900) // 1024 == 8789
