@@ -452,6 +452,21 @@ def bench_served_refresh(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+# Deliberate cost increases, annotated so the artifact explains itself when
+# the guard flags them (the r4 precedent: ext_multimodal_features 0.45->0.83
+# was the honest price of real pixel decode). Entries are NOT suppressed —
+# the ratio still appears; the reason rides along.
+ACCEPTED_REGRESSIONS = {
+    "ext_ann_pq": "r5: PQ ksub 8->16 doubles encode work — recall@5 of the "
+    "rerank funnel went 0.6/0.2 -> 0.8/0.6 at sf0.01/0.1; ADC serving cost "
+    "unchanged",
+    "ext_ann_pq_rerank": "r5: same ksub 8->16 + shortlist 50->100 recall fix",
+    "ann_lsh_served": "r5: Hamming-1 multiprobe is the served default now "
+    "(single-bucket measured recall 0.0 at sf0.01) — 5 of 16 partitions "
+    "read instead of 1",
+}
+
+
 def regressions_vs_previous(timings: dict[str, float]) -> dict:
     """Per-query regression guard: compare this run to the most recent
     BENCH_r{N}.json in the repo root on the common query set and flag
@@ -479,6 +494,8 @@ def regressions_vs_previous(timings: dict[str, float]) -> dict:
         p = prev.get(name)
         if p and p > 0 and cur / p > 1.5:
             out[name] = {"prev": p, "cur": cur, "ratio": round(cur / p, 2)}
+            if name in ACCEPTED_REGRESSIONS:
+                out[name]["accepted"] = ACCEPTED_REGRESSIONS[name]
     return out
 
 
