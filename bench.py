@@ -134,6 +134,10 @@ HEADLINE = [
     "ext_dataset_card",
     # batch exact ANN serving via two-phase partial top-k
     "ext_batch_cosine_topk",
+    # round-5 additions: temperature-scaled mixing (apply) and the
+    # packing-efficiency audit — the layout-family completions
+    "ext_mix_temperature",
+    "ext_packing_stats",
 ]
 
 # BASELINE.md Fig. 10: reference preprocess ≈ 90 s per 100 MB raw JSON.
@@ -369,34 +373,42 @@ def bench_streaming_ingest(spark) -> dict:
             "doc_id", "text"
         )
     ).schema
-    ck = os.path.join(BENCH_DIR, "stream_ingest_ck")
-    shutil.rmtree(ck, ignore_errors=True)
-    batches = []
+    # min-of-2 full stream replays (fresh checkpoint each), same policy as
+    # every other entry: the r4 driver artifact showed this entry at 1/3 of
+    # its idle throughput purely from machine load on a single-shot run
+    sec, n_batches = float("inf"), 0
+    for trial in (1, 2):
+        ck = os.path.join(BENCH_DIR, f"stream_ingest_ck{trial}")
+        shutil.rmtree(ck, ignore_errors=True)
+        batches = []
 
-    def _sink(batch, batch_id):
-        force(preprocess(batch))
-        batches.append(batch_id)
+        def _sink(batch, batch_id):
+            force(preprocess(batch))
+            batches.append(batch_id)
 
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 8)
-        .json(path)
-    )
-    t0 = time.perf_counter()
-    q = (
-        raw.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    sec = round(time.perf_counter() - t0, 3)
-    shutil.rmtree(ck, ignore_errors=True)
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .json(path)
+        )
+        t0 = time.perf_counter()
+        q = (
+            raw.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        trial_sec = round(time.perf_counter() - t0, 3)
+        SERVED_TRIALS.setdefault("streaming_ingest", []).append(trial_sec)
+        shutil.rmtree(ck, ignore_errors=True)
+        if trial_sec < sec:
+            sec, n_batches = trial_sec, len(batches)
     return {
         "input_mb": size_mb,
         "sec": sec,
         "mb_per_sec": round(size_mb / sec, 2),
-        "n_batches": len(batches),
+        "n_batches": n_batches,
         "baseline_mb_per_sec": round(BASELINE_MB_PER_SEC, 2),
         "speedup_vs_baseline": round(size_mb / sec / BASELINE_MB_PER_SEC, 1),
     }
