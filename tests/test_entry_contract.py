@@ -47,3 +47,28 @@ def test_every_query_callable_signature():
     for name, fn in entry_mod.queries().items():
         params = list(inspect.signature(fn).parameters)
         assert len(params) >= 2, f"{name} must take (spark, sf_dir)"
+
+
+def test_type_class_rules():
+    """The canonicalizer's type-class table: DuckDB HUGEINT/DECIMAL class
+    apart from int (the pandas/arrow fetch renders them float64 — the
+    CORRECTNESS_r04 ext_cluster_assign red), while genuine ints, floats,
+    strings, and arrays class together across both engines' spellings."""
+    from .conftest import type_class
+
+    assert type_class("HUGEINT") == "decimal"
+    assert type_class("DECIMAL(38,0)") == "decimal"
+    assert type_class("decimal(38,0)") == "decimal"
+    assert type_class("BIGINT") == type_class("bigint") == "int"
+    assert type_class("INTEGER") == type_class("smallint") == "int"
+    assert type_class("DOUBLE") == type_class("float") == "float"
+    assert type_class("VARCHAR") == type_class("string") == "str"
+    assert type_class("TIMESTAMP WITH TIME ZONE") == type_class("timestamp") == "ts"
+    # arrays class by ELEMENT type (numeric checks run first) — deliberate:
+    # a DuckDB HUGEINT[] vs Spark array<bigint> drift is then FLAGGED
+    # (decimal vs int), where a flat "array" class would mask it
+    assert type_class("DOUBLE[]") == type_class("array<double>") == "float"
+    assert type_class("HUGEINT[]") == "decimal"
+    assert type_class("array<bigint>") == "int"
+    assert type_class("VARCHAR[]") == type_class("array<string>") == "str"
+    assert type_class("BOOLEAN") == type_class("boolean") == "bool"
