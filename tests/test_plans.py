@@ -509,3 +509,29 @@ def test_diversity_sample_windows_by_cluster_only(spark):
     for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert "centroid_id" in frag, frag
 
+
+
+def test_temperature_mix_no_corpus_shuffle_no_window(spark):
+    """temperature_mix_apply: the only exchanges are the #domains-row stats
+    aggregation (partial+final) and its 1-row total — the corpus itself is
+    filtered through a BROADCAST join and never hash-repartitions on a
+    corpus-sized key. No window, no sort of the corpus."""
+    p = plan_of(spark, "ext_mix_temperature")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+    # the corpus side must not exchange on doc_id (row-local hash filter)
+    assert "hashpartitioning(doc_id" not in p
+
+
+def test_packing_stats_prunes_the_packing_window_entirely(spark):
+    """packing_stats only reads (shard, n_tokens), so Catalyst's column
+    pruning must eliminate pack_sequences' running-sum Window from the
+    audit's plan COMPLETELY — the whole audit is scan -> project ->
+    filter -> one shard-key exchange -> agg. A refactor that makes the
+    audit depend on a window-derived column (seq_id/tok_start) would
+    silently reintroduce the corpus-wide running sum; this pins it out."""
+    p = plan_of(spark, "ext_packing_stats")
+    assert p.count("Window") == 0
+    assert p.count("Exchange") == 1, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
