@@ -405,6 +405,20 @@ def ocr_available() -> bool:
     return True
 
 
+def pixel_probe_engine(raw: bytes, decoded) -> str:
+    """Deterministic stand-in OCR engine: 'reads' a decoded raster by
+    reporting its dims and first-pixel RGB ("WxH:r,g,b"). Two jobs: (a) a
+    pipeline smoke engine that exercises the full ocr_text plumbing with a
+    closed-form, oracle-checkable output (query ext_ocr_features); (b) the
+    engine the plumbing tests inject. Raises for undecodable containers —
+    exactly like a real engine on bytes it can't open — which ocr_text
+    degrades to a per-row ocr_skipped reason."""
+    if decoded is None or "pixels" not in decoded:
+        raise ValueError("container not decodable here")
+    px = decoded["pixels"]
+    return f"{decoded['width']}x{decoded['height']}:{px[0]},{px[1]},{px[2]}"
+
+
 def ocr_text(media: DataFrame, engine=None) -> DataFrame:
     """OCR over binary image payloads via Arrow-batched ``mapInPandas`` —
     the reference's media-enrichment stage (``SolrIndexer.java:115-129``)

@@ -592,6 +592,32 @@ def ext_multimodal_features(spark, sf_dir):
     )
 
 
+@query("ext_ocr_features")
+def ext_ocr_features(spark, sf_dir):
+    """The OCR enrichment hook (reference SolrIndexer.java:115-129) run
+    end-to-end through the Arrow mapInPandas contract over the REAL
+    encoded PPM corpus, with the deterministic pixel-probe engine
+    (multimodal.pixel_probe_engine) standing in for tesseract: the decoded
+    raster's dims + first-pixel RGB come back as text, so the whole
+    encode -> decode -> engine -> per-row envelope loop is closed-form and
+    exact-oracle-checked. Swapping in the real import-gated engine changes
+    ONLY the engine callable (same schema, same batches)."""
+    d = load_table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("text").cast("binary"))
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + F.octet_length("text") % 13).cast("int").alias("width"),
+        (F.lit(4) + F.octet_length("text") % 7).cast("int").alias("height"),
+        F.conv(F.substring(md5, 1, 2), 16, 10).cast("int").alias("r"),
+        F.conv(F.substring(md5, 3, 2), 16, 10).cast("int").alias("g"),
+        F.conv(F.substring(md5, 5, 2), 16, 10).cast("int").alias("b"),
+    )
+    media = multimodal.encode_solid_ppm_payloads(params)
+    return multimodal.ocr_text(
+        media, engine=multimodal.pixel_probe_engine
+    ).select("media_id", "format", "ocr_text", "ocr_skipped")
+
+
 @query("ext_audio_features")
 def ext_audio_features(spark, sf_dir):
     """REAL audio decode loop: per doc, derive an alternating-amplitude

@@ -1039,6 +1039,23 @@ ORACLES["ext_multimodal_features"] = (
     "FROM p ORDER BY media_id"
 )
 
+# Mirror of the OCR-hook loop over the solid-PPM corpus: the pixel-probe
+# engine reports "WxH:r,g,b" of the decoded raster — closed-form because
+# the fill is solid and the params derive from md5/length
+ORACLES["ext_ocr_features"] = (
+    "WITH p AS (SELECT doc_id, "
+    "CAST(4 + octet_length(encode(text)) % 13 AS BIGINT) AS w, "
+    "CAST(4 + octet_length(encode(text)) % 7 AS BIGINT) AS h, "
+    "CAST(CAST(CONCAT('0x', substr(md5(text), 1, 2)) AS INT) AS BIGINT) AS r, "
+    "CAST(CAST(CONCAT('0x', substr(md5(text), 3, 2)) AS INT) AS BIGINT) AS g, "
+    "CAST(CAST(CONCAT('0x', substr(md5(text), 5, 2)) AS INT) AS BIGINT) AS b "
+    "FROM documents) "
+    "SELECT doc_id AS media_id, 'ppm' AS format, "
+    "CONCAT(w, 'x', h, ':', r, ',', g, ',', b) AS ocr_text, "
+    "CAST(NULL AS VARCHAR) AS ocr_skipped "
+    "FROM p ORDER BY media_id"
+)
+
 # Mirror of the REAL WAV encode->decode loop: alternating +a/-b PCM16 tone,
 # n samples -> peak = max(a, b), rms = floor(sqrt((ceil(n/2)*a^2 +
 # floor(n/2)*b^2) // n)) — sqrt args < 2^53 and far from square boundaries,

@@ -287,14 +287,9 @@ def test_extract_features_on_fixture_docs(spark):
 # ---------------------------------------------------------------------------
 
 
-def _fake_ocr_engine(raw, decoded):
-    """Deterministic stand-in engine: 'reads' a decoded raster by reporting
-    its dims and first-pixel RGB — enough to pin that the decoded raster
-    actually reaches the engine callable inside the Arrow batches."""
-    if decoded is None:
-        raise ValueError("container not decodable here")
-    px = decoded["pixels"]
-    return f"{decoded['width']}x{decoded['height']}:{px[0]},{px[1]},{px[2]}"
+# the deterministic stand-in engine lives in the library (it powers the
+# oracle-checked ext_ocr_features query); the tests inject the same one
+_fake_ocr_engine = multimodal.pixel_probe_engine
 
 
 def test_ocr_text_plumbing_with_injected_engine(spark):
