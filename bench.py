@@ -134,10 +134,13 @@ HEADLINE = [
     "ext_dataset_card",
     # batch exact ANN serving via two-phase partial top-k
     "ext_batch_cosine_topk",
-    # round-5 additions: temperature-scaled mixing (apply) and the
-    # packing-efficiency audit — the layout-family completions
+    # round-5 additions: temperature-scaled mixing (apply), the
+    # packing-efficiency audit, and the PQ->full-precision rerank funnel
+    # (the production composition DEPLOY.md recommends — benched so its
+    # ACCEPTED_REGRESSIONS annotation is actually reachable)
     "ext_mix_temperature",
     "ext_packing_stats",
+    "ext_ann_pq_rerank",
 ]
 
 # BASELINE.md Fig. 10: reference preprocess ≈ 90 s per 100 MB raw JSON.
@@ -274,8 +277,13 @@ def bench_ann_pq_served(spark, sf_dir: str) -> float:
             and os.path.exists(os.path.join(path, "meta", "_SUCCESS"))
         ):
             return False
-        meta = spark.read.parquet(f"{path}/meta").collect()[0]
-        return all(meta[k] == v for k, v in params.items())
+        try:
+            meta = spark.read.parquet(f"{path}/meta").collect()[0]
+            return all(meta[k] == v for k, v in params.items())
+        except Exception:
+            # torn/empty/old-layout meta: self-heal by rebuilding, never
+            # abort the bench (matching the stated cache contract)
+            return False
 
     if not _cache_valid():
         shutil.rmtree(path, ignore_errors=True)

@@ -471,13 +471,15 @@ def ocr_text(media: DataFrame, engine=None) -> DataFrame:
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 raw = bytes(p) if p is not None else b""
-                kind = codecs.sniff(raw)
+                kind = codecs.sniff(raw)  # header-only, cheap
+                if mtype != "image":
+                    # pass through BEFORE decoding: a misc-typed row must
+                    # not pay a full raster decode it then discards
+                    rows.append((mid, mtype, kind, None, f"not an image: {mtype}"))
+                    continue
                 decoded = None
                 if kind in ("ppm", "bmp"):
                     decoded = codecs.decode(raw)
-                if mtype != "image":
-                    rows.append((mid, mtype, kind, None, f"not an image: {mtype}"))
-                    continue
                 try:
                     text = engine(raw, decoded)
                 except Exception as exc:  # undecodable container etc.

@@ -159,14 +159,20 @@ def temperature_mix_apply(
     Scale shape (same as domain_mix): one #domains-row stats agg, shares
     normalized against the broadcast 1-row total IN-PLAN (no driver
     collect), broadcast back, row-local hash filter; the corpus is scanned
-    twice and never shuffled. int64 bounds: q <= ~3e12 at 100 TB token
-    mass, 10000*q <= ~3e16 < 2^63."""
+    twice and never shuffled. int64 bounds: T=2 quantizes sqrt(tok) by
+    1e6 (q <= ~3e12 at 100 TB token mass, 10000*q <= ~3e16 < 2^63); T=1
+    uses the raw integer token counts UNQUANTIZED — they are already
+    exact, and scaling them by 1e6 would overflow 10000*q at ~9e8 tokens
+    per domain (a few GB of text) and silently drop the domain under
+    non-ANSI long wraparound."""
     from .textstats import token_count
 
     if temperature == 1.0:
-        q = F.col("__tok").cast("double")
+        q = F.col("__tok")  # exact integers already — no quantization
     elif temperature == 2.0:
-        q = F.sqrt(F.col("__tok").cast("double"))
+        q = F.round(F.sqrt(F.col("__tok").cast("double")) * 1_000_000, 0).cast(
+            "long"
+        )
     else:
         raise ValueError(
             f"temperature {temperature} unsupported: only 1.0 and 2.0 keep "
@@ -176,7 +182,7 @@ def temperature_mix_apply(
     stats = (
         df.groupBy(strata_col)
         .agg(F.sum(token_count(text_col)).alias("__tok"))
-        .withColumn("__q", F.round(q * 1_000_000, 0).cast("long"))
+        .withColumn("__q", q)
     )
     total = stats.agg(F.sum("__q").alias("__tq"))
     rates = (

@@ -691,6 +691,30 @@ def test_temperature_mix_apply_flattens_toward_uniform(spark):
     with _pytest.raises(ValueError, match="unsupported"):
         sampling.temperature_mix_apply(df, "source", 2_000, temperature=3.0)
 
+    # T=1 uses RAW integer token counts (no 1e6 quantization — that scaling
+    # would overflow 10000*q at ~9e8 tokens/domain and silently drop the
+    # domain): pin the keep-set against the hand-computed integer rates
+    import hashlib
+
+    tok = {"big": 180 * 21, "small": 20 * 21}  # "tok " * 20 -> 21 tokens
+    total = sum(tok.values())
+    rate = {
+        s_: min(10_000, ((10_000 * tok[s_] // total) * 2_000) // tok[s_])
+        for s_ in tok
+    }
+    want = {
+        i for i, s_, _ in rows
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 10_000
+        < rate[s_]
+    }
+    got = {
+        r["doc_id"]
+        for r in sampling.temperature_mix_apply(
+            df, "source", 2_000, temperature=1.0
+        ).collect()
+    }
+    assert got == want
+
 
 def test_packing_stats_hand_computed(spark):
     """Efficiency audit on a hand-built layout: one shard, three docs of
