@@ -69,10 +69,13 @@ def test_no_python_udfs_in_relational_queries(spark):
             offenders.append(name)
         if "ArrowEvalPython" in p or "MapInPandas" in p:
             # Arrow-batched Python is sanctioned ONLY where built-ins can't
-            # express the op: multimodal (image/audio/video) decode and the
-            # numpy rerank tier.
+            # express the op: multimodal (image/audio/video) decode, the
+            # OCR engine hook, and the numpy rerank tier.
             if (
-                not any(m in name for m in ("multimodal", "image", "audio", "video"))
+                not any(
+                    m in name
+                    for m in ("multimodal", "image", "audio", "video", "ocr")
+                )
                 and "rerank_np" not in name
             ):
                 offenders.append(f"{name} (arrow python outside multimodal)")
