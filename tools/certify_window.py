@@ -60,7 +60,19 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
-    spark = get_spark(app_name="certify-window")
+    if os.environ.get("JSE_CERTIFY_VANILLA"):
+        # the verification driver builds its OWN SparkSession — certify
+        # under a bare one (no UTC pin, no tuned shuffle/AQE confs) to
+        # prove no window query depends on the tuned factory
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("certify-window-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="certify-window")
     spark.sparkContext.setLogLevel("ERROR")
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
