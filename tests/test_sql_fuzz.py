@@ -168,3 +168,93 @@ def test_sql_differential_fuzz(spark, ddb, sql):
     d_cols = [c[0] for c in d.description]
     d_rows = d.fetchall()
     assert canon_rows(s_cols, s_rows) == canon_rows(d_cols, d_rows), sql
+
+
+@st.composite
+def _text_query(draw):
+    """Text-function form over documents: lower/upper/substr/length/||
+    (identical 1-based, NULL-safe semantics in both dialects), grouped on
+    the categorical columns. No split/regex (names differ across engines)."""
+    col = draw(st.sampled_from(["lang", "source"]))
+    fn = draw(
+        st.sampled_from(
+            [
+                "CAST(SUM(length(text)) AS BIGINT) AS sl",
+                "CAST(COUNT(DISTINCT substr(text, 1, 2)) AS BIGINT) AS dp",
+                "MIN(upper(substr(text, 1, 3))) AS mu",
+                "MAX(lower({c})) AS ml",
+                "CAST(SUM(CASE WHEN length(text) > 40 THEN 1 ELSE 0 END) AS BIGINT) AS lg",
+                "MIN({c} || ':' || substr(text, 1, 1)) AS cc",
+            ]
+        )
+    ).format(c=col)
+    lo = draw(st.integers(0, 60))
+    where = draw(
+        st.sampled_from(
+            [
+                f"length(text) >= {lo}",
+                f"substr(text, 1, 1) >= 'a' AND length(text) >= {lo}",
+                f"doc_id % {draw(st.integers(2, 7))} = 0",
+                f"lower(substr({col}, 1, 1)) <= 'z'",
+            ]
+        )
+    )
+    return (
+        f"SELECT {col}, {fn}, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+        f"WHERE {where} GROUP BY {col} ORDER BY {col}"
+    )
+
+
+@given(sql=_text_query())
+@_SET
+def test_sql_differential_fuzz_text(spark, ddb, sql):
+    """String-function SQL over the documents table must agree exactly."""
+    load_table(spark, SF_DIR, "documents").createOrReplaceTempView("documents")
+    s = spark.sql(sql)
+    s_rows = [tuple(r) for r in s.collect()]
+    d = ddb.execute(sql)
+    assert canon_rows(s.columns, s_rows) == canon_rows(
+        [c[0] for c in d.description], d.fetchall()
+    ), sql
+
+
+@st.composite
+def _setop_query(draw):
+    """Set operations and correlated EXISTS — ANSI forms both engines run
+    verbatim: two integer-projected selects joined by UNION/INTERSECT/
+    EXCEPT (set semantics), or an EXISTS/NOT EXISTS correlated probe."""
+    if draw(st.booleans()):
+        op = draw(st.sampled_from(["UNION", "INTERSECT", "EXCEPT", "UNION ALL"]))
+        a = draw(st.integers(0, 150))
+        b = draw(st.integers(0, 150))
+        ka = draw(st.integers(2, 5))
+        return (
+            f"SELECT CAST(user_id % {ka} AS BIGINT) AS k, "
+            f"CAST(event_id % 11 AS BIGINT) AS v FROM events WHERE user_id < {a} "
+            f"{op} "
+            f"SELECT CAST(user_id % {ka} AS BIGINT) AS k, "
+            f"CAST(event_id % 11 AS BIGINT) AS v FROM events WHERE user_id < {b} "
+            f"ORDER BY k, v"
+        )
+    neg = draw(st.booleans())
+    cut = draw(st.integers(10, 120))
+    ex = "NOT EXISTS" if neg else "EXISTS"
+    return (
+        "SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer WHERE "
+        f"{ex} (SELECT 1 FROM events e WHERE e.user_id = c_custkey "
+        f"AND e.event_id < {cut}) ORDER BY ck"
+    )
+
+
+@given(sql=_setop_query())
+@_SET
+def test_sql_differential_fuzz_setops_exists(spark, ddb, sql):
+    """Set-operation and correlated-EXISTS SQL must agree exactly."""
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    load_table(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
+    s = spark.sql(sql)
+    s_rows = [tuple(r) for r in s.collect()]
+    d = ddb.execute(sql)
+    assert canon_rows(s.columns, s_rows) == canon_rows(
+        [c[0] for c in d.description], d.fetchall()
+    ), sql
