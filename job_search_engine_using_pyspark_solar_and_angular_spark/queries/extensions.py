@@ -1521,6 +1521,22 @@ def ext_mix_temperature(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+@query("ext_mix_proportional")
+def ext_mix_proportional(spark, sf_dir):
+    """The T=1 leg of temperature mixing (proportional shares — raw
+    integer token counts, NO quantization: scaling them by 1e6 would
+    overflow 10000*q at ~9e8 tokens/domain, the r5 review find). Pinned
+    cross-engine here so the integer share arithmetic of the fixed path
+    stays oracle-checked, not just hand-tested."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.temperature_mix_apply(
+        d, "source", budget_tokens=5_000, temperature=1.0
+    )
+    return out.select("doc_id", "source")
+
+
 @query("ext_packing_stats")
 def ext_packing_stats(spark, sf_dir):
     """Packing-efficiency audit over the 512-token packing layout: per

@@ -1430,6 +1430,25 @@ WHERE {md5long("CAST(d.doc_id AS VARCHAR) || ''")} % 10000 < r.rate_bps
 ORDER BY d.doc_id
 """
 
+# T=1 leg: proportional shares from RAW integer token counts (no sqrt, no
+# quantization) — the same // chain as the T=2 oracle minus the q mapping
+ORACLES["ext_mix_proportional"] = f"""
+WITH stats AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(tok) AS tq FROM stats),
+rates AS (
+  SELECT source,
+    LEAST(CAST(10000 AS BIGINT), ((10000 * tok // tq) * 5000) // tok) AS rate_bps
+  FROM stats, tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {md5long("CAST(d.doc_id AS VARCHAR) || ''")} % 10000 < r.rate_bps
+ORDER BY d.doc_id
+"""
+
 # per-shard packing audit: same shard hash + token counts as the pack
 # oracle; windows/waste/efficiency in int64 floor division
 ORACLES["ext_packing_stats"] = f"""
