@@ -2640,6 +2640,78 @@ def ext_mrr(spark, sf_dir):
     )
 
 
+@query("ext_retrieval_eval_suite")
+def ext_retrieval_eval_suite(spark, sf_dir):
+    """The multi-query eval table the single-query triple (P@10 / nDCG@10 /
+    MRR) feeds in practice: FOUR query-term pairs, one row each with all
+    three metrics — what "mean" reciprocal rank actually averages over.
+    The index builds ONCE (cached postings) and each leg reuses it; the
+    oracle composes four self-contained legs of the SAME parametrized BM25
+    SQL as q20 (queries/oracles._bm25_ranked), so ranking and metrics can
+    never drift between the search query and its evaluation. nDCG guards
+    idcg=0 (a query with zero relevant docs scores 0.0, not NULL)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize_normalized
+    from ..search.bm25 import bm25_search
+    from ..search.index import build_index
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = build_index(d, cache=True)
+    toks = d.select(
+        F.col("doc_id"), F.explode(tokenize_normalized("text")).alias("tok")
+    )
+    pairs = [("spark", "join"), ("merge", "join"), ("column", "scan"),
+             ("group", "order")]
+    out = None
+    for t1, t2 in pairs:
+        top = bm25_search(spark, idx, [t1, t2], k=10)
+        grades = (
+            toks.filter(F.col("tok").isin([t1, t2]))
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("rel"))
+        )
+        rank = F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        )
+        irank = F.row_number().over(
+            Window.orderBy(F.col("rel").desc(), F.col("doc_id"))
+        )
+        g = top.join(grades, "doc_id", "left").select(
+            "doc_id", "score",
+            F.coalesce("rel", F.lit(0)).cast("long").alias("rel"),
+        )
+        gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0
+        w = g.select(
+            rank.alias("rank"),
+            "rel",
+            (gain / F.log2(rank.cast("double") + 1.0)).alias("dg"),
+            (gain / F.log2(irank.cast("double") + 1.0)).alias("idg"),
+        )
+        row = w.agg(
+            F.lit(f"{t1}+{t2}").alias("query"),
+            F.round(
+                F.avg(F.when(F.col("rel") == 2, 1.0).otherwise(0.0)), 4
+            ).alias("p_at_10"),
+            F.round(
+                F.coalesce(
+                    1.0 / F.min(F.when(F.col("rel") >= 2, F.col("rank"))),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("mrr"),
+            F.round(
+                F.when(F.sum("idg") == 0, 0.0).otherwise(
+                    F.sum("dg") / F.sum("idg")
+                ),
+                4,
+            ).alias("ndcg_at_10"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("query")
+
+
 @query("ext_degree_distribution")
 def ext_degree_distribution(spark, sf_dir):
     """Degree distribution of the LSH similarity graph: how many docs have k

@@ -187,14 +187,19 @@ ORACLES["q19_grouped_concat"] = (
     "FROM documents GROUP BY lang ORDER BY lang"
 )
 
-ORACLES["q20_bm25_search"] = f"""
+def _bm25_ranked(terms: tuple[str, str]) -> str:
+    """The q20 BM25 chain parametrized by the query terms — one definition
+    for q20 itself and every retrieval-eval leg, so the ranking SQL can
+    never drift between the search query and its metrics."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
 postings AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
              FROM toks GROUP BY doc_id, token),
 dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
 stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dlen),
 dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM postings
-          WHERE token IN ('spark', 'join') GROUP BY token),
+          WHERE token IN ({tl}) GROUP BY token),
 scores AS (
   SELECT p.doc_id,
          SUM( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * {K1 + 1.0!r}
@@ -207,6 +212,11 @@ scores AS (
 SELECT doc_id, ROUND(raw, 4) AS score FROM scores
 ORDER BY score DESC, doc_id LIMIT 10
 """
+
+
+ORACLES["q20_bm25_search"] = _bm25_ranked(("spark", "join"))
+
+
 
 ORACLES["q21_array_contains"] = (
     "SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), "
@@ -2364,6 +2374,52 @@ g AS (
 SELECT ROUND(COALESCE(1.0 / MIN(CASE WHEN rel >= 2 THEN rank END), 0.0), 4) AS mrr
 FROM g
 """
+
+# per-query retrieval metrics leg: P@10 (fully-relevant = contains BOTH
+# terms), MRR of the first grade-2 hit, nDCG@10 with graded relevance and
+# an idcg=0 guard — each leg self-contained (WITH inside a derived table)
+# so four legs UNION ALL into the suite
+def _eval_leg(t1: str, t2: str) -> str:
+    label = f"{t1}+{t2}"
+    return f"""
+SELECT '{label}' AS query, p_at_10, mrr, ndcg_at_10 FROM (
+WITH ranked AS ({_bm25_ranked((t1, t2))}),
+tokq AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+grades AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rel FROM (
+    SELECT DISTINCT doc_id, tok FROM tokq WHERE tok IN ('{t1}', '{t2}'))
+  GROUP BY doc_id),
+g AS (
+  SELECT r.doc_id,
+         ROW_NUMBER() OVER (ORDER BY r.score DESC, r.doc_id) AS rank,
+         COALESCE(gr.rel, 0) AS rel
+  FROM ranked r LEFT JOIN grades gr ON r.doc_id = gr.doc_id),
+w AS (
+  SELECT rank, rel,
+    (pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+      / log2(CAST(rank AS DOUBLE) + 1.0) AS dg,
+    (pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+      / log2(CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS DOUBLE) + 1.0) AS idg
+  FROM g)
+SELECT
+  ROUND(AVG(CASE WHEN rel = 2 THEN 1.0 ELSE 0.0 END), 4) AS p_at_10,
+  ROUND(COALESCE(1.0 / MIN(CASE WHEN rel >= 2 THEN rank END), 0.0), 4) AS mrr,
+  ROUND(CASE WHEN SUM(idg) = 0 THEN 0.0 ELSE SUM(dg) / SUM(idg) END, 4) AS ndcg_at_10
+FROM w)
+"""
+
+
+EVAL_SUITE_PAIRS = [
+    ("spark", "join"),
+    ("merge", "join"),
+    ("column", "scan"),
+    ("group", "order"),
+]
+
+ORACLES["ext_retrieval_eval_suite"] = (
+    " UNION ALL ".join(_eval_leg(a, b) for a, b in EVAL_SUITE_PAIRS)
+    + " ORDER BY query"
+)
 
 ORACLES["ext_degree_distribution"] = (
     f"WITH {_SHINGLE_CTES}, {_minhash_sig_cte()}, {_band_cte()}, {_PAIRS_CTE}, "
