@@ -2649,7 +2649,14 @@ def ext_retrieval_eval_suite(spark, sf_dir):
     oracle composes four self-contained legs of the SAME parametrized BM25
     SQL as q20 (queries/oracles._bm25_ranked), so ranking and metrics can
     never drift between the search query and its evaluation. nDCG guards
-    idcg=0 (a query with zero relevant docs scores 0.0, not NULL)."""
+    idcg=0 (a query with zero relevant docs scores 0.0, not NULL).
+
+    Graded relevance is deliberately SPARSER than the ranking signal
+    (real eval judgments are not the ranker's features): grade 2 = the
+    exact adjacent phrase appears (~5-7%% of the fixture corpus), grade 1
+    = both terms anywhere, 0 = neither/one — so the metrics have texture
+    instead of saturating at 1.0 the way both-terms-anywhere does on this
+    corpus (every present vocab pair co-occurs in most docs)."""
     from pyspark.sql import Window
 
     from ..functions.text import tokenize_normalized
@@ -2664,13 +2671,35 @@ def ext_retrieval_eval_suite(spark, sf_dir):
     pairs = [("spark", "join"), ("merge", "join"), ("column", "scan"),
              ("group", "order")]
     out = None
+    phrase_docs = {
+        (t1, t2): d.filter(
+            F.lower(F.col("text")).contains(f"{t1} {t2}")
+        ).select("doc_id")
+        for t1, t2 in pairs
+    }
     for t1, t2 in pairs:
         top = bm25_search(spark, idx, [t1, t2], k=10)
-        grades = (
+        both = (
             toks.filter(F.col("tok").isin([t1, t2]))
             .distinct()
             .groupBy("doc_id")
-            .agg(F.count("*").alias("rel"))
+            .agg(F.count("*").alias("n_terms"))
+            .filter(F.col("n_terms") == 2)
+            .select("doc_id", F.lit(1).alias("rel1"))
+        )
+        grades = (
+            both.join(
+                phrase_docs[(t1, t2)].withColumn("rel2", F.lit(1)),
+                "doc_id",
+                "full",
+            )
+            .select(
+                "doc_id",
+                F.when(F.col("rel2").isNotNull(), 2)
+                .when(F.col("rel1").isNotNull(), 1)
+                .otherwise(0)
+                .alias("rel"),
+            )
         )
         rank = F.row_number().over(
             Window.orderBy(F.col("score").desc(), F.col("doc_id"))
@@ -2691,8 +2720,10 @@ def ext_retrieval_eval_suite(spark, sf_dir):
         )
         row = w.agg(
             F.lit(f"{t1}+{t2}").alias("query"),
+            # P@10 counts ANY relevance (grade >= 1); MRR demands the
+            # fully-relevant grade 2 (the adjacent phrase)
             F.round(
-                F.avg(F.when(F.col("rel") == 2, 1.0).otherwise(0.0)), 4
+                F.avg(F.when(F.col("rel") >= 1, 1.0).otherwise(0.0)), 4
             ).alias("p_at_10"),
             F.round(
                 F.coalesce(

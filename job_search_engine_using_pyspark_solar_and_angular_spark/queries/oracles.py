@@ -2375,10 +2375,13 @@ SELECT ROUND(COALESCE(1.0 / MIN(CASE WHEN rel >= 2 THEN rank END), 0.0), 4) AS m
 FROM g
 """
 
-# per-query retrieval metrics leg: P@10 (fully-relevant = contains BOTH
-# terms), MRR of the first grade-2 hit, nDCG@10 with graded relevance and
-# an idcg=0 guard — each leg self-contained (WITH inside a derived table)
-# so four legs UNION ALL into the suite
+# per-query retrieval metrics leg — graded relevance DELIBERATELY sparser
+# than the ranking signal (real judgments are not the ranker's features):
+# grade 2 = the exact adjacent phrase "t1 t2" in the raw lowercased text,
+# grade 1 = both terms anywhere (token-normalized), 0 otherwise. P@10
+# counts grade >= 1; MRR demands grade 2; nDCG uses the grades with an
+# idcg=0 guard. Each leg self-contained (WITH inside a derived table) so
+# four legs UNION ALL into the suite.
 def _eval_leg(t1: str, t2: str) -> str:
     label = f"{t1}+{t2}"
     return f"""
@@ -2386,9 +2389,16 @@ SELECT '{label}' AS query, p_at_10, mrr, ndcg_at_10 FROM (
 WITH ranked AS ({_bm25_ranked((t1, t2))}),
 tokq AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
 grades AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rel FROM (
-    SELECT DISTINCT doc_id, tok FROM tokq WHERE tok IN ('{t1}', '{t2}'))
-  GROUP BY doc_id),
+  SELECT COALESCE(b.doc_id, p.doc_id) AS doc_id,
+    CASE WHEN p.doc_id IS NOT NULL THEN 2 ELSE 1 END AS rel
+  FROM (
+    SELECT doc_id FROM (
+      SELECT DISTINCT doc_id, tok FROM tokq WHERE tok IN ('{t1}', '{t2}'))
+    GROUP BY doc_id HAVING COUNT(*) = 2) b
+  FULL JOIN (
+    SELECT doc_id FROM documents
+    WHERE lower(text) LIKE '%{t1} {t2}%') p
+  ON b.doc_id = p.doc_id),
 g AS (
   SELECT r.doc_id,
          ROW_NUMBER() OVER (ORDER BY r.score DESC, r.doc_id) AS rank,
@@ -2402,7 +2412,7 @@ w AS (
       / log2(CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS DOUBLE) + 1.0) AS idg
   FROM g)
 SELECT
-  ROUND(AVG(CASE WHEN rel = 2 THEN 1.0 ELSE 0.0 END), 4) AS p_at_10,
+  ROUND(AVG(CASE WHEN rel >= 1 THEN 1.0 ELSE 0.0 END), 4) AS p_at_10,
   ROUND(COALESCE(1.0 / MIN(CASE WHEN rel >= 2 THEN rank END), 0.0), 4) AS mrr,
   ROUND(CASE WHEN SUM(idg) = 0 THEN 0.0 ELSE SUM(dg) / SUM(idg) END, 4) AS ndcg_at_10
 FROM w)
