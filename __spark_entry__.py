@@ -43,27 +43,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # pandas/arrow) by tools/certify_window.py before rotation:
 #   * slots 1-25: the declared set (Q01-Q24 + sql_frontdoor), the reference's
 #     own query surface (SURVEY.md §2.12) — always in;
-#   * slots 26-31 (rotated in r4, kept for a 2nd certification): the
-#     serve-loop end-to-end row, the bucket-pruned int8-LSH ANN pipeline,
-#     grouped batch cosine top-k, TPC-H Q1, SCD2, hybrid RRF;
-#   * slots 32-37 (r4 first-timers kept): MinHash near-dedup, substring-span
-#     dedup, line-level dedup, SemDeDup diversity sampling, cluster assign
-#     (the r4 red — re-certifying with the BIGINT-cast oracle), BPE merges;
-#   * slots 38-50 (r5 rotation, all never-driver-certified): 13
-#     multi-certified slots rotated out (preprocess_pipeline, multimodal,
-#     curation_verdict, dedup_clusters, ann_quantized, search_e2e — each
-#     driver-green 2+ rounds — plus 7 once-certified r4 slots:
-#     chunk_documents, curriculum, domain_mix, pii_redact, search_facets,
-#     more_like_this, phrase_search) for: verified-clusters (CC + pair
-#     verify), incremental agg, the retrieval-quality eval family
-#     (retrieval_eval / NDCG / MRR), session funnel, interval join, CDC
-#     apply, the flat z-normalization twin (ext_zscore_flat — array columns
-#     hash engine-dependently on a pandas/arrow fetch, so the window
-#     carries scalar rows), TF-IDF keywords, the ANN recall ladder (which
-#     certifies all four tier queries' composition, including the r5
-#     multiprobe served default), and the PQ tier (ext_ann_pq /
-#     ext_ann_pq_rerank). Rotated-out queries stay exact-oracle-checked
-#     locally every run (tests/test_oracle_parity.py).
+#   * slots 26-37 (r5 first-timers kept for a 2nd certification):
+#     verified-clusters, incremental agg, NDCG, MRR, session funnel,
+#     interval join, CDC apply, zscore_flat, TF-IDF keywords, and the ANN
+#     recall ladder + PQ tier — the ANN trio is deliberately HELD IN the
+#     window because this round changes served-LSH recall behavior
+#     (Hamming-2 / auto-sized planes), so the driver re-certifies the new
+#     composition rather than an already-covered one;
+#   * slots 38-50 (r6 rotation #4, all never-driver-certified): 13 slots
+#     rotated out (the r4 cohort certified twice — serve_loop_e2e,
+#     ann_lsh_quantized, batch_cosine_topk, tpch_q1, scd2, hybrid_rrf,
+#     near_dedup, repeated_spans, dedup_lines, diversity_sample,
+#     cluster_assign, bpe_merges — plus ext_retrieval_eval, whose four
+#     query pairs are a strict subset of the incoming
+#     ext_retrieval_eval_suite) for: temperature + proportional domain
+#     mixing, packing-efficiency stats, OCR feature extraction, the graded
+#     retrieval eval suite (P@10/MRR/nDCG@10 x 4 query pairs), winnowing
+#     fingerprints, token entropy, keyset pagination, time-series gap
+#     fill, event funnel, conditional pivot, sessionization, and the
+#     event-interval range join. All 13 pre-certified by
+#     tools/certify_window.py at sf0.01 (both fetch models + type-class)
+#     and again under JSE_CERTIFY_VANILLA=1. Rotated-out queries stay
+#     exact-oracle-checked locally every run (tests/test_oracle_parity.py).
 # Float-sensitive ANN variants (ext_ann_lsh / ext_ann_ivf /
 # ext_embedding_near_dups) are deliberately OUTSIDE the window: the driver
 # scores a no-oracle row as red, so they are recall-tested locally instead
@@ -72,22 +73,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     *[n for n in _QUERIES if n.startswith("q") and n[1].isdigit()],  # q01..q24
     "sql_frontdoor",
-    "ext_serve_loop_e2e",
-    "ext_ann_lsh_quantized",
-    "ext_batch_cosine_topk",
-    "ext_tpch_q1",
-    "ext_scd2",
-    "ext_hybrid_rrf",
-    "ext_near_dedup",
-    "ext_repeated_spans",
-    "ext_dedup_lines",
-    "ext_diversity_sample",
-    "ext_cluster_assign",
-    "ext_bpe_merges",
-    # r5 rotation: 13 never-driver-certified slots in
+    # r5 first-timers kept for a 2nd certification (ANN trio held in
+    # because r6 changes served-LSH recall behavior)
     "ext_verified_clusters",
     "ext_incremental_agg",
-    "ext_retrieval_eval",
     "ext_ndcg",
     "ext_mrr",
     "ext_session_funnel",
@@ -98,6 +87,20 @@ _PRIORITY = [
     "ext_ann_tier_recall",
     "ext_ann_pq",
     "ext_ann_pq_rerank",
+    # r6 rotation #4: 13 never-driver-certified slots in
+    "ext_mix_temperature",
+    "ext_mix_proportional",
+    "ext_packing_stats",
+    "ext_ocr_features",
+    "ext_retrieval_eval_suite",
+    "ext_winnow_fp",
+    "ext_token_entropy",
+    "ext_pagination",
+    "ext_gap_fill",
+    "ext_funnel",
+    "ext_pivot",
+    "ext_sessionize",
+    "ext_range_join",
 ]
 
 
