@@ -481,10 +481,13 @@ def bench_served_refresh(spark, sf_dir: str) -> float:
 # was the honest price of real pixel decode). Entries are NOT suppressed —
 # the ratio still appears; the reason rides along.
 ACCEPTED_REGRESSIONS = {
-    "ext_ann_pq": "r5: PQ ksub 8->16 doubles encode work — recall@5 of the "
-    "rerank funnel went 0.6/0.2 -> 0.8/0.6 at sf0.01/0.1; ADC serving cost "
-    "unchanged",
-    "ext_ann_pq_rerank": "r5: same ksub 8->16 + shortlist 50->100 recall fix",
+    "ext_ann_pq": "r6: PQ m 8->16 + ksub 16->32 — encode work x4 (corpus x "
+    "m x ksub sub-distances); rerank recall@5 q0 went 0.8/0.6 -> 1.0/0.8 at "
+    "sf0.01/0.1 (4-query mean 0.95/0.90); m=8 subspaces were the bottleneck",
+    "ext_ann_pq_rerank": "r6: same m 8->16 + ksub 16->32 recall fix; "
+    "shortlist stays 100",
+    "ann_pq_served": "r6: ADC now does m=16 lookups per candidate instead "
+    "of 8 (the served cost of the recall fix; codes still 16 bytes/vector)",
     "ann_lsh_served": "r5: Hamming-1 multiprobe is the served default now "
     "(single-bucket measured recall 0.0 at sf0.01) — 5 of 16 partitions "
     "read instead of 1",

@@ -704,17 +704,23 @@ def quantize_int8_corpus(
 
 # PQ tier defaults — ONE definition shared by pq_adc_topk,
 # write_vector_index_pq, the rerank funnel's shortlist width, the DuckDB
-# oracles (interpolated at import), and the tests. r5 recall study at
-# sf0.01/sf0.1 (1 query, top-5): ksub 8 -> 16 lifted the rerank funnel from
-# 0.6/0.2 to 0.8/0.6 while widening the shortlist alone did nothing (the
-# codes were the bottleneck, not the cut) — encode pays 2x (corpus x m x
-# ksub sub-distances), ADC serving cost is UNCHANGED (m lookups per
-# candidate; the LUT grows to m x 16 driver-side ints). ksub=32 measured
-# WORSE than 16 (hash-random leader codebooks fragment the subspaces
-# without k-means' quality). PQ_SHORTLIST=100: at 100-vector shortlists the
-# rerank stays candidate-bounded while adding the second recall step.
-PQ_M = 8
-PQ_KSUB = 16
+# oracles (interpolated at import), and the tests.
+# r5 recall study (1 query, top-5): ksub 8 -> 16 lifted the rerank funnel
+# from 0.6/0.2 to 0.8/0.6 at sf0.01/sf0.1 while widening the shortlist
+# alone did nothing; ksub=32 AT m=8 measured worse.
+# r6 sweep (4 queries x 3 scales, numpy mirror of the exact pipeline):
+# the m=8 subspaces were the bottleneck, not ksub — at m=16 (dsub=4,
+# finer sub-quantizers) ksub=32 is strictly better, lifting rerank
+# recall@5 to 1.00 / 0.95 / 0.90 mean at sf0.001/0.01/0.1 (query-0 leg,
+# the ladder's gate: 1.0 / 1.0 / 0.8) vs 0.75 / 0.75 / 0.65 for the r5
+# (m=8, ksub=16) point. Costs, annotated in bench ACCEPTED_REGRESSIONS:
+# encode work x4 (corpus x m x ksub sub-distances), ADC serving does m=16
+# lookups per candidate instead of 8, per-vector code is 16 bytes instead
+# of 8 — still 32x smaller than the float64 row. PQ_SHORTLIST stays 100:
+# widening to 200/400 bought +0.0-0.10 mean recall at 2-4x rerank cost
+# once m=16 fixed the codes.
+PQ_M = 16
+PQ_KSUB = 32
 PQ_SHORTLIST = 100
 
 

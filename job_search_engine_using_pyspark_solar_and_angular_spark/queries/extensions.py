@@ -1754,7 +1754,10 @@ def ext_ann_pq_rerank(spark, sf_dir):
     oracle — recall lost to quantization is bounded by the shortlist
     width, while rerank cost is PQ_SHORTLIST vectors instead of the
     corpus. r5: ksub 8 -> 16 + shortlist 50 -> 100 lifted recall@5 from
-    0.6/0.2 to 0.8/0.6 at sf0.01/sf0.1 (see similarity.PQ_KSUB)."""
+    0.6/0.2 to 0.8/0.6 at sf0.01/sf0.1. r6: m 8 -> 16 (dsub=4) + ksub
+    16 -> 32 lifted it again to 1.0/0.8 (4-query mean 0.95/0.90) — the
+    subspace width was the bottleneck, not ksub or the shortlist (see
+    the sweep table at similarity.PQ_M)."""
     from ..functions.vectors import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1851,8 +1854,16 @@ def ext_ann_tier_recall(spark, sf_dir):
     at sf0.01), Hamming-1 multi-probe (the ann_lsh_quantized_served
     DEFAULT: recall 0.4/0.6 at ~5x probe cost), int8 coarse->rerank
     (highest recall, full coarse scan), and the PQ shortlist->rerank
-    funnel (compressed-tier recall). Composes the already-verified tier
-    queries; the oracle composes their SQL."""
+    funnel (compressed-tier recall — 1.0/0.8 at sf0.01/0.1 since the r6
+    m=16/ksub=32 fix). The LSH leg deliberately STAYS Hamming-1: the r6
+    sweep (4 queries x 3 scales, numpy mirror) measured Hamming-2 at 4
+    planes scanning ~70% of the corpus for +0.2 recall — pruning gone —
+    and recall FALLING as planes grow (P=6 H2: 0.2-0.6 at 35% scanned;
+    P=8 H2: 0.2-0.4), because sign-projection buckets carry little signal
+    on near-uniform-similarity synthetic embeddings; the high-recall
+    path at this corpus shape is the PQ funnel, not wider LSH probes.
+    Composes the already-verified tier queries; the oracle composes
+    their SQL."""
     exact = QUERIES["x2_cosine_topk"](spark, sf_dir).select("vec_id")
     tiers = {
         "lsh_single_bucket": "ext_ann_lsh_quantized",

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from ..operators.dedup import _MINHASH_PARAMS
 from ..operators.pipeline import TOP_BIGRAM_MAX, TOP_TOKEN_MAX
-from ..operators.similarity import PQ_KSUB, PQ_SHORTLIST
+from ..operators.similarity import PQ_KSUB, PQ_M, PQ_SHORTLIST
 from ..operators.similarity import rademacher_plane
 from ..search.bm25 import B, K1
 
@@ -855,11 +855,14 @@ ORACLES["ext_cluster_assign"] = (
     + " FROM best WHERE r = 1 ORDER BY vec_id"
 )
 
-# PQ-ADC CTEs: same shared-space codes; sub-codebooks are the 8
+# PQ-ADC CTEs: same shared-space codes; sub-codebooks are the PQ_KSUB
 # lowest-md5 corpus vectors' slices; encode = per-subspace L2 argmin
 # (d2, cid tie-break); ADC = sum over subspaces of query-to-assigned-
-# sub-centroid L2. m=8 subspaces of 8 dims each. Shared by ext_ann_pq
-# and the shortlist of ext_ann_pq_rerank.
+# sub-centroid L2. PQ_M subspaces of (64 // PQ_M) dims each — slice
+# bounds interpolate from the SAME constants the Spark plan reads, so
+# the two sides cannot drift. Shared by ext_ann_pq and the shortlist of
+# ext_ann_pq_rerank.
+_PQ_DSUB = 64 // PQ_M
 _PQ_CTES = _CODES_CTES + f""",
 cb AS (
   SELECT vec_id AS cid, c AS cc FROM codes WHERE vec_id != 0
@@ -869,14 +872,14 @@ qs AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
 enc AS (
   SELECT codes.vec_id, j.j, cb.cid,
     list_sum(list_transform(
-      list_zip(list_slice(codes.c, j.j*8+1, j.j*8+8),
-               list_slice(cb.cc,   j.j*8+1, j.j*8+8)),
+      list_zip(list_slice(codes.c, j.j*{_PQ_DSUB}+1, j.j*{_PQ_DSUB}+{_PQ_DSUB}),
+               list_slice(cb.cc,   j.j*{_PQ_DSUB}+1, j.j*{_PQ_DSUB}+{_PQ_DSUB})),
       z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS BIGINT))) AS d2,
     list_sum(list_transform(
-      list_zip(list_slice(q.qc, j.j*8+1, j.j*8+8),
-               list_slice(cb.cc, j.j*8+1, j.j*8+8)),
+      list_zip(list_slice(q.qc, j.j*{_PQ_DSUB}+1, j.j*{_PQ_DSUB}+{_PQ_DSUB}),
+               list_slice(cb.cc, j.j*{_PQ_DSUB}+1, j.j*{_PQ_DSUB}+{_PQ_DSUB})),
       z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS BIGINT))) AS dq2
-  FROM codes, (SELECT unnest(generate_series(0, 7)) AS j) j, cb, qs q
+  FROM codes, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j) j, cb, qs q
   WHERE codes.vec_id != 0),
 best AS (
   SELECT vec_id, j, cid, dq2,

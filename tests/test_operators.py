@@ -1209,7 +1209,7 @@ def test_pq_adc_exact_for_codebook_exemplars(spark):
     every subspace to ITSELF (sub-distance 0, and no other entry can beat 0
     with a smaller (d, cid) because d >= 0), so its ADC distance equals the
     FULL integer L2 between the query's codes and its codes — ADC is exact
-    on the codebook, approximate off it. Also pins the code shape: m=8
+    on the codebook, approximate off it. Also pins the code shape: PQ_M
     dash-joined codebook ids, all drawn from the hash-selected codebook."""
     import hashlib
 
@@ -1220,6 +1220,7 @@ def test_pq_adc_exact_for_codebook_exemplars(spark):
 
     from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
         PQ_KSUB,
+        PQ_M,
     )
 
     emb = load_table(spark, SF_DIR, "embeddings")
@@ -1242,12 +1243,12 @@ def test_pq_adc_exact_for_codebook_exemplars(spark):
     n_exact = 0
     for vid, r in out.items():
         parts = r["pq_code"].split("-")
-        assert len(parts) == 8
+        assert len(parts) == PQ_M
         assert all(int(p) in cb_ids for p in parts)
         if vid in cb_ids:
             full_l2 = sum((a - b) * (a - b) for a, b in zip(q, codes[vid]))
             assert r["adc_dist2"] == full_l2, vid
-            assert r["pq_code"] == "-".join([str(vid)] * 8)
+            assert r["pq_code"] == "-".join([str(vid)] * PQ_M)
             n_exact += 1
     assert n_exact == PQ_KSUB
 
@@ -1260,11 +1261,14 @@ def test_pq_served_matches_python_reference_and_prunes(spark, tmp_path):
     set is exactly the probed buckets' members; (c) the scan reaches
     parquet through STATIC partition pruning on the bucket column."""
     from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        PQ_M,
         _python_bucket_int8,
         _python_quantize_shared,
         ann_pq_served,
         write_vector_index_pq,
     )
+
+    dsub = 64 // PQ_M
 
     emb = load_table(spark, SF_DIR, "embeddings")
     corpus = emb.filter(F.col("vec_id") != 0)
@@ -1294,7 +1298,8 @@ def test_pq_served_matches_python_reference_and_prunes(spark, tmp_path):
         for j, pos in enumerate(r["pq"]):
             cc = cb[pos - 1]["cc"]
             adc += sum(
-                (qc[j * 8 + i] - cc[j * 8 + i]) ** 2 for i in range(8)
+                (qc[j * dsub + i] - cc[j * dsub + i]) ** 2
+                for i in range(dsub)
             )
         want.append((r["vec_id"], adc))
     want.sort(key=lambda t: (t[1], t[0]))
