@@ -4566,13 +4566,15 @@ def ext_benford(spark, sf_dir):
 # ---- TPC-H dossier completion (tables available in TESTDATA.md) -----------
 # The fixture schema is TPC-H-reduced: no partsupp table and no
 # l_shipmode/l_commitdate/l_receiptdate, o_comment, c_phone, p_container
-# columns. Q2/Q9/Q11/Q16/Q20 (partsupp-bound) are therefore out of scope;
-# the queries below keep each remaining classic's OPERATOR SHAPE (the thing
+# columns. The queries below keep each classic's OPERATOR SHAPE (the thing
 # that matters for the engine) and substitute the missing column with the
 # closest fixture column: "late" = l_shipdate > o_orderdate + interval
 # (commitdate/receiptdate proxy), p_brand/p_size for p_container,
 # c_nationkey for the c_phone country code. All money math is
 # integer-cent-quantized per row before summation (cross-engine exact).
+# The partsupp-bound five (Q2/Q9/Q11/Q16/Q20) run against a DERIVED
+# partsupp — see _derived_partsupp below — so the whole 22-query dossier
+# carries exact oracles with no extra fixture.
 
 _LATE_60D = "INTERVAL 60 DAYS"
 
@@ -5277,3 +5279,253 @@ def ext_serve_loop_e2e(spark, sf_dir):
 
     idx = serve_loop.read_served_index(spark, base)
     return bm25_search(spark, idx, ["spark", "join"], k=10)
+
+
+# ---- TPC-H partsupp-bound five (Q2/Q9/Q11/Q16/Q20) -------------------------
+# The driver fixtures carry no partsupp table, so these queries DERIVE one
+# deterministically from the tables that do exist: every part gets 4
+# supplier rows via pure integer arithmetic over (p_partkey, j, |supplier|)
+# — the same construction TPC-H dbgen itself uses (partkey + j*step mod S).
+# Both engines compute the identical rows from the identical inputs, so all
+# five classics carry EXACT DuckDB oracles at any sf_dir (the oracle SQL
+# builds the same CTE; see oracles._PARTSUPP_CTE). Values are chosen so
+# derived columns stay exact cross-engine: ps_supplycost is an integer cent
+# count divided by 100.0 (one IEEE division of the same integer on both
+# sides), ps_availqty an int, ps_suppkey a long.
+
+
+def _derived_partsupp(spark, sf_dir):
+    """partsupp(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost) derived
+    from part x supplier-count. 4 distinct suppliers per part: suppkey =
+    (p + j*(S//4+1)) mod S, j in 0..3 (step offsets are distinct mod S for
+    any S >= 8, so the 4 rows never collide). Scale shape: the supplier
+    COUNT is a 1-row agg broadcast into the part scan — no shuffle beyond
+    that single scalar; 4x|part| rows stream out of a projection."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    scnt = load_table(spark, sf_dir, "supplier").agg(
+        F.count("*").alias("__cnt")
+    )
+    step = F.floor(F.col("__cnt") / 4).cast("long") + 1
+    return (
+        part.crossJoin(F.broadcast(scnt))
+        .select(
+            "p_partkey",
+            "__cnt",
+            F.explode(F.array(*[F.lit(j).cast("long") for j in range(4)])).alias(
+                "__j"
+            ),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("__j") * step) % F.col("__cnt")).alias(
+                "ps_suppkey"
+            ),
+            ((F.col("p_partkey") * 11 + F.col("__j") * 17) % 9999 + 1)
+            .cast("int")
+            .alias("ps_availqty"),
+            (
+                ((F.col("p_partkey") * 13 + F.col("__j") * 29) % 99900 + 100)
+                / 100.0
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+@query("ext_tpch_q2")
+def ext_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated MIN subquery
+    decorrelated the classic way — group the region-filtered (partsupp x
+    supplier x nation x region) candidates by part, join the per-part MIN
+    back on (partkey, cost) equality. Cost equality on doubles is safe
+    HERE because both sides derive the identical IEEE double from the same
+    integer (see _derived_partsupp). Dimension chain region->nation
+    broadcasts into supplier; the only shuffles are the partsupp-supplier
+    join and the min-agg. p_brand stands in for the missing p_mfgr,
+    p_type equality for the '%BRASS' suffix (6 discrete types here)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cand = ps.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
+    mc = cand.groupBy(F.col("ps_partkey").alias("__mk")).agg(
+        F.min("ps_supplycost").alias("__min")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 20)
+    )
+    return (
+        cand.join(
+            mc,
+            (F.col("ps_partkey") == F.col("__mk"))
+            & (F.col("ps_supplycost") == F.col("__min")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query("ext_tpch_q9")
+def ext_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): profit = revenue minus
+    supply cost, per nation per order-year, over parts matching a name
+    color. The composite-key join lineitem->(l_partkey, l_suppkey)->
+    partsupp is THE q9 signature (it forces a two-column shuffle key);
+    supplier+nation broadcast; the part-name filter broadcasts as a
+    semi-side reducer before the fact shuffle. Profit is cent-quantized
+    per row: revenue cents minus cost-cents x integer quantity, summed as
+    longs, /100.0 once at the end (cross-engine exact)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    sn = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount_cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long") - F.round(F.col("ps_supplycost") * 100, 0).cast(
+        "long"
+    ) * F.round(F.col("l_quantity"), 0).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(amount_cents) / 100.0).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query("ext_tpch_q11")
+def ext_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part inventory value within
+    one nation, HAVING value > 1/500 of the nation's total — the
+    grouped-agg-vs-global-scalar comparison. Both sides stay integer
+    cents; the fraction compare is cross-multiplied (value_cents * 500 >
+    total_cents) so no floating threshold exists anywhere. The global
+    total is a 1-row agg broadcast-crossJoined into the grouped frame
+    (no driver collect)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    sn = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            load_table(spark, sf_dir, "nation").filter(
+                F.col("n_name") == "NATION_7"
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    vc = F.round(F.col("ps_supplycost") * 100, 0).cast("long") * F.col(
+        "ps_availqty"
+    ).cast("long")
+    base = ps.join(sn, F.col("ps_suppkey") == F.col("s_suppkey")).select(
+        "ps_partkey", vc.alias("__vc")
+    )
+    grouped = base.groupBy("ps_partkey").agg(F.sum("__vc").alias("__gvc"))
+    total = base.agg(F.sum("__vc").alias("__tot"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("__gvc") * 500 > F.col("__tot"))
+        .select("ps_partkey", (F.col("__gvc") / 100.0).alias("value"))
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@query("ext_tpch_q16")
+def ext_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT
+    supplier) per (brand, type, size) bucket over filtered parts, with a
+    NOT-IN supplier exclusion compiled as a LEFT ANTI join (negative
+    s_acctbal stands in for the missing s_comment complaint filter).
+    The distinct-count shuffles once on the 3-part group key."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & F.col("p_size").isin(1, 5, 11, 15, 21, 26, 31, 36)
+    )
+    excl = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(excl, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query("ext_tpch_q20")
+def ext_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers in one nation
+    whose stock of color-named parts exceeds half of what they shipped in
+    a year — the doubly-nested IN with a correlated SUM, decorrelated to
+    (partsupp x grouped-lineitem) join + LEFT SEMI into supplier. The
+    half-sum compare is cross-multiplied to integers (2*availqty >
+    sum_qty). An empty shipped-group excludes its (part, supplier) pair
+    exactly like the classic's NULL comparison."""
+    ps = _derived_partsupp(spark, sf_dir)
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    liq = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("__sq"))
+    )
+    qualified = (
+        ps.join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            liq,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty").cast("long") * 2 > F.col("__sq"))
+        .select("ps_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(qualified, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

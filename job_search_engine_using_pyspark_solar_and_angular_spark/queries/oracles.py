@@ -4081,3 +4081,119 @@ ORDER BY score DESC, doc_id LIMIT 10
 
 
 ORACLES["ext_serve_loop_e2e"] = _serve_loop_e2e_oracle()
+
+
+# ---- TPC-H partsupp-bound five: the DERIVED partsupp CTE -------------------
+# Mirrors extensions._derived_partsupp exactly: 4 supplier rows per part
+# via integer arithmetic over (p_partkey, j, |supplier|). ps_supplycost is
+# an integer cent count / 100.0 — ONE IEEE division of the same integer on
+# both engines, so even double equality (Q2's min-cost join) is exact.
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + jj.j * (s.cnt // 4 + 1)) % s.cnt AS ps_suppkey,
+         CAST((p_partkey * 11 + jj.j * 17) % 9999 + 1 AS INT) AS ps_availqty,
+         ((p_partkey * 13 + jj.j * 29) % 99900 + 100) / 100.0 AS ps_supplycost
+  FROM part,
+       (SELECT unnest([0, 1, 2, 3]) AS j) jj,
+       (SELECT COUNT(*) AS cnt FROM supplier) s)
+"""
+
+ORACLES["ext_tpch_q2"] = (
+    "WITH " + _PARTSUPP_CTE + """,
+cand AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost, s.s_acctbal, s.s_name, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'),
+mc AS (SELECT ps_partkey AS mk, MIN(ps_supplycost) AS mn
+       FROM cand GROUP BY ps_partkey)
+SELECT c.s_acctbal, c.s_name, c.n_name, p.p_partkey, p.p_brand,
+       c.ps_supplycost
+FROM cand c
+JOIN mc ON c.ps_partkey = mc.mk AND c.ps_supplycost = mc.mn
+JOIN part p ON c.ps_partkey = p.p_partkey
+WHERE p.p_type = 'ECONOMY' AND p.p_size BETWEEN 10 AND 20
+ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p.p_partkey
+LIMIT 100
+"""
+)
+
+ORACLES["ext_tpch_q9"] = (
+    "WITH " + _PARTSUPP_CTE + """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0) AS BIGINT)
+           - CAST(ROUND(ps.ps_supplycost * 100, 0) AS BIGINT)
+             * CAST(ROUND(l.l_quantity, 0) AS BIGINT)) / 100.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN partsupp ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+)
+
+ORACLES["ext_tpch_q11"] = (
+    "WITH " + _PARTSUPP_CTE + """,
+base AS (
+  SELECT ps.ps_partkey,
+         CAST(ROUND(ps.ps_supplycost * 100, 0) AS BIGINT)
+           * CAST(ps.ps_availqty AS BIGINT) AS vc
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'),
+grouped AS (SELECT ps_partkey, SUM(vc) AS gvc FROM base GROUP BY ps_partkey),
+total AS (SELECT SUM(vc) AS tot FROM base)
+SELECT g.ps_partkey, CAST(g.gvc AS BIGINT) / 100.0 AS value
+FROM grouped g, total t
+WHERE g.gvc * 500 > t.tot
+ORDER BY value DESC, g.ps_partkey
+"""
+)
+
+ORACLES["ext_tpch_q16"] = (
+    "WITH " + _PARTSUPP_CTE + """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON ps.ps_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 5, 11, 15, 21, 26, 31, 36)
+  AND ps.ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+)
+
+ORACLES["ext_tpch_q20"] = (
+    "WITH " + _PARTSUPP_CTE + """,
+liq AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (
+    SELECT ps.ps_suppkey
+    FROM partsupp ps
+    JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_name LIKE 'red%'
+    JOIN liq ON ps.ps_partkey = liq.l_partkey
+            AND ps.ps_suppkey = liq.l_suppkey
+    WHERE CAST(ps.ps_availqty AS BIGINT) * 2 > liq.sq)
+ORDER BY s.s_name
+"""
+)
