@@ -299,6 +299,50 @@ def bench_ann_pq_served(spark, sf_dir: str) -> float:
     )
 
 
+def bench_ann_served_1m(spark) -> float:
+    """Steady-state served-ANN latency at the 1M-vector replication probe
+    (sf0.1 embeddings x500, corpus-auto-sized planes -> 1024 bucket
+    partitions): static-probe multiprobe query against a PRE-RESOLVED
+    index relation — the serving deployment shape (resolve once per index
+    generation, serve many queries; a fresh read pays ~1.2-3.3 s of
+    partition discovery instead). Index build (~250 s) is one-time and
+    cached under .bench/ keyed on (reps, planes)."""
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        similarity,
+    )
+
+    _sys.path.insert(0, os.path.join(REPO, "tools"))
+    import probe_ann_scale
+
+    reps = 500
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n = base.count() * reps
+    planes = similarity.planes_for_corpus(n, target_bucket=1024)
+    path = os.path.join(BENCH_DIR, f"vecidx_probe_r{reps}_p{planes}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus = probe_ann_scale.replicated_embeddings(
+            spark, "/root/testdata/sf0.1", reps
+        ).filter(F.col("vec_id") != 0)
+        similarity.write_vector_index_int8(corpus, path, num_planes=planes)
+    qv = [float(x) for x in base.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx_df = spark.read.parquet(path)
+
+    def one() -> None:
+        force(
+            similarity.ann_lsh_served_vec(
+                spark, idx_df, qv, k=5, num_planes=planes, multiprobe=True
+            )
+        )
+
+    one()  # resolve + list the relation once (the per-generation cost)
+    return timed_min("ann_lsh_served_1m", one)
+
+
 def bench_preprocess_scaled(
     spark, target_mb: int = 120, tag: str = "", hot_pct: int = 0, runs: int = 2
 ) -> dict:
@@ -609,6 +653,10 @@ def main() -> None:
     timings["q20_bm25_served"] = bench_bm25_served(spark, sf_dir)
     timings["ann_lsh_served"] = bench_ann_served(spark, sf_dir)
     timings["ann_pq_served"] = bench_ann_pq_served(spark, sf_dir)
+    if sf_dir.rstrip("/").endswith("sf0.1"):
+        # the 1M-vector replication probe only makes sense at the full
+        # bench scale (its index replicates the sf0.1 corpus)
+        timings["ann_lsh_served_1m"] = bench_ann_served_1m(spark)
     served_refresh = bench_served_refresh(spark, sf_dir)
     streaming_ingest = bench_streaming_ingest(spark)
     scaled = bench_preprocess_scaled(spark)

@@ -1326,6 +1326,74 @@ def ann_lsh_quantized_served(
     )
 
 
+def _python_quantize_vec(vec: list[float]) -> list[int]:
+    """Per-VECTOR int8 quantization of one query vector, driver-side — the
+    exact arithmetic of :func:`quantize_int8` (floor on doubles; Python
+    floats ARE IEEE doubles, so codes are bit-identical to the in-plan
+    path — pinned by test_ann_lsh_served_vec_matches_dataframe_path)."""
+    import math
+
+    fs = [float(x) for x in vec]
+    mn, mx = min(fs), max(fs)
+    if mx == mn:
+        return [0] * len(fs)
+    return [
+        int(math.floor((x - mn) * 255.0 / (mx - mn) + 0.5)) - 128 for x in fs
+    ]
+
+
+def ann_lsh_served_vec(
+    spark,
+    index: str | DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """STATIC-probe twin of :func:`ann_lsh_quantized_served` for the
+    serving deployment shape where the query arrives as a VECTOR (the
+    request path), not a DataFrame: quantize + bucket the query
+    driver-side (pure integer arithmetic, zero Spark jobs), then scan the
+    probed partitions through a static ``isin`` filter — the same route
+    :func:`ann_pq_served` takes.
+
+    Why it exists (r6 1M-vector probe finding): the DataFrame-query path
+    plans the query subtree (parquet scan + quantize + bucket) FIVE times
+    and prunes via a dynamic-partition-pruning subquery — measured ~2.4 s
+    of per-query fixed cost at a 1024-partition index, regardless of how
+    little data the probes touch (single-bucket ≈ exact-scan latency at
+    1M vectors). The static path removes every query-side job: probe
+    selection is driver arithmetic, pruning is static partition
+    elimination, and per-query cost returns to the probed buckets' scan.
+    Results are IDENTICAL to the DataFrame path (same integer bucket
+    arithmetic, same round-4 cosine ranking; equivalence-tested). Keep
+    the DataFrame path for in-plan composition (query vectors that are
+    themselves query results).
+
+    ``index``: the index PATH, or — the steady-state serving shape — a
+    PRE-RESOLVED ``spark.read.parquet(path)`` DataFrame reused across
+    queries. Measured at the 1M-vector/1024-partition probe: partition
+    DISCOVERY on a fresh read costs ~1.2-3.3 s per query; against a
+    reused relation the same pruned query runs in ~0.14 s. A serving
+    loop resolves once per index generation and serves many queries —
+    per-query cost is then genuinely the probed buckets' scan."""
+    codes = _python_quantize_vec(query_vec)
+    probes = _python_bucket_int8(codes, num_planes, len(query_vec), multiprobe)
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    base = spark.read.parquet(index) if isinstance(index, str) else index
+    idx = base.filter(F.col("bucket").isin(probes))
+    return (
+        idx.select(
+            F.col(id_col),
+            (F.round(cosine(F.col(vec_col), qlit), 4) + F.lit(0.0)).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def write_vector_index_ivf(
     embeddings: DataFrame,
     path: str,

@@ -298,6 +298,41 @@ def test_served_vector_index_prunes_partitions_and_matches(spark, tmp_path):
         assert "dynamicpruningexpression" in plan, plan[:1500]
 
 
+def test_ann_lsh_served_vec_matches_dataframe_path(spark, tmp_path):
+    """The STATIC-probe serving path (query as a vector, driver-side
+    quantize+bucket, isin partition filter — the r6 fixed-cost fix) must
+    return EXACTLY the DataFrame path's results in both probe modes, and
+    its scan must prune via a STATIC PartitionFilter (no DPP subquery, no
+    query-side jobs)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "vecidx")
+    similarity.write_vector_index_int8(emb.filter(F.col("vec_id") != 0), path)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    for mp in (True, False):
+        served = similarity.ann_lsh_served_vec(
+            spark, path, qv, k=5, multiprobe=mp
+        )
+        got = [(r["vec_id"], r["sim"]) for r in served.collect()]
+        want = [
+            (r["vec_id"], r["sim"])
+            for r in similarity.ann_lsh_quantized_served(
+                spark, path, q, k=5, multiprobe=mp
+            ).collect()
+        ]
+        assert got == want and len(got) == 5, f"multiprobe={mp}"
+
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression" not in plan
+        import re
+
+        # multiprobe folds to IN/INSET; a single probe folds to equality —
+        # either way the bucket predicate must sit in PartitionFilters
+        pf = re.search(r"PartitionFilters: \[[^\]]*bucket", plan)
+        assert pf is not None, plan[-1500:]
+
+
 def test_served_ivf_index_matches_in_session(spark, tmp_path):
     """IVF served tier: on-disk inverted lists (partitioned by cent_id)
     queried with nprobe probes must return exactly the in-session
