@@ -419,6 +419,39 @@ def pixel_probe_engine(raw: bytes, decoded) -> str:
     return f"{decoded['width']}x{decoded['height']}:{px[0]},{px[1]},{px[2]}"
 
 
+def _default_ocr_engine():
+    """Build the DEFAULT OCR engine closure: pytesseract over a PIL image
+    constructed from the raw bytes when PIL knows the container, else from
+    the already-decoded RGB raster (the PPM fallback — stock PIL opens BMP
+    but this engine must not depend on PIL's plugin list for formats our
+    own codecs already decoded). Extracted from :func:`ocr_text` so the
+    construction path is unit-testable with a substituted PIL/pytesseract
+    pair even where the real binary is absent (this container): the
+    closure does LAZY imports per executor, so driver-side sys.modules
+    injection reaches it only when it runs driver-side — which the golden
+    -glyph test does deliberately. Callers must gate on
+    :func:`ocr_available` first; import errors inside the closure are
+    per-row degraded by ocr_text's engine-error handling."""
+
+    def engine(raw: bytes, decoded) -> str:
+        import io as _io
+
+        import PIL.Image as _Image
+        import pytesseract as _tess
+
+        try:
+            img = _Image.open(_io.BytesIO(raw))
+        except Exception:
+            if decoded is None or "pixels" not in decoded:
+                raise
+            img = _Image.frombytes(
+                "RGB", (decoded["width"], decoded["height"]), decoded["pixels"]
+            )
+        return _tess.image_to_string(img)
+
+    return engine
+
+
 def ocr_text(media: DataFrame, engine=None) -> DataFrame:
     """OCR over binary image payloads via Arrow-batched ``mapInPandas`` —
     the reference's media-enrichment stage (``SolrIndexer.java:115-129``)
@@ -445,22 +478,7 @@ def ocr_text(media: DataFrame, engine=None) -> DataFrame:
                 "(pip install pytesseract pillow + the tesseract binary), "
                 "or pass engine=callable(raw_bytes, decoded) -> str"
             )
-
-        def engine(raw: bytes, decoded) -> str:  # noqa: F811
-            import io as _io
-
-            import PIL.Image as _Image
-            import pytesseract as _tess
-
-            try:
-                img = _Image.open(_io.BytesIO(raw))
-            except Exception:
-                if decoded is None or "pixels" not in decoded:
-                    raise
-                img = _Image.frombytes(
-                    "RGB", (decoded["width"], decoded["height"]), decoded["pixels"]
-                )
-            return _tess.image_to_string(img)
+        engine = _default_ocr_engine()
 
     media = ensure_parallelism(media)
 

@@ -1,0 +1,117 @@
+"""Full-registry timing floor: run EVERY registered query once at sf0.01
+(single trial — this is a tripwire, not a benchmark) and diff against the
+previous sweep, so a plan regression in a non-headline query is visible
+the round it happens instead of the round the driver's window rotation
+lands on it. HEADLINE covers ~60 of the 250+ registered queries; this
+covers the rest.
+
+Usage:
+  python tools/sweep_registry.py            # sweep + compare + persist
+  SPARK_GRAFT_SWEEP_SF_DIR=... to override the scale (default sf0.01)
+
+Artifacts under .bench/:
+  registry_sweep.json       — this sweep {name: sec, ...} + meta
+  registry_sweep_prev.json  — the prior sweep (rotated on each run)
+
+Exit code is ALWAYS 0 — single-trial timings at sf0.01 are noisy, so the
+guard reports rather than gates: entries with cur/prev > 2.0 AND
+cur - prev > 0.5 s land in the printed "flagged" block (and in the
+artifact) for an idle-machine min-of-2 re-time before calling them
+regressions (the adjudication convention BENCH artifacts use).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")
+BENCH_DIR = os.path.join(REPO, ".bench")
+CUR = os.path.join(BENCH_DIR, "registry_sweep.json")
+PREV = os.path.join(BENCH_DIR, "registry_sweep_prev.json")
+
+
+def main() -> int:
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries import (
+        extensions as _ext,  # noqa: F401  (registers)
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        QUERIES,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.session import get_spark
+
+    spark = get_spark(app_name="sweep-registry")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm codegen + the Python worker pool once so the first swept query
+    # doesn't absorb session start-up
+    QUERIES["q01_scan_project"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a sweep must report, not die mid-list
+            errors[name] = str(exc)[:200]
+        print(
+            f"{name}: {timings.get(name, 'ERROR')}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    prior = {}
+    prior_meta = {}
+    if os.path.isfile(CUR):
+        try:
+            with open(CUR, encoding="utf-8") as fh:
+                doc = json.load(fh)
+            prior = doc.get("timings", {})
+            prior_meta = {"prior_ts": doc.get("ts")}
+            os.replace(CUR, PREV)
+        except (OSError, ValueError):
+            pass
+
+    flagged = {}
+    for name, cur in timings.items():
+        p = prior.get(name)
+        if p and cur / p > 2.0 and cur - p > 0.5:
+            flagged[name] = {"prev": p, "cur": cur, "ratio": round(cur / p, 2)}
+
+    doc = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "sf_dir": SF_DIR,
+        "n_queries": len(timings),
+        "total_sec": round(sum(timings.values()), 1),
+        "timings": timings,
+        "errors": errors,
+        "flagged_vs_prev": flagged,
+        **prior_meta,
+    }
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(CUR, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh, indent=1)
+
+    print(
+        json.dumps(
+            {
+                "n_queries": len(timings),
+                "total_sec": doc["total_sec"],
+                "errors": errors,
+                "flagged_vs_prev": flagged,
+                "compared_against": len(prior),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
