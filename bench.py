@@ -299,6 +299,42 @@ def bench_ann_pq_served(spark, sf_dir: str) -> float:
     )
 
 
+def bench_ann_served_vec(spark, sf_dir: str) -> float:
+    """The REQUEST-path twin of ann_lsh_served: query arrives as a vector,
+    probe selection is driver-side integer arithmetic, pruning is STATIC
+    partition elimination against a pre-resolved index relation (the
+    steady-state serving shape — see ann_lsh_served_vec). ann_lsh_served
+    keeps measuring the DataFrame/DPP path for round-over-round
+    comparability; this entry is what a serving deployment actually pays
+    per query."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        ann_lsh_served_vec,
+        write_vector_index_int8,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sig = inspect.signature(write_vector_index_int8)
+    planes = sig.parameters["num_planes"].default
+    dim = sig.parameters["dim"].default
+    path = os.path.join(BENCH_DIR, f"vecidx_{sf_tag}_p{planes}_d{dim}")
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_vector_index_int8(emb.filter(F.col("vec_id") != 0), path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx_df = spark.read.parquet(path)
+
+    def one() -> None:
+        force(ann_lsh_served_vec(spark, idx_df, qv, k=5, num_planes=planes))
+
+    one()  # resolve + list the relation once
+    return timed_min("ann_lsh_served_vec", one)
+
+
 def bench_ann_served_1m(spark) -> float:
     """Steady-state served-ANN latency at the 1M-vector replication probe
     (sf0.1 embeddings x500, corpus-auto-sized planes -> 1024 bucket
@@ -652,6 +688,7 @@ def main() -> None:
 
     timings["q20_bm25_served"] = bench_bm25_served(spark, sf_dir)
     timings["ann_lsh_served"] = bench_ann_served(spark, sf_dir)
+    timings["ann_lsh_served_vec"] = bench_ann_served_vec(spark, sf_dir)
     timings["ann_pq_served"] = bench_ann_pq_served(spark, sf_dir)
     if sf_dir.rstrip("/").endswith("sf0.1"):
         # the 1M-vector replication probe only makes sense at the full
