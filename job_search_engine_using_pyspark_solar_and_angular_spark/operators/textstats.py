@@ -535,19 +535,36 @@ def remove_stopwords_by_lang(
     choice via a chained-when array expression — order-preserving
     array_except-free filter so duplicates survive). Multilingual corpora
     need this; a fixed English list silently under-cleans every other
-    language. Row-local; 'und' rows pass through unfiltered."""
+    language. Row-local; 'und' rows pass through unfiltered.
+
+    Plan note (r6 registry-sweep find): the per-token filter lambda must
+    reference STAGED columns, not the raw expressions — embedding the
+    stopset chained-when (which itself embeds lang_id over the full text)
+    inside the element lambda re-evaluated language ID once PER TOKEN:
+    32 s for 4k docs at sf0.01. Staging lang_pred, the tokens, and the
+    per-row stopword array in projections first makes the per-element
+    work one array_contains against a materialized column: same rows
+    (oracle unchanged), ~50x faster."""
     from ..functions.text import tokenize_normalized
 
-    pred = lang_id(text_col)
+    staged = df.select(
+        F.col(id_col),
+        lang_id(text_col).alias("lang_pred"),
+        tokenize_normalized(text_col).alias("__toks"),
+    )
     stopset = F.array().cast("array<string>")  # 'und' strips nothing
     for lang, words in LANG_PROFILES.items():
-        stopset = F.when(pred == lang, F.array(*[F.lit(w) for w in words])).otherwise(
-            stopset
-        )
-    toks = tokenize_normalized(text_col)
-    kept = F.filter(toks, lambda t: ~F.array_contains(stopset, t))
-    return df.select(
-        F.col(id_col), pred.alias("lang_pred"), kept.alias("content_tokens")
+        stopset = F.when(
+            F.col("lang_pred") == lang, F.array(*[F.lit(w) for w in words])
+        ).otherwise(stopset)
+    staged = staged.select(
+        F.col(id_col), "lang_pred", "__toks", stopset.alias("__stop")
+    )
+    kept = F.filter(
+        F.col("__toks"), lambda t: ~F.array_contains(F.col("__stop"), t)
+    )
+    return staged.select(
+        F.col(id_col), "lang_pred", kept.alias("content_tokens")
     )
 
 
