@@ -145,6 +145,9 @@ HEADLINE = [
     "ext_mix_temperature",
     "ext_packing_stats",
     "ext_ann_pq_rerank",
+    # round-6 addition: TPC-H Q9 over the derived partsupp — the dossier's
+    # heaviest join tree (6 tables, composite two-column shuffle key)
+    "ext_tpch_q9",
 ]
 
 # BASELINE.md Fig. 10: reference preprocess ≈ 90 s per 100 MB raw JSON.
