@@ -547,10 +547,17 @@ def remove_stopwords_by_lang(
     (oracle unchanged), ~50x faster."""
     from ..functions.text import tokenize_normalized
 
+    # two staging projections: tokens first, then lang_pred DERIVED FROM
+    # the staged tokens (lang_id re-tokenizing inline would double the
+    # regex work per row — the toks= reuse hook lang_id_scores documents)
     staged = df.select(
         F.col(id_col),
-        lang_id(text_col).alias("lang_pred"),
+        F.col(text_col),
         tokenize_normalized(text_col).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        lang_id(text_col, toks=F.col("__toks")).alias("lang_pred"),
+        "__toks",
     )
     stopset = F.array().cast("array<string>")  # 'und' strips nothing
     for lang, words in LANG_PROFILES.items():
