@@ -916,3 +916,64 @@ def test_repetition_fold_matches_python_counter(spark, docs):
             round(bi.most_common(1)[0][1] / (n - 1), 4) if n >= 2 else 0.0
         )
         assert got[i] == (n, len(uni), want_ttf, want_tbf), (i, toks)
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False, width=32),
+        min_size=2,
+        max_size=24,
+    )
+)
+@_SET
+def test_python_quantize_vec_matches_spark_property(spark, vals):
+    """The driver-side per-vector quantize mirror (_python_quantize_vec —
+    the static serving path's probe arithmetic, r6) must be CODE-IDENTICAL
+    to the in-plan quantize_int8 for arbitrary float32 vectors, including
+    constant vectors (all-zero codes) and sign-mixed extremes. A single
+    differing code can flip a bucket bit and probe the wrong partitions."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        _python_quantize_vec,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame([(0, vals)], "vec_id long, embedding array<float>")
+    spark_codes = list(quantize_int8(df).collect()[0]["codes"])
+    qv = [float(x) for x in df.collect()[0]["embedding"]]  # float32-rounded
+    assert _python_quantize_vec(qv) == spark_codes
+
+
+@given(reps=st.integers(1, 4))
+@_SET
+def test_derived_partsupp_invariants(spark, reps):
+    """The derived partsupp (r6 TPC-H closure) must satisfy the dbgen
+    contract at any scale: exactly 4 rows per part with 4 DISTINCT
+    suppliers, every ps_suppkey a real supplier key, availqty in
+    [1, 9999], supplycost in [1.00, 1000.99]. (reps is only entropy for
+    example variety — the table is deterministic, so two builds must be
+    identical row-for-row.)"""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.extensions import (
+        _derived_partsupp,
+    )
+
+    ps = _derived_partsupp(spark, SF_DIR)
+    rows = ps.collect()
+    supp_keys = {
+        r["s_suppkey"]
+        for r in load_table(spark, SF_DIR, "supplier").select("s_suppkey").collect()
+    }
+    n_parts = load_table(spark, SF_DIR, "part").count()
+    assert len(rows) == 4 * n_parts
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["ps_partkey"], []).append(r)
+        assert r["ps_suppkey"] in supp_keys
+        assert 1 <= r["ps_availqty"] <= 9999
+        assert 1.0 <= r["ps_supplycost"] <= 1000.99
+    for pk, grp in by_part.items():
+        assert len(grp) == 4 and len({g["ps_suppkey"] for g in grp}) == 4, pk
+    again = _derived_partsupp(spark, SF_DIR).collect()
+    key = lambda r: (r["ps_partkey"], r["ps_suppkey"])  # noqa: E731
+    assert sorted(map(tuple, rows), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, again), key=lambda t: (t[0], t[1])
+    )
