@@ -258,3 +258,80 @@ def test_sql_differential_fuzz_setops_exists(spark, ddb, sql):
     assert canon_rows(s.columns, s_rows) == canon_rows(
         [c[0] for c in d.description], d.fetchall()
     ), sql
+
+
+@st.composite
+def _rollup_query(draw):
+    """GROUPING SETS / ROLLUP / CUBE — the multi-grain aggregation forms
+    (ANSI, verbatim in both engines). Super-aggregate rows carry NULL
+    group keys whose default sort position DIFFERS across engines (Spark
+    ASC = NULLS FIRST, DuckDB = NULLS LAST), so the group keys are
+    COALESCE'd to sentinel values in the projection and the sort runs on
+    the sentinels — engine-neutral and total."""
+    form = draw(
+        st.sampled_from(
+            [
+                "ROLLUP(event_type, gk)",
+                "CUBE(event_type, gk)",
+                "GROUPING SETS ((event_type, gk), (event_type), ())",
+                "GROUPING SETS ((gk), (event_type))",
+            ]
+        )
+    )
+    k = draw(st.integers(2, 5))
+    where = draw(_predicate)
+    agg = draw(
+        st.sampled_from(
+            [
+                "CAST(COUNT(*) AS BIGINT) AS n",
+                "CAST(SUM(user_id) AS BIGINT) AS su",
+                "CAST(MAX(event_id) AS BIGINT) AS mx",
+            ]
+        )
+    )
+    # "OR event_id <= 3" pins the input NON-EMPTY: on an empty input the
+    # () grouping set diverges across engines — DuckDB (ANSI, like
+    # Postgres) emits the grand-total row (NULL, ..., 0), Spark emits zero
+    # rows. A real conformance edge, found by this fuzzer's first run and
+    # pinned explicitly in test_rollup_empty_input_divergence_is_known.
+    return (
+        f"SELECT COALESCE(event_type, '_total') AS et, "
+        f"COALESCE(CAST(gk AS VARCHAR(20)), '_total') AS g, {agg} "
+        f"FROM (SELECT event_type, event_id, user_id, "
+        f"CAST(user_id % {k} AS BIGINT) AS gk FROM events "
+        f"WHERE ({where}) OR event_id <= 3) s "
+        f"GROUP BY {form} ORDER BY et, g"
+    )
+
+
+@given(sql=_rollup_query())
+@_SET
+def test_sql_differential_fuzz_rollup(spark, ddb, sql):
+    """Multi-grain aggregation SQL (ROLLUP/CUBE/GROUPING SETS) must agree
+    exactly — including the super-aggregate rows."""
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    s = spark.sql(sql)
+    s_rows = [tuple(r) for r in s.collect()]
+    d = ddb.execute(sql)
+    assert canon_rows(s.columns, s_rows) == canon_rows(
+        [c[0] for c in d.description], d.fetchall()
+    ), sql
+
+
+def test_rollup_empty_input_divergence_is_known(spark, ddb):
+    """PINNED ENGINE DIVERGENCE (found by the rollup fuzzer's first run):
+    GROUP BY ROLLUP / GROUPING SETS over an EMPTY input. ANSI (and
+    DuckDB/Postgres) emit one grand-total row for the () grouping set —
+    the same reason a global COUNT(*) over empty input is 1 row of 0 —
+    while Spark emits ZERO rows. Engine users composing multi-grain
+    reports over possibly-empty slices must add the total row themselves
+    (or UNION a global aggregate). This test documents the edge and fails
+    if either engine changes behavior."""
+    sql = (
+        "SELECT COALESCE(event_type, '_t') AS et, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events WHERE user_id < 0 GROUP BY ROLLUP(event_type) ORDER BY et"
+    )
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    assert spark.sql(sql).count() == 0  # Spark: no rows at all
+    d = ddb.execute(sql).fetchall()
+    assert len(d) == 1 and d[0][1] == 0  # DuckDB: the () grand-total row
