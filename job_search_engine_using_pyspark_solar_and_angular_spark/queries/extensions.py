@@ -947,9 +947,18 @@ def ext_shard_manifest(spark, sf_dir):
     assignment + per-shard doc/token counts, id range, and an order-
     independent exact content digest (sum of per-row md5 hashes) — what a
     training run checks its delivered shards against. Every column is
-    integer/hash arithmetic, so the whole manifest is oracle-checked."""
+    integer/hash arithmetic, so the whole manifest is oracle-checked.
+
+    The digest is emitted as a STRING: its exact value exceeds int64
+    (decimal(38,0) on the Spark side, HUGEINT in DuckDB), and a
+    pandas/arrow fetch renders HUGEINT as lossy float64 on ONE side only
+    — the exact CORRECTNESS_r04 hazard class, caught here by
+    tools/certify_window.py's pandas model during r7 batch-B
+    pre-flighting. Decimal-digit strings are engine-identical."""
     d = load_table(spark, sf_dir, "documents")
-    return pipeline.shard_manifest(d, n_shards=8)
+    return pipeline.shard_manifest(d, n_shards=8).withColumn(
+        "content_digest", F.col("content_digest").cast("string")
+    )
 
 
 @query("ext_diversity_sample")

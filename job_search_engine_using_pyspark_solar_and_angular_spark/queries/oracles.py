@@ -803,7 +803,7 @@ SELECT CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS min_id,
        MAX(doc_id) AS max_id,
-       SUM(CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS content_digest
+       CAST(SUM(CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS content_digest
 FROM documents GROUP BY shard ORDER BY shard
 """
 
