@@ -43,64 +43,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # pandas/arrow) by tools/certify_window.py before rotation:
 #   * slots 1-25: the declared set (Q01-Q24 + sql_frontdoor), the reference's
 #     own query surface (SURVEY.md §2.12) — always in;
-#   * slots 26-37 (r5 first-timers kept for a 2nd certification):
-#     verified-clusters, incremental agg, NDCG, MRR, session funnel,
-#     interval join, CDC apply, zscore_flat, TF-IDF keywords, and the ANN
-#     recall ladder + PQ tier — the ANN trio is deliberately HELD IN the
-#     window because this round changes served-LSH recall behavior
-#     (Hamming-2 / auto-sized planes), so the driver re-certifies the new
-#     composition rather than an already-covered one;
-#   * slots 38-50 (r6 rotation #4, all never-driver-certified): 13 slots
-#     rotated out (the r4 cohort certified twice — serve_loop_e2e,
-#     ann_lsh_quantized, batch_cosine_topk, tpch_q1, scd2, hybrid_rrf,
-#     near_dedup, repeated_spans, dedup_lines, diversity_sample,
-#     cluster_assign, bpe_merges — plus ext_retrieval_eval, whose four
-#     query pairs are a strict subset of the incoming
-#     ext_retrieval_eval_suite) for: temperature + proportional domain
-#     mixing, packing-efficiency stats, OCR feature extraction, the graded
-#     retrieval eval suite (P@10/MRR/nDCG@10 x 4 query pairs), winnowing
-#     fingerprints, token entropy, keyset pagination, time-series gap
-#     fill, event funnel, conditional pivot, sessionization, and the
-#     event-interval range join. All 13 pre-certified by
-#     tools/certify_window.py at sf0.01 (both fetch models + type-class)
-#     and again under JSE_CERTIFY_VANILLA=1. Rotated-out queries stay
+#   * slots 26-50 (r7 rotation #5, all 25 never-driver-certified): the full
+#     r6 window tail rotates out — the r5 cohort is now certified twice
+#     (r5+r6) and the ANN trio three times (held through r6 to re-certify
+#     the PQ m=16/ksub=32 retune that flows through ext_ann_pq /
+#     ext_ann_pq_rerank / the recall ladder; that composition is now
+#     driver-certified fact) — for the two pre-flighted batches:
+#       batch A: the TPC-H partsupp classics Q2/Q9/Q11/Q16/Q20 (driver has
+#       never certified any of the five; exercises the derived-partsupp
+#       contract), ext_lang_stopwords (the 47x HOF staging fix),
+#       BFS distances, bigram surprisal, unigram logprob, GROUPING SETS,
+#       exact median, personalized PageRank, multimodal frame sampling;
+#       batch B: moving average, z-score + MAD outliers, salted skew join,
+#       sliding window, readability, encoding audit, BPE encode, typo
+#       pairs, SQL LATERAL, dataset card, shard manifest (digest-as-string
+#       past 2^63).
+#     25 of the 26 batch slots fit; ext_kcore (pre-certified with batch B)
+#     is held for the r8 rotation. All 25 were pre-certified by
+#     tools/certify_window.py at sf0.01 (both fetch models + type-class),
+#     again under JSE_CERTIFY_VANILLA=1, and re-run on this exact window
+#     composition before rotation. Rotated-out queries stay
 #     exact-oracle-checked locally every run (tests/test_oracle_parity.py).
 # Float-sensitive ANN variants (ext_ann_lsh / ext_ann_ivf /
 # ext_embedding_near_dups) are deliberately OUTSIDE the window: the driver
 # scores a no-oracle row as red, so they are recall-tested locally instead
 # (tests/test_similarity.py) with ext_ann_quantized + ext_ann_lsh_quantized
-# as their exact oracle-checked twins.
+# as their exact oracle-checked twins. The two array-emitting registry
+# queries (ext_quantize_embeddings / ext_zscore_embeddings) are likewise
+# never rotated in: under the pandas fetch model their array columns hit
+# the numpy-vs-list repr hazard; ext_zscore_flat is their exact scalar twin.
 _PRIORITY = [
     *[n for n in _QUERIES if n.startswith("q") and n[1].isdigit()],  # q01..q24
     "sql_frontdoor",
-    # r5 first-timers kept for a 2nd certification (ANN trio held in
-    # because r6 changes served-LSH recall behavior)
-    "ext_verified_clusters",
-    "ext_incremental_agg",
-    "ext_ndcg",
-    "ext_mrr",
-    "ext_session_funnel",
-    "ext_interval_join",
-    "ext_apply_cdc",
-    "ext_zscore_flat",
-    "ext_tfidf_keywords",
-    "ext_ann_tier_recall",
-    "ext_ann_pq",
-    "ext_ann_pq_rerank",
-    # r6 rotation #4: 13 never-driver-certified slots in
-    "ext_mix_temperature",
-    "ext_mix_proportional",
-    "ext_packing_stats",
-    "ext_ocr_features",
-    "ext_retrieval_eval_suite",
-    "ext_winnow_fp",
-    "ext_token_entropy",
-    "ext_pagination",
-    "ext_gap_fill",
-    "ext_funnel",
-    "ext_pivot",
-    "ext_sessionize",
-    "ext_range_join",
+    # r7 rotation #5, batch A: 13 never-driver-certified slots
+    "ext_tpch_q2",
+    "ext_tpch_q9",
+    "ext_tpch_q11",
+    "ext_tpch_q16",
+    "ext_tpch_q20",
+    "ext_lang_stopwords",
+    "ext_bfs_distances",
+    "ext_bigram_surprisal",
+    "ext_unigram_logprob",
+    "ext_grouping_sets",
+    "ext_exact_median",
+    "ext_pagerank_personalized",
+    "ext_multimodal_frames",
+    # r7 rotation #5, batch B: 12 more (ext_kcore held for r8)
+    "ext_moving_avg",
+    "ext_outliers",
+    "ext_mad_outliers",
+    "ext_salted_join",
+    "ext_sliding_window",
+    "ext_readability",
+    "ext_encoding_audit",
+    "ext_bpe_encode",
+    "ext_typo_pairs",
+    "ext_sql_lateral",
+    "ext_dataset_card",
+    "ext_shard_manifest",
 ]
 
 
