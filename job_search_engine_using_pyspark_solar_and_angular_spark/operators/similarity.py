@@ -1043,9 +1043,45 @@ def _python_bucket_int8(
     return probes
 
 
+class PQIndexHandle:
+    """A RESOLVED PQ index — the steady-state serving shape for
+    :func:`ann_pq_served`, twin of the pre-resolved relation contract of
+    :func:`ann_lsh_served_vec`.
+
+    Resolving collects the bounded driver-side components ONCE per index
+    generation (meta + stats: 1 row each; codebook: ksub rows) and resolves
+    the ``codes`` relation ONCE (partition discovery on a fresh
+    ``spark.read.parquet`` costs whole seconds at large partition counts —
+    the r6 1M-vector probe measured 1.2-3.3 s/fresh read vs 0.14-0.27 s
+    reused). A serving loop holds one handle and serves many queries;
+    per-query cost is then the probed buckets' scan plus driver-side
+    integer LUT arithmetic — zero query-side Spark jobs before the scan."""
+
+    def __init__(self, spark, path: str):
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        self.path = path
+        self.m = meta["m"]
+        self.dim = meta["dim"]
+        self.num_planes = meta["num_planes"]
+        stats = spark.read.parquet(f"{path}/stats").collect()[0]
+        self.mns = stats["__mns"]
+        self.mxs = stats["__mxs"]
+        self.codebook = sorted(
+            spark.read.parquet(f"{path}/codebook").collect(),
+            key=lambda r: r["pos"],
+        )
+        self.codes = spark.read.parquet(f"{path}/codes")
+
+
+def resolve_pq_index(spark, path: str) -> PQIndexHandle:
+    """Resolve an on-disk IVFPQ index (written by
+    :func:`write_vector_index_pq`) into a reusable serving handle."""
+    return PQIndexHandle(spark, path)
+
+
 def ann_pq_served(
     spark,
-    path: str,
+    index: str | PQIndexHandle,
     query_vec: list[float],
     k: int = 5,
     multiprobe: bool = True,
@@ -1063,21 +1099,25 @@ def ann_pq_served(
     positions — never touching embeddings or even full int8 codes.
     Returns (id, adc_dist2) ascending, id tie-break.
 
+    ``index``: the index PATH, or — the steady-state serving shape — a
+    :class:`PQIndexHandle` from :func:`resolve_pq_index` reused across
+    queries. A path re-collects meta/stats/codebook and re-resolves the
+    codes relation on EVERY call (3 driver jobs + partition discovery —
+    measured ~1.2 s of per-query fixed cost at sf0.1); the handle pays
+    that once per index generation, identical results.
+
     The build parameters (m, dim, num_planes) come from the index's
     persisted ``meta`` row, never from caller arguments: a trusted-caller
     mismatch would silently NULL-poison every ADC sum (element_at past the
     pq array returns NULL and NULLs sort first) or probe the wrong bucket
     set — the contract is the index's to enforce. The query vector's
     length is still validated against the persisted dim."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    m, dim, num_planes = meta["m"], meta["dim"], meta["num_planes"]
+    h = index if isinstance(index, PQIndexHandle) else PQIndexHandle(spark, index)
+    m, dim, num_planes = h.m, h.dim, h.num_planes
     if len(query_vec) != dim:
         raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
-    stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    cb = sorted(
-        spark.read.parquet(f"{path}/codebook").collect(), key=lambda r: r["pos"]
-    )
-    qc = _python_quantize_shared(query_vec, stats["__mns"], stats["__mxs"])
+    cb = h.codebook
+    qc = _python_quantize_shared(query_vec, h.mns, h.mxs)
     probes = _python_bucket_int8(qc, num_planes, dim, multiprobe)
     dsub = dim // m
     lut = [
@@ -1090,15 +1130,7 @@ def ann_pq_served(
         ]
         for j in range(m)
     ]
-    lut_col = F.array(
-        *[
-            F.array(*[F.lit(int(v)).cast("long") for v in row])
-            for row in lut
-        ]
-    )
-    idx = spark.read.parquet(f"{path}/codes").filter(
-        F.col("bucket").isin(probes)
-    )
+    idx = h.codes.filter(F.col("bucket").isin(probes))
     # Corrupt-row guard: a stored pq position outside [1, ksub] (torn or
     # mismatched index) would make element_at return NULL, NULL-poison
     # adc_dist2, and — NULLs sorting FIRST under asc — silently TOP the
@@ -1116,11 +1148,23 @@ def ann_pq_served(
             F.col(id_col).cast("string"),
         ),
     )
-    adc = F.coalesce(pos_ok.cast("long"), F.lit(0).cast("long"))
-    for j in range(m):
-        adc = adc + F.element_at(
-            F.element_at(lut_col, j + 1), F.element_at(F.col("pq"), j + 1)
+    # The m LUT lookups are assembled as ONE parsed SQL expression, not m
+    # chained Column ops over nested F.array literals: each F.lit / Column
+    # operator is a py4j round trip, and the m x ksub literal table costs
+    # ~1,100 of them — measured 1.1 s of DRIVER-side per-query latency at
+    # m=16/ksub=32 (the r6 'slowest serving entry' was expression
+    # construction, not ADC). One F.expr string is a single round trip and
+    # parses in ~2 ms; the resulting plan is identical (integer literals,
+    # same element_at lookups).
+    adc_sql = " + ".join(
+        "element_at(array({vals}), element_at(pq, {j}))".format(
+            vals=",".join(f"{int(v)}L" for v in lut[j]), j=j + 1
         )
+        for j in range(m)
+    )
+    adc = F.coalesce(pos_ok.cast("long"), F.lit(0).cast("long")) + F.expr(
+        adc_sql
+    )
     return (
         idx.select(F.col(id_col), adc.alias("adc_dist2"))
         .orderBy(F.col("adc_dist2").asc(), F.col(id_col))
@@ -1351,6 +1395,7 @@ def ann_lsh_served_vec(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
+    dim: int = 64,
 ) -> DataFrame:
     """STATIC-probe twin of :func:`ann_lsh_quantized_served` for the
     serving deployment shape where the query arrives as a VECTOR (the
@@ -1378,10 +1423,34 @@ def ann_lsh_served_vec(
     DISCOVERY on a fresh read costs ~1.2-3.3 s per query; against a
     reused relation the same pruned query runs in ~0.14 s. A serving
     loop resolves once per index generation and serves many queries —
-    per-query cost is then genuinely the probed buckets' scan."""
+    per-query cost is then genuinely the probed buckets' scan.
+
+    ``dim`` must match :func:`write_vector_index_int8`'s build dim (both
+    default 64) and is validated against the query's length: the driver-side
+    bucket arithmetic has no per-row size guard (unlike the DataFrame path,
+    where lsh_bucket_int8 raises in-plan), so a wrong-dim query would
+    otherwise probe arbitrary buckets while cosine's zip_with null-pads —
+    silent NULL sims instead of a loud error."""
+    import math
+
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
     codes = _python_quantize_vec(query_vec)
-    probes = _python_bucket_int8(codes, num_planes, len(query_vec), multiprobe)
-    qlit = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    probes = _python_bucket_int8(codes, num_planes, dim, multiprobe)
+    # One parsed expression instead of dim F.lit round trips (the ADC
+    # lesson — see ann_pq_served): Python repr is the shortest round-trip
+    # form, and Java's correctly-rounded parse recovers the identical
+    # double, so the literal array is bit-equal to the F.lit path.
+    # Non-finite components (never produced by the writer) keep the
+    # Column-literal path rather than relying on string spellings of
+    # NaN/Infinity surviving the SQL parser's cast.
+    fs = [float(x) for x in query_vec]
+    if all(math.isfinite(x) for x in fs):
+        qlit = F.expr(
+            "array(%s)" % ",".join(f"cast('{x!r}' as double)" for x in fs)
+        )
+    else:
+        qlit = F.array(*[F.lit(x).cast("double") for x in fs])
     base = spark.read.parquet(index) if isinstance(index, str) else index
     idx = base.filter(F.col("bucket").isin(probes))
     return (

@@ -1488,3 +1488,56 @@ def test_pq_served_rejects_corrupt_positions(spark, tmp_path):
 
     with pytest.raises((Py4JJavaError, Exception), match="pq positions out of"):
         ann_pq_served(spark, path, qv, k=5).collect()
+
+
+def test_pq_served_handle_matches_path_and_validates_dim(spark, tmp_path):
+    """The steady-state serving shape — a resolve_pq_index handle reused
+    across queries — must return results IDENTICAL to the per-call path
+    shape (the handle only hoists the bounded meta/stats/codebook collects
+    and the codes-relation resolution out of the query; probes and ADC
+    arithmetic are unchanged), and must keep the persisted-dim validation:
+    a wrong-length query raises loudly, never NULL-poisons the ADC sums."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        ann_pq_served,
+        resolve_pq_index,
+        write_vector_index_pq,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "pqidx")
+    write_vector_index_pq(corpus, path)
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+
+    handle = resolve_pq_index(spark, path)
+    for qv in qvs:  # one handle, many queries — the serving-loop shape
+        via_handle = ann_pq_served(spark, handle, qv, k=7).collect()
+        via_path = ann_pq_served(spark, path, qv, k=7).collect()
+        assert [tuple(r) for r in via_handle] == [tuple(r) for r in via_path]
+        assert len(via_handle) == 7
+
+    with pytest.raises(ValueError, match="query dim"):
+        ann_pq_served(spark, handle, qvs[0][:10], k=5)
+
+
+def test_ann_lsh_served_vec_rejects_wrong_dim(spark, tmp_path):
+    """The request-path LSH entry point must validate the query's length
+    against the index dim up front: its bucket arithmetic is driver-side
+    (no in-plan lsh_bucket_int8 size guard on this route), so a wrong-dim
+    query would otherwise probe arbitrary buckets while cosine's zip_with
+    null-pads — silent NULL sims instead of a loud error."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        ann_lsh_served_vec,
+        write_vector_index_int8,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "vecidx")
+    write_vector_index_int8(emb.filter(F.col("vec_id") != 0), path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assert ann_lsh_served_vec(spark, path, qv, k=5).count() == 5
+    with pytest.raises(ValueError, match="query dim"):
+        ann_lsh_served_vec(spark, path, qv[:-1], k=5)
