@@ -216,7 +216,11 @@ def serve_batch(
         # persisted: the batch is tokenized ONCE and feeds the segment
         # write, the doc-stats segment, and the scalar partial (unpersisted
         # chains would re-tokenize the batch for each — 3x the dominant
-        # per-batch compute at scale)
+        # per-batch compute at scale). (A tokenize-the-full-batch-
+        # concurrent-with-the-gate variant was measured and REJECTED:
+        # on a shared local[32] pool the extra tokenize work on suppressed
+        # arrivals plus the survivor semi-join cost more than the overlap
+        # saved — 3.30 s -> 3.68 s per delta batch at sf0.1.)
         fresh = build_index(survivors, id_col, text_col)
         fresh_post = fresh.postings.persist()
         seg_table = f"{table_prefix}_seg{seg}"
@@ -340,24 +344,22 @@ def serve_batch(
         if failpoint is None:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=4) as ex:
-                # wave 1: postings (materializes the shared fresh_post
-                # cache), LSH + vector segments (independent of it), and
-                # the churn-sized replaced_stats lookup. Concurrent
-                # materialization of a shared persisted DataFrame is safe
-                # (the block manager computes each cached partition once).
-                wave1 = [
+            with ThreadPoolExecutor(max_workers=6) as ex:
+                # ONE wave: all six pre-publish writes are mutually
+                # independent (each lands at a seg-deterministic location,
+                # invisible until the manifest flips), and the shared
+                # persisted inputs (fresh_post, replaced_stats) are safe to
+                # materialize concurrently — the block manager computes
+                # each cached partition once, other submitters block on it.
+                # The earlier 2-wave form made doc_stats/scalar/tombstones
+                # wait for the postings/vector WRITES to finish, not just
+                # the caches — a barrier that added a full write's latency
+                # per batch for no correctness gain (the crash sweep pins
+                # retry convergence for every completion order).
+                for f in [
                     ex.submit(_write_postings),
                     ex.submit(_write_lsh),
                     ex.submit(_write_vectors),
-                ]
-                if replaced_stats is not None:
-                    wave1.append(ex.submit(replaced_stats.count))
-                for f in wave1:
-                    f.result()
-                # wave 2: batch-sized aggregates over the now-cached
-                # fresh_post / replaced_stats
-                for f in [
                     ex.submit(_write_doc_stats),
                     ex.submit(_write_scalar),
                     ex.submit(_commit_tombstones),
@@ -380,14 +382,24 @@ def serve_batch(
         # ---- 6. PUBLISH: manifest commits last ------------------------------
         # batch_id rides in the same atomic commit as the segment pointer:
         # either both are live or neither, so the redelivery guard can never
-        # disagree with what is actually published
-        man_new = spark.createDataFrame(
-            [(seg, seg_table, batch_id)], "seg int, table string, batch_id long"
+        # disagree with what is actually published. The new manifest is
+        # assembled DRIVER-side from the rows already collected at entry
+        # (manifest-sized, the sanctioned envelope class) — the earlier
+        # union+distinct formulation put a shuffle job on the publish
+        # critical path to dedup rows the driver can dedup in microseconds.
+        # Single-writer contract (foreachBatch is sequential) makes the
+        # entry-time snapshot authoritative.
+        has_bid = man is not None and "batch_id" in man.columns
+        prior_tuples = [
+            (r["seg"], r["table"], r["batch_id"] if has_bid else None)
+            for r in man_rows
+        ]
+        all_tuples = list(
+            dict.fromkeys(prior_tuples + [(seg, seg_table, batch_id)])
         )
-        if man is not None:
-            if "batch_id" not in man.columns:
-                man = man.withColumn("batch_id", F.lit(None).cast("long"))
-            man_new = man.unionByName(man_new).distinct()
+        man_new = spark.createDataFrame(
+            all_tuples, "seg int, table string, batch_id long"
+        )
         _fp("pre_publish")
         commit_state(man_new, p["manifest"])
         _fp("published")
@@ -437,12 +449,15 @@ def _alive(
 
 
 def _union_segments(spark: SparkSession, base_path: str, segs: list[int]) -> DataFrame:
-    """Union per-segment parquet directories (doc_stats / lsh / scalar)."""
-    dfs = [spark.read.parquet(f"{base_path}/seg{s}") for s in segs]
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+    """Union per-segment parquet directories (doc_stats / lsh / scalar) as
+    ONE multi-path relation — a single schema resolution + file listing,
+    not one per segment (segment schemas are identical by construction:
+    every segment is written by the same serve_batch code path). Per-seg
+    ``spark.read.parquet`` calls cost a resolution each — the fresh-read
+    class the r6 1M-probe measured at 1.2-3.3 s/read on large partition
+    counts, and at many-segment serving state even small per-read costs
+    multiply by segments x (lsh + doc_stats + scalar) reads per batch."""
+    return spark.read.parquet(*[f"{base_path}/seg{s}" for s in segs])
 
 
 def read_served_index(
