@@ -588,6 +588,36 @@ ACCEPTED_REGRESSIONS = {
 }
 
 
+def host_calibration(runs: int = 3) -> float:
+    """Fixed synthetic CPU kernel — a machine-speed constant emitted into
+    every artifact (``host_calib_sec``) so cross-round query ratios can be
+    normalized for host speed mechanically (r6's ~1.4x-slower-host
+    adjudication was manual archaeology; VERDICT r6 #8). The kernel mixes
+    a BLAS-threaded matmul and single-core sha256 over fixed-seed data —
+    deterministic work, min-of-N wall time. It measures the HOST, not
+    Spark: no session, no data dependence, ~0.3 s."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = rng.rand(512, 512)
+    buf = rng.bytes(32 * 1024 * 1024)
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        m = a
+        for _ in range(48):
+            m = m @ a
+            m /= m[0, 0]  # renormalize: keeps 48 chained matmuls finite
+        h = hashlib.sha256()
+        for _ in range(6):
+            h.update(buf)
+        h.digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _timings_from_tail(tail: str) -> dict[str, float]:
     """Reconstruct per-query timings from a driver artifact's ``tail``
     string (truncated raw stdout). The tail survives truncation from the
@@ -605,20 +635,53 @@ def _timings_from_tail(tail: str) -> dict[str, float]:
     return out
 
 
-def _previous_timings(repo_dir: str, bench_dir: str) -> tuple[dict, str]:
-    """Baseline for the regression guard, by reliability:
-    1. ``.bench/last_full.json`` — this builder's own prior full run
-       (complete, untruncated; written by every main() invocation);
-    2. the newest ``BENCH_r{N}.json`` driver artifact — its ``queries``
-       dict when the driver parsed the stdout line, else reconstructed
-       from the ``tail`` string (driver artifacts r4/r5 carry
-       ``"parsed": null`` and a truncated tail, which is why
-       ``doc.get("parsed", {})`` alone fails open — the key EXISTS with
-       value None, so ``.get`` on it raises AttributeError).
-    Returns (timings, source_label); ({}, "none") when nothing usable."""
+def _round_artifact_timings(repo_dir: str) -> tuple[dict, str, float | None]:
+    """Timings (+ calibration, when present) from the newest
+    ``BENCH_r{N}.json`` driver artifact — its ``queries`` dict when the
+    driver parsed the stdout line, else reconstructed from the ``tail``
+    string (driver artifacts r4/r5 carry ``"parsed": null`` and a
+    truncated tail, which is why ``doc.get("parsed", {})`` alone fails
+    open — the key EXISTS with value None, so ``.get`` on it raises
+    AttributeError). Returns ({}, "none", None) when nothing usable."""
     import glob
     import re
 
+    prior_files = sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not prior_files:
+        return {}, "none", None
+    try:
+        with open(prior_files[-1], encoding="utf-8") as fh:
+            doc = json.load(fh)
+    except (OSError, ValueError):
+        return {}, "none", None
+    parsed = doc.get("parsed") or {}
+    prev = (
+        doc.get("queries")
+        or parsed.get("queries")
+        or _timings_from_tail(str(doc.get("tail") or ""))
+        or {}
+    )
+    calib = (
+        doc.get("host_calib_sec")
+        or parsed.get("host_calib_sec")
+        # the tail fallback surfaces flat "host_calib_sec": N pairs too
+        or prev.get("host_calib_sec")
+    )
+    prev.pop("host_calib_sec", None)
+    return prev, os.path.basename(prior_files[-1]), calib
+
+
+def _previous_timings(
+    repo_dir: str, bench_dir: str
+) -> tuple[dict, str, float | None]:
+    """PRIMARY baseline for the regression guard, by reliability:
+    1. ``.bench/last_full.json`` — this builder's own prior full run
+       (complete, untruncated; written by every full-sf main() run);
+    2. the newest driver artifact (see _round_artifact_timings).
+    Returns (timings, source_label, host_calib_sec|None)."""
     own = os.path.join(bench_dir, "last_full.json")
     if os.path.isfile(own):
         try:
@@ -626,33 +689,45 @@ def _previous_timings(repo_dir: str, bench_dir: str) -> tuple[dict, str]:
                 doc = json.load(fh)
             prev = doc.get("queries") or {}
             if prev:
-                return prev, "last_full.json"
+                return prev, "last_full.json", doc.get("host_calib_sec")
         except (OSError, ValueError):
             pass
+    return _round_artifact_timings(repo_dir)
 
-    prior_files = sorted(
-        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
-    if not prior_files:
-        return {}, "none"
-    try:
-        with open(prior_files[-1], encoding="utf-8") as fh:
-            doc = json.load(fh)
-    except (OSError, ValueError):
-        return {}, "none"
-    prev = (
-        doc.get("queries")
-        or (doc.get("parsed") or {}).get("queries")  # parsed may be null
-        or _timings_from_tail(str(doc.get("tail") or ""))
-    )
-    return (prev or {}), os.path.basename(prior_files[-1])
+
+def _flag_slowdowns(
+    timings: dict[str, float],
+    prev: dict,
+    host_factor: float | None,
+) -> tuple[dict, int]:
+    """Flag >1.5x slowdowns of ``timings`` vs ``prev``. ``host_factor`` is
+    cur_calib/prev_calib when both runs carried a calibration kernel time:
+    each flag then also records ``host_adj_ratio`` (raw ratio divided by
+    the host factor), and a slowdown is flagged when EITHER ratio exceeds
+    1.5 — the adjusted one catches a real regression a faster host would
+    mask, the raw one keeps legacy behavior when calibration is absent."""
+    flags: dict = {}
+    compared = 0
+    for name, cur in timings.items():
+        p = prev.get(name)
+        if p and p > 0:
+            compared += 1
+            ratio = cur / p
+            adj = ratio / host_factor if host_factor else None
+            if ratio > 1.5 or (adj is not None and adj > 1.5):
+                flags[name] = {"prev": p, "cur": cur, "ratio": round(ratio, 2)}
+                if adj is not None:
+                    flags[name]["host_adj_ratio"] = round(adj, 2)
+                if name in ACCEPTED_REGRESSIONS:
+                    flags[name]["accepted"] = ACCEPTED_REGRESSIONS[name]
+    return flags, compared
 
 
 def regressions_vs_previous(
     timings: dict[str, float],
     repo_dir: str = REPO,
     bench_dir: str = BENCH_DIR,
+    host_calib_sec: float | None = None,
 ) -> dict:
     """Per-query regression guard: compare this run to the best available
     prior run (see _previous_timings) on the common query set and flag
@@ -660,17 +735,41 @@ def regressions_vs_previous(
     by the artifact itself, not by archaeology. The result always carries
     a ``_baseline`` key naming the comparison source, so an empty flag set
     is distinguishable from a guard that had nothing to compare against
-    (the r5 fail-open: parsed:null made {} the only possible output)."""
-    prev, source = _previous_timings(repo_dir, bench_dir)
-    out: dict = {"_baseline": source, "_compared": 0}
-    for name, cur in timings.items():
-        p = prev.get(name)
-        if p and p > 0:
-            out["_compared"] += 1
-            if cur / p > 1.5:
-                out[name] = {"prev": p, "cur": cur, "ratio": round(cur / p, 2)}
-                if name in ACCEPTED_REGRESSIONS:
-                    out[name]["accepted"] = ACCEPTED_REGRESSIONS[name]
+    (the r5 fail-open: parsed:null made {} the only possible output).
+
+    Two anti-creep mechanisms (ADVICE r6 / VERDICT r6 #8):
+
+    - ``_round_anchor``: when the primary baseline is the builder's own
+      ``last_full.json``, ratios vs the newest DRIVER artifact are
+      recorded alongside — the primary otherwise ratchets (each run
+      overwrites it, so a <=1.5x-per-run creep compounds invisibly
+      across rounds; the round artifact is the fixed anchor).
+    - host calibration: when both runs carry ``host_calib_sec``, each
+      flag records a host-speed-adjusted ratio and flagging considers
+      both (a slower host no longer reads as a uniform regression, and a
+      faster host no longer masks one)."""
+    prev, source, prev_calib = _previous_timings(repo_dir, bench_dir)
+    host_factor = (
+        host_calib_sec / prev_calib if host_calib_sec and prev_calib else None
+    )
+    flags, compared = _flag_slowdowns(timings, prev, host_factor)
+    out: dict = {"_baseline": source, "_compared": compared, **flags}
+    if host_factor is not None:
+        out["_host_factor"] = round(host_factor, 3)
+    if source == "last_full.json":
+        a_prev, a_source, a_calib = _round_artifact_timings(repo_dir)
+        if a_prev:
+            a_factor = (
+                host_calib_sec / a_calib if host_calib_sec and a_calib else None
+            )
+            a_flags, a_compared = _flag_slowdowns(timings, a_prev, a_factor)
+            out["_round_anchor"] = {
+                "source": a_source,
+                "compared": a_compared,
+                "flags": a_flags,
+            }
+            if a_factor is not None:
+                out["_round_anchor"]["host_factor"] = round(a_factor, 3)
     return out
 
 
@@ -744,8 +843,11 @@ def main() -> None:
         # artifact alone (r4 recorded three phantom regressions from
         # single-shot served timings)
         "served_trials": SERVED_TRIALS,
-        "regressions": regressions_vs_previous(timings),
     }
+    doc["host_calib_sec"] = host_calibration()
+    doc["regressions"] = regressions_vs_previous(
+        timings, host_calib_sec=doc["host_calib_sec"]
+    )
     # Persist the complete artifact as the next run's primary regression
     # baseline: driver BENCH_r{N}.json files truncate stdout into ``tail``
     # with ``parsed: null``, so the builder's own full JSON is the only

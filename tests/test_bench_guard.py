@@ -110,3 +110,64 @@ def test_real_r5_artifact_parses():
     got = bench._timings_from_tail(doc["tail"])
     assert got.get("ext_tpch_q6") == 0.317
     assert got.get("ann_lsh_served") == 0.859
+
+
+def test_host_calibration_kernel_is_fast_and_repeatable():
+    a = bench.host_calibration(runs=1)
+    b = bench.host_calibration(runs=1)
+    assert 0 < a < 10 and 0 < b < 10
+
+
+def test_round_anchor_recorded_alongside_last_full(tmp_path):
+    # last_full says 1.0 (ratchet would hide creep); the round artifact —
+    # the fixed anchor — says 0.4. A current 1.1 is clean vs last_full but
+    # 2.75x vs the anchor: the artifact must carry BOTH views.
+    bdir = tmp_path / ".bench"
+    bdir.mkdir()
+    (bdir / "last_full.json").write_text(json.dumps({"queries": {"q": 1.0}}))
+    _driver_artifact(tmp_path, {"q": 0.4})
+    out = bench.regressions_vs_previous(
+        {"q": 1.1}, repo_dir=str(tmp_path), bench_dir=str(bdir)
+    )
+    assert out["_baseline"] == "last_full.json"
+    assert "q" not in out  # primary view: 1.1x, clean
+    anchor = out["_round_anchor"]
+    assert anchor["source"] == "BENCH_r05.json"
+    assert anchor["flags"]["q"]["ratio"] >= 2.7  # creep visible at the anchor
+
+
+def test_host_adjusted_ratio_unmasks_and_excuses(tmp_path):
+    bdir = tmp_path / ".bench"
+    bdir.mkdir()
+    (bdir / "last_full.json").write_text(
+        json.dumps({"queries": {"fastq": 1.0, "slowq": 1.0},
+                    "host_calib_sec": 0.4})
+    )
+    # current host measured 2x FASTER (calib 0.2): a raw-1.4x "clean" query
+    # is really a 2.8x regression; the guard must flag it via the adjusted
+    # ratio. A raw-1.6x on a 2x-SLOWER host (calib 0.8) is excused but the
+    # flag still carries the adjusted number for the reader.
+    out = bench.regressions_vs_previous(
+        {"fastq": 1.4, "slowq": 0.6},
+        repo_dir=str(tmp_path), bench_dir=str(bdir), host_calib_sec=0.2,
+    )
+    assert out["_host_factor"] == 0.5
+    assert out["fastq"]["host_adj_ratio"] == 2.8  # unmasked
+    assert "slowq" not in out  # 0.6 raw = 1.2 adjusted: genuinely clean
+    out2 = bench.regressions_vs_previous(
+        {"fastq": 1.6, "slowq": 0.9},
+        repo_dir=str(tmp_path), bench_dir=str(bdir), host_calib_sec=0.8,
+    )
+    assert out2["fastq"]["ratio"] == 1.6  # raw flag kept
+    assert out2["fastq"]["host_adj_ratio"] == 0.8  # ...but explained as host
+
+
+def test_calibration_recovered_from_driver_tail(tmp_path):
+    # driver artifacts carry parsed:null; host_calib_sec must be
+    # recoverable from the flat tail pairs and must NOT leak into the
+    # timings dict as a phantom query.
+    _driver_artifact(tmp_path, {"q": 0.5, "host_calib_sec": 0.4})
+    prev, source, calib = bench._round_artifact_timings(str(tmp_path))
+    assert source == "BENCH_r05.json"
+    assert calib == 0.4
+    assert "host_calib_sec" not in prev and prev["q"] == 0.5

@@ -71,8 +71,70 @@ OPS = [
 ALWAYS_BAD = {"CartesianProduct", "BatchEvalPython"}
 
 
+DECLARED_BASELINE = os.path.join(REPO, "tests", "plan_baseline_declared.json")
+
+
 def fingerprint(plan: str) -> dict[str, int]:
     return {op: plan.count(op) for op in OPS if plan.count(op) > 0}
+
+
+def declared_names(queries) -> list[str]:
+    """The declared set (Q01-Q24 + sql_frontdoor) — the reference's own
+    query surface, the set the suite GATE holds to the committed baseline
+    (extensions are covered by the report-only diff: their plans change
+    legitimately as operators evolve, the declared set's should not)."""
+    return [
+        n
+        for n in queries
+        if (n.startswith("q") and n[1].isdigit()) or n == "sql_frontdoor"
+    ]
+
+
+def gate_violations(
+    fps: dict[str, dict[str, int]], baseline: dict[str, dict[str, int]]
+) -> dict[str, dict]:
+    """Plan DEGRADATIONS of ``fps`` vs the committed baseline — the
+    failing-test predicate (tests/test_plan_gate.py), deliberately
+    one-sided so legitimate improvements never fail the suite:
+
+    - any ALWAYS_BAD operator present at all (CartesianProduct,
+      BatchEvalPython);
+    - a BroadcastHashJoin count BELOW baseline (a broadcast silently
+      degraded to some other strategy);
+    - a SortMergeJoin or ShuffledHashJoin count ABOVE baseline (a shuffle
+      join appeared where none was);
+    - a query in the baseline that no longer fingerprints (renames must
+      regenerate the baseline deliberately)."""
+    out: dict[str, dict] = {}
+    for name, base in baseline.items():
+        fp = fps.get(name)
+        if fp is None:
+            out[name] = {"missing": True}
+            continue
+        v: dict = {}
+        for op in ALWAYS_BAD:
+            if fp.get(op, 0) > 0:
+                v[op] = fp[op]
+        if fp.get("BroadcastHashJoin", 0) < base.get("BroadcastHashJoin", 0):
+            v["BroadcastHashJoin"] = [
+                base.get("BroadcastHashJoin", 0),
+                fp.get("BroadcastHashJoin", 0),
+            ]
+        for op in ("SortMergeJoin", "ShuffledHashJoin"):
+            if fp.get(op, 0) > base.get(op, 0):
+                v[op] = [base.get(op, 0), fp.get(op, 0)]
+        if v:
+            out[name] = v
+    return out
+
+
+def compute_fingerprints(spark, queries, names, sf_dir) -> dict[str, dict[str, int]]:
+    out: dict[str, dict[str, int]] = {}
+    for name in names:
+        df = queries[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = fingerprint(plan)
+    return out
 
 
 def main() -> int:
@@ -86,6 +148,24 @@ def main() -> int:
 
     spark = get_spark(app_name="plan-fingerprints")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--write-baseline" in sys.argv:
+        # regenerate the COMMITTED declared-set baseline the suite gate
+        # (tests/test_plan_gate.py) diffs against — run at the suite's
+        # sf0.001 and commit the result when a declared query's plan
+        # changes deliberately
+        sf = os.environ.get("JSE_TEST_SF_DIR", "/root/testdata/sf0.001")
+        names = declared_names(QUERIES)
+        fps = compute_fingerprints(spark, QUERIES, names, sf)
+        with open(DECLARED_BASELINE, "w", encoding="utf-8") as fh:
+            json.dump(
+                {"sf_tag": os.path.basename(sf.rstrip("/")), "fingerprints": fps},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {DECLARED_BASELINE} ({len(fps)} queries at {sf})")
+        return 0
 
     fps: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
