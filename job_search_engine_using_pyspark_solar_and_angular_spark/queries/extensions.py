@@ -5306,15 +5306,25 @@ def ext_serve_loop_e2e(spark, sf_dir):
 def _derived_partsupp(spark, sf_dir):
     """partsupp(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost) derived
     from part x supplier-count. 4 distinct suppliers per part: suppkey =
-    (p + j*(S//4+1)) mod S, j in 0..3 (step offsets are distinct mod S for
-    any S >= 8, so the 4 rows never collide). Scale shape: the supplier
+    (p + j*step) mod S, j in 0..3, with step = S//4+1 — EXCEPT when that
+    step collides (j*step offsets coincide mod S iff d*step ≡ 0 mod S for
+    some d in 1..3, which for step=S//4+1 happens exactly at S in
+    {4, 6, 9, 12}; e.g. S=9: 3*3=9, S=12: 3*4=12), where step falls back
+    to 1 (offsets 0..3, distinct for any S >= 4). The collision guard is
+    the same CASE arithmetic in the DuckDB oracle CTE, so cross-engine
+    parity holds at ANY supplier count — pinned for S in 4..200 by
+    test_partsupp_step_distinct_all_counts. Scale shape: the supplier
     COUNT is a 1-row agg broadcast into the part scan — no shuffle beyond
     that single scalar; 4x|part| rows stream out of a projection."""
     part = load_table(spark, sf_dir, "part").select("p_partkey")
     scnt = load_table(spark, sf_dir, "supplier").agg(
         F.count("*").alias("__cnt")
     )
-    step = F.floor(F.col("__cnt") / 4).cast("long") + 1
+    step0 = F.floor(F.col("__cnt") / 4).cast("long") + 1
+    step = F.when(
+        ((2 * step0) % F.col("__cnt") == 0) | ((3 * step0) % F.col("__cnt") == 0),
+        F.lit(1).cast("long"),
+    ).otherwise(step0)
     return (
         part.crossJoin(F.broadcast(scnt))
         .select(

@@ -4091,12 +4091,16 @@ ORACLES["ext_serve_loop_e2e"] = _serve_loop_e2e_oracle()
 _PARTSUPP_CTE = """
 partsupp AS (
   SELECT p_partkey AS ps_partkey,
-         (p_partkey + jj.j * (s.cnt // 4 + 1)) % s.cnt AS ps_suppkey,
+         (p_partkey + jj.j * s.step) % s.cnt AS ps_suppkey,
          CAST((p_partkey * 11 + jj.j * 17) % 9999 + 1 AS INT) AS ps_availqty,
          ((p_partkey * 13 + jj.j * 29) % 99900 + 100) / 100.0 AS ps_supplycost
   FROM part,
        (SELECT unnest([0, 1, 2, 3]) AS j) jj,
-       (SELECT COUNT(*) AS cnt FROM supplier) s)
+       (SELECT cnt,
+               CASE WHEN (2 * (cnt // 4 + 1)) % cnt = 0
+                      OR (3 * (cnt // 4 + 1)) % cnt = 0
+                    THEN 1 ELSE cnt // 4 + 1 END AS step
+        FROM (SELECT COUNT(*) AS cnt FROM supplier)) s)
 """
 
 ORACLES["ext_tpch_q2"] = (

@@ -977,3 +977,19 @@ def test_derived_partsupp_invariants(spark, reps):
     assert sorted(map(tuple, rows), key=lambda t: (t[0], t[1])) == sorted(
         map(tuple, again), key=lambda t: (t[0], t[1])
     )
+
+
+def test_partsupp_step_distinct_all_counts():
+    """The _derived_partsupp collision guard (ADVICE r6): offsets j*step
+    mod S coincide iff d*step ≡ 0 mod S for d in 1..3, which for
+    step=S//4+1 happens exactly at S in {4, 6, 9, 12} — the step then
+    falls back to 1. This pure-arithmetic pin sweeps EVERY supplier count
+    4..200 (the earlier docstring claimed distinctness for any S >= 8 and
+    was false at 9 and 12), mirroring the Spark expression and the DuckDB
+    CTE exactly, so a fixture at any count keeps the dbgen 4-distinct-
+    suppliers contract."""
+    for S in range(4, 201):
+        step0 = S // 4 + 1
+        step = 1 if (2 * step0) % S == 0 or (3 * step0) % S == 0 else step0
+        offsets = {(j * step) % S for j in range(4)}
+        assert len(offsets) == 4, (S, step, offsets)
