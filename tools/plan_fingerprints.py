@@ -79,14 +79,19 @@ def fingerprint(plan: str) -> dict[str, int]:
 
 
 def declared_names(queries) -> list[str]:
-    """The declared set (Q01-Q24 + sql_frontdoor) — the reference's own
-    query surface, the set the suite GATE holds to the committed baseline
-    (extensions are covered by the report-only diff: their plans change
-    legitimately as operators evolve, the declared set's should not)."""
+    """The gated set: the declared queries (Q01-Q24 + sql_frontdoor — the
+    reference's own surface) plus the TPC-H dossier (ext_tpch_q1..q22) —
+    the join-heaviest plans in the registry, where a broadcast silently
+    flipping to sort-merge costs the most at scale. These are the plans
+    the suite holds to the committed baseline; the other extensions are
+    covered by the report-only diff (their plans change legitimately as
+    operators evolve)."""
     return [
         n
         for n in queries
-        if (n.startswith("q") and n[1].isdigit()) or n == "sql_frontdoor"
+        if (n.startswith("q") and n[1].isdigit())
+        or n == "sql_frontdoor"
+        or n.startswith("ext_tpch_q")
     ]
 
 
