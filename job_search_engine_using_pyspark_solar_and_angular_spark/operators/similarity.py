@@ -724,18 +724,6 @@ PQ_KSUB = 32
 PQ_SHORTLIST = 100
 
 
-def _pq_subs_of(col, m: int, dsub: int):
-    """The m sub-slices of a codes array as one array<array<int>> — built
-    ONCE per value (codebook and query: once globally in their 1-row
-    frames; corpus: once per row in a staged projection). Re-slicing
-    inside the per-entry lambdas instead ran the PQ query 3x slower:
-    every (row, codebook-entry, subspace) evaluation allocated fresh
-    slices. Shared by :func:`pq_adc_topk` and
-    :func:`write_vector_index_pq` so the in-plan tier and the persisted
-    index can never drift in sub-slice layout."""
-    return F.array(*[F.slice(col, j * dsub + 1, dsub) for j in range(m)])
-
-
 def _int_l2(a, b):
     """Integer squared L2 between two int arrays (zip_with + fold) — the
     shared distance of every integer-exact vector op here."""
@@ -743,6 +731,35 @@ def _int_l2(a, b):
         F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+
+
+def _int_l2_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`_int_l2`, for call sites that assemble
+    many of these per query: every Python-side HOF lambda costs a batch
+    of py4j round trips (_create_lambda), and pq_adc_topk's m=16 argmin
+    lambdas each embedding one measured ~1.7 s of DRIVER-side plan
+    construction PER QUERY — the ann_pq_served lesson (r7) applied
+    in-plan. One F.expr parse is a single round trip with the identical
+    resulting expression tree."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST((x - y) * (x - y) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_subs_sql(col: str, m: int, dsub: int) -> str:
+    """The m sub-slices of a codes array as one array<array<int>>, as a
+    SQL string — built ONCE per value (codebook and query: once globally
+    in their 1-row frames; corpus: once per row in a staged projection).
+    Re-slicing inside the per-entry lambdas instead ran the PQ query 3x
+    slower: every (row, codebook-entry, subspace) evaluation allocated
+    fresh slices. Shared by :func:`pq_adc_topk` and
+    :func:`write_vector_index_pq` so the in-plan tier and the persisted
+    index can never drift in sub-slice layout."""
+    return "array(%s)" % ",".join(
+        f"slice({col}, {j * dsub + 1}, {dsub})" for j in range(m)
     )
 
 
@@ -816,19 +833,15 @@ def pq_adc_topk(
         _pq_leader_rows(corpus, ksub, id_col)
         .agg(F.collect_list(F.struct("cid", "cc")).alias("__cb0"))
         .select(
-            F.transform(
-                "__cb0",
-                lambda e: F.struct(
-                    e.cid.alias("cid"),
-                    _pq_subs_of(e.cc, m, dsub).alias("subs"),
-                ),
+            F.expr(
+                "transform(__cb0, e -> struct(e.cid AS cid, "
+                f"{_pq_subs_sql('e.cc', m, dsub)} AS subs))"
             ).alias("__cb")
         )
     )
     q_row = codes.filter(F.col(id_col) == query_id).select(
-        _pq_subs_of(F.col("codes"), m, dsub).alias("__qs")
+        F.expr(_pq_subs_sql("codes", m, dsub)).alias("__qs")
     )
-    _d2 = _int_l2
     guard = F.assert_true(
         F.size(F.col("codes")) == F.lit(dim),
         F.concat(
@@ -844,50 +857,51 @@ def pq_adc_topk(
             F.col(id_col),
             "__cb",
             "__qs",
-            _pq_subs_of(F.col("codes"), m, dsub).alias("__subs"),
+            F.expr(_pq_subs_sql("codes", m, dsub)).alias("__subs"),
             F.coalesce(guard.cast("long"), F.lit(0)).alias("__g"),
         )
     )
+
     # per-subspace argmin over the broadcast codebook; the winner carries
     # its OWN sub-codes so ADC needs no positional lookup (collect_list
-    # order never matters: argmin is order-independent, ties break on cid)
-    def _best(jj: int):
-        # single-arg lambda only: F.transform reads a second lambda
-        # parameter as the array INDEX column
-        return F.array_min(
-            F.transform(
-                F.col("__cb"),
-                lambda e: F.struct(
-                    _d2(
-                        F.element_at(F.col("__subs"), jj + 1),
-                        F.element_at(e.subs, jj + 1),
-                    ).alias("d"),
-                    e.cid.alias("cid"),
-                    F.element_at(e.subs, jj + 1).alias("cc_sub"),
-                ),
-            )
+    # order never matters: argmin is order-independent, ties break on cid).
+    # Assembled as SQL strings, not Python HOF lambdas: the m=16 argmin
+    # transforms each wrapping a _int_l2 fold measured ~1.7 s of py4j
+    # plan-construction latency per query (the dominant cost of
+    # ext_ann_pq at sf0.1 — build, not execution); one F.expr parse per
+    # column yields the identical expression tree (r7, the ann_pq_served
+    # lesson applied in-plan; equality pinned by the unchanged oracle).
+    def _best_sql(jj: int) -> str:
+        d = _int_l2_sql(
+            f"element_at(__subs, {jj + 1})", f"element_at(e.subs, {jj + 1})"
+        )
+        return (
+            f"array_min(transform(__cb, e -> struct({d} AS d, "
+            f"e.cid AS cid, element_at(e.subs, {jj + 1}) AS cc_sub)))"
         )
 
-    best_structs = [_best(j) for j in range(m)]
     staged = pre.select(
         F.col(id_col),
         "__qs",
-        F.array(*best_structs).alias("__pq"),
+        F.expr("array(%s)" % ",".join(_best_sql(j) for j in range(m))).alias(
+            "__pq"
+        ),
         "__g",
     )
-    adc = F.col("__g")
-    cids = []
-    for j in range(m):
-        e = F.element_at(F.col("__pq"), j + 1)
-        adc = adc + _d2(
-            F.element_at(F.col("__qs"), j + 1), e.getField("cc_sub")
+    adc_sql = " + ".join(
+        _int_l2_sql(
+            f"element_at(__qs, {j + 1})", f"element_at(__pq, {j + 1}).cc_sub"
         )
-        cids.append(e.getField("cid").cast("string"))
+        for j in range(m)
+    )
+    code_sql = "concat_ws('-', %s)" % ",".join(
+        f"CAST(element_at(__pq, {j + 1}).cid AS STRING)" for j in range(m)
+    )
     return (
         staged.select(
             F.col(id_col),
-            F.concat_ws("-", *cids).alias("pq_code"),
-            adc.alias("adc_dist2"),
+            F.expr(code_sql).alias("pq_code"),
+            (F.col("__g") + F.expr(adc_sql)).alias("adc_dist2"),
         )
         .orderBy(F.col("adc_dist2").asc(), F.col(id_col))
         .limit(k)
@@ -956,41 +970,35 @@ def write_vector_index_pq(
         spark.read.parquet(f"{path}/codebook")
         .agg(F.collect_list(F.struct("pos", "cid", "cc")).alias("__cb0"))
         .select(
-            F.transform(
-                "__cb0",
-                lambda e: F.struct(
-                    e.pos.alias("pos"),
-                    e.cid.alias("cid"),
-                    _pq_subs_of(e.cc, m, dsub).alias("subs"),
-                ),
+            F.expr(
+                "transform(__cb0, e -> struct(e.pos AS pos, e.cid AS cid, "
+                f"{_pq_subs_sql('e.cc', m, dsub)} AS subs))"
             ).alias("__cb")
         )
     )
     pre = codes.crossJoin(F.broadcast(cb_row)).select(
         F.col(id_col),
         "__cb",
-        _pq_subs_of(F.col("codes"), m, dsub).alias("__subs"),
+        F.expr(_pq_subs_sql("codes", m, dsub)).alias("__subs"),
         F.col("codes").alias("__codes"),
     )
 
-    def _best(jj: int):
-        return F.array_min(
-            F.transform(
-                F.col("__cb"),
-                lambda e: F.struct(
-                    _int_l2(
-                        F.element_at(F.col("__subs"), jj + 1),
-                        F.element_at(e.subs, jj + 1),
-                    ).alias("d"),
-                    e.cid.alias("cid"),
-                    e.pos.alias("pos"),
-                ),
-            )
-        ).getField("pos")
+    # SQL-string assembly for the m argmin transforms — see pq_adc_topk
+    # (identical expression tree, one parse instead of ~10k py4j calls)
+    def _best_sql(jj: int) -> str:
+        d = _int_l2_sql(
+            f"element_at(__subs, {jj + 1})", f"element_at(e.subs, {jj + 1})"
+        )
+        return (
+            f"array_min(transform(__cb, e -> struct({d} AS d, "
+            f"e.cid AS cid, e.pos AS pos))).pos"
+        )
 
     encoded = pre.select(
         F.col(id_col),
-        F.array(*[_best(j) for j in range(m)]).alias("pq"),
+        F.expr("array(%s)" % ",".join(_best_sql(j) for j in range(m))).alias(
+            "pq"
+        ),
         F.col("__codes").alias("codes"),
     )
     b = lsh_bucket_int8(encoded, num_planes=num_planes, dim=dim)
