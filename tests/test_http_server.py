@@ -1,0 +1,173 @@
+"""Live HTTP serving surface tests: real sockets against the stdlib
+threading server (``search/http_server.py``) — the reference's
+``api/Handler.java`` controller + the Angular client contract
+(``crud.service.ts``): envelope field names, ``{user,tweet}`` pairing,
+in-band error convention, CORS header, concurrent GETs."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from urllib.parse import quote
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+from job_search_engine_using_pyspark_solar_and_angular_spark.search.http_server import (
+    SearchService,
+    serve,
+)
+from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+    build_index,
+)
+
+from .conftest import SF_DIR
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=120) as resp:
+        return resp.status, dict(resp.headers), json.loads(resp.read())
+
+
+@pytest.fixture(scope="module")
+def service(spark):
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .withColumn("owner", (F.col("doc_id") % 100) + 1)
+        .withColumn("hashtags", F.split("text", " "))
+        .cache()
+    )
+    users = load_table(spark, SF_DIR, "customer").cache()
+    return SearchService(
+        spark,
+        build_index(docs, cache=True),
+        docs,
+        users=users,
+        doc_user_key=("owner", "c_custkey"),
+        user_name_col="c_name",
+        doc_time_col="doc_id",
+        tags_col="hashtags",
+    )
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    with serve(service) as handle:
+        yield handle
+
+
+def test_query_route_envelope(server, service):
+    """Handler.java:33-74: the query route's envelope — count, data as
+    {user,tweet} pairs, in-band status_code/message — over a real socket,
+    byte-identical to the direct service call."""
+    status, headers, body = _get(
+        server.url + "/api/search/query?query=" + quote("spark join")
+    )
+    assert status == 200
+    assert headers["Content-Type"] == "application/json"
+    assert headers["Access-Control-Allow-Origin"] == "*"  # @CrossOrigin("*")
+    assert body["status_code"] == 200 and body["message"] == "Success"
+    assert body["count"] == len(body["data"]) > 0
+    for hit in body["data"]:
+        assert set(hit) == {"tweet", "user"}
+        assert "score" in hit["tweet"] and "doc_id" in hit["tweet"]
+        assert hit["user"] is not None and "c_name" in hit["user"]
+    scores = [h["tweet"]["score"] for h in body["data"]]
+    assert scores == sorted(scores, reverse=True)
+    direct = service.query("spark join")
+    assert json.loads(json.dumps(direct, default=str)) == body
+
+
+def test_hashtag_route(server):
+    """Handler.java:76-117: exact-match tag search, time-desc ids."""
+    status, _, body = _get(server.url + "/api/search/hashtag?tag=spark")
+    assert status == 200 and body["status_code"] == 200
+    ids = [h["tweet"]["doc_id"] for h in body["data"]]
+    assert ids and ids == sorted(ids, reverse=True)
+
+
+def test_user_route(server, service):
+    """Handler.java:119-161: one user object + their items under tweets."""
+    # owner = doc_id % 100 + 1 ∈ 1..100; c_custkey starts at 0, so pick a
+    # user that actually owns documents.
+    name = service.users.filter(F.col("c_custkey") == 1).first()["c_name"]
+    status, _, body = _get(server.url + "/api/search/user?id=" + quote(name))
+    assert status == 200 and body["status_code"] == 200
+    assert body["user"]["c_name"] == name
+    assert body["count"] == len(body["tweets"])
+    ids = [t["doc_id"] for t in body["tweets"]]
+    assert ids == sorted(ids, reverse=True)
+
+
+def test_unknown_route_404(server):
+    """Only a route OUTSIDE the controller surface is a real HTTP 404."""
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(server.url + "/api/search/nope?x=1")
+    assert exc.value.code == 404
+    with pytest.raises(urllib.error.HTTPError):
+        _get(server.url + "/other")
+
+
+def test_error_is_in_band(server):
+    """Handler.java:66-72: failures return HTTP 200 with status_code=500 in
+    the body (the Angular client reads the envelope, not the HTTP status).
+    The vector route is unconfigured on this service -> in-band error."""
+    status, _, body = _get(server.url + "/api/search/vector?vec=0.1,0.2")
+    assert status == 200
+    assert body["status_code"] == 500
+    assert body["message"] == "Internal Server Error"
+
+
+def test_extension_routes(server):
+    status, _, body = _get(server.url + "/api/search/autocomplete?prefix=sp")
+    assert status == 200 and body["status_code"] == 200
+    assert all(h["token"].startswith("sp") for h in body["data"])
+    status, _, body = _get(server.url + "/api/search/suggest?prev=spark")
+    assert status == 200 and body["status_code"] == 200
+    for h in body["data"]:
+        assert 0.0 < h["p"] <= 1.0
+
+
+def test_concurrent_requests(server):
+    """ThreadingHTTPServer + Spark's thread-safe action submission: four
+    concurrent GETs across three routes all come back green."""
+    urls = [
+        server.url + "/api/search/query?query=spark",
+        server.url + "/api/search/hashtag?tag=join",
+        server.url + "/api/search/autocomplete?prefix=a",
+        server.url + "/api/search/query?query=" + quote("window join"),
+    ]
+    with ThreadPoolExecutor(4) as pool:
+        results = list(pool.map(_get, urls))
+    for status, _, body in results:
+        assert status == 200 and body["status_code"] == 200
+
+
+def test_vector_route(spark, tmp_path):
+    """The vector extension route against a real on-disk LSH index."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
+        write_vector_index_int8,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "vecidx")
+    write_vector_index_int8(emb, path)
+    docs = load_table(spark, SF_DIR, "documents")
+    svc = SearchService(
+        spark, None, docs, vector_index_path=path, k=5
+    )
+    qv = emb.orderBy("vec_id").first()["embedding"]
+    with serve(svc) as handle:
+        status, _, body = _get(
+            handle.url
+            + "/api/search/vector?vec="
+            + ",".join(f"{x:.6f}" for x in qv)
+            + "&k=5"
+        )
+    assert status == 200 and body["status_code"] == 200
+    assert body["count"] == len(body["data"]) == 5
+    sims = [h["sim"] for h in body["data"]]
+    assert sims == sorted(sims, reverse=True)
+    assert body["data"][0]["sim"] >= 0.99  # the query vector finds itself
