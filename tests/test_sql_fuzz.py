@@ -318,6 +318,172 @@ def test_sql_differential_fuzz_rollup(spark, ddb, sql):
     ), sql
 
 
+@st.composite
+def _frame_window_query(draw):
+    """Explicit frame specifications — the window surface where engines
+    most often diverge (default-frame rules, RANGE vs ROWS membership,
+    frame-bound validation). Every window here carries an EXPLICIT frame
+    and a unique ORDER BY key (event_id), so both engines must agree
+    row-for-row. Integer RANGE frames are included deliberately: the
+    sf0.1 oracle sweep caught a real RANGE-membership hazard on raw
+    timestamps (see verify skill §4), and this pins the integer case."""
+    part = draw(
+        st.sampled_from(
+            ["PARTITION BY event_type", f"PARTITION BY user_id % {draw(st.integers(2, 5))}", ""]
+        )
+    )
+    a = draw(st.integers(0, 5))
+    b = draw(st.integers(0, 5))
+    frame = draw(
+        st.sampled_from(
+            [
+                f"ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING",
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND {b} FOLLOWING",
+                f"ROWS BETWEEN {a} PRECEDING AND UNBOUNDED FOLLOWING",
+                "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+                f"RANGE BETWEEN {a * 10} PRECEDING AND {b * 10} FOLLOWING",
+                "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            ]
+        )
+    )
+    over = f"OVER ({part} ORDER BY event_id {frame})".replace("( ", "(")
+    fn = draw(
+        st.sampled_from(
+            [
+                "SUM(user_id)",
+                "COUNT(*)",
+                "MIN(event_id)",
+                "MAX(event_id)",
+                "FIRST_VALUE(event_id)",
+                "LAST_VALUE(event_id)",
+            ]
+        )
+    )
+    # rankers take no frame; mix them in with the same (part, order) spec
+    if draw(st.booleans()):
+        fn = draw(
+            st.sampled_from(
+                [
+                    f"NTILE({draw(st.integers(2, 7))})",
+                    f"LEAD(event_id, {draw(st.integers(1, 3))}, -1)",
+                    f"LAG(event_id, {draw(st.integers(1, 3))}, -1)",
+                    "DENSE_RANK()",
+                ]
+            )
+        )
+        over = f"OVER ({part} ORDER BY event_id)".replace("( ", "(")
+    where = draw(_predicate)
+    return (
+        f"SELECT event_id, CAST({fn} {over} AS BIGINT) AS w "
+        f"FROM events WHERE {where} ORDER BY event_id LIMIT 300"
+    )
+
+
+@given(sql=_frame_window_query())
+@_SET
+def test_sql_differential_fuzz_frames(spark, ddb, sql):
+    """Explicit ROWS/RANGE frames and frame-less rankers must agree."""
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    s = spark.sql(sql)
+    s_rows = [tuple(r) for r in s.collect()]
+    d = ddb.execute(sql)
+    assert canon_rows(s.columns, s_rows) == canon_rows(
+        [c[0] for c in d.description], d.fetchall()
+    ), sql
+
+
+@st.composite
+def _outer_join_query(draw):
+    """Outer joins with predicates split between ON and WHERE — the
+    null-extension rules (an ON-clause filter on the null-supplying side
+    must NOT turn the join inner; a WHERE-clause filter must) are where
+    optimizer pushdown bugs show up. Aggregated to keep outputs small and
+    COALESCE'd so null-extended rows canonicalize identically."""
+    jt = draw(st.sampled_from(["LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]))
+    on_extra = draw(
+        st.sampled_from(
+            [
+                "",
+                f" AND event_id < {draw(st.integers(5, 150))}",
+                f" AND event_type = '{draw(st.sampled_from(_TYPES))}'",
+            ]
+        )
+    )
+    where = draw(
+        st.sampled_from(
+            [
+                "",
+                f" WHERE c_custkey < {draw(st.integers(20, 400))}",
+                # null-supplying-side WHERE predicate that KEEPS nulls
+                " WHERE event_id IS NULL OR event_id % 2 = 0",
+            ]
+        )
+    )
+    left, right = ("customer", "events") if jt != "RIGHT JOIN" else ("events", "customer")
+    return (
+        "SELECT CAST(COALESCE(c_custkey, -1) AS BIGINT) AS ck, "
+        "CAST(COUNT(event_id) AS BIGINT) AS ne, "
+        "CAST(COALESCE(SUM(event_id), -1) AS BIGINT) AS se "
+        f"FROM {left} {jt} {right} ON user_id = c_custkey{on_extra}"
+        f"{where} GROUP BY ck ORDER BY ck"
+    )
+
+
+@given(sql=_outer_join_query())
+@_SET
+def test_sql_differential_fuzz_outer_joins(spark, ddb, sql):
+    """Outer-join null extension with ON- vs WHERE-side predicates must
+    agree exactly."""
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    load_table(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
+    s = spark.sql(sql)
+    s_rows = [tuple(r) for r in s.collect()]
+    d = ddb.execute(sql)
+    assert canon_rows(s.columns, s_rows) == canon_rows(
+        [c[0] for c in d.description], d.fetchall()
+    ), sql
+
+
+@st.composite
+def _scalar_subquery_query(draw):
+    """Correlated scalar subqueries in the projection — NULL when the
+    correlation finds no rows, and both engines must produce that NULL
+    (not 0) and agree on the aggregate's value otherwise."""
+    agg = draw(st.sampled_from(["MAX(event_id)", "MIN(event_id)", "COUNT(*)"]))
+    cut = draw(st.integers(5, 200))
+    cond = draw(
+        st.sampled_from(
+            [
+                f"e.event_id < {cut}",
+                f"e.event_type = '{draw(st.sampled_from(_TYPES))}'",
+                f"e.event_id % {draw(st.integers(2, 5))} = 0",
+            ]
+        )
+    )
+    lim = draw(st.integers(30, 200))
+    return (
+        "SELECT CAST(c_custkey AS BIGINT) AS ck, "
+        f"CAST((SELECT {agg} FROM events e "
+        f"WHERE e.user_id = c_custkey AND {cond}) AS BIGINT) AS sq "
+        f"FROM customer ORDER BY ck LIMIT {lim}"
+    )
+
+
+@given(sql=_scalar_subquery_query())
+@_SET
+def test_sql_differential_fuzz_scalar_subquery(spark, ddb, sql):
+    """Correlated scalar subqueries (NULL on empty correlation) must
+    agree exactly."""
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    load_table(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
+    s = spark.sql(sql)
+    s_rows = [tuple(r) for r in s.collect()]
+    d = ddb.execute(sql)
+    assert canon_rows(s.columns, s_rows) == canon_rows(
+        [c[0] for c in d.description], d.fetchall()
+    ), sql
+
+
 def test_rollup_empty_input_divergence_is_known(spark, ddb):
     """PINNED ENGINE DIVERGENCE (found by the rollup fuzzer's first run):
     GROUP BY ROLLUP / GROUPING SETS over an EMPTY input. ANSI (and
