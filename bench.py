@@ -215,6 +215,50 @@ def bench_bm25_served(spark, sf_dir: str) -> float:
     )
 
 
+def bench_http_served(spark, sf_dir: str) -> float:
+    """End-to-end HTTP request latency for the reference's /api/search/query
+    route (search/http_server.py): socket in → BM25 against the on-disk
+    bucketed index → doc rows joined back → broadcast user join → envelope
+    JSON out. Reuses bench_bm25_served's cached index, so the delta over
+    q20_bm25_served is the doc/user join-back + k-row marshaling + HTTP —
+    the full serving stack the Angular client sees."""
+    import json as _json
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.http_server import (
+        SearchService,
+        serve,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+        read_index,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(BENCH_DIR, f"index_{sf_tag}")
+    table = f"jse_bench_postings_{sf_tag.replace('.', '_')}"
+    idx = read_index(spark, base, table=table)  # built by bench_bm25_served
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "owner", (F.col("doc_id") % 100) + 1
+    )
+    users = load_table(spark, sf_dir, "customer")
+    svc = SearchService(
+        spark, idx, docs, users=users, doc_user_key=("owner", "c_custkey")
+    )
+    with serve(svc) as handle:
+        url = handle.url + "/api/search/query?query=spark%20join"
+
+        def one() -> None:
+            with urllib.request.urlopen(url, timeout=300) as resp:
+                body = _json.loads(resp.read())
+            assert body["status_code"] == 200 and body["count"] > 0
+
+        one()  # warm (index relation resolution + codegen)
+        return timed_min("http_query_served", one)
+
+
 def bench_ann_served(spark, sf_dir: str) -> float:
     """The served ANN deployment shape beside q20_bm25_served: integer-LSH
     query against the on-disk bucket-partitioned vector index (dynamic
@@ -800,6 +844,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     timings["q20_bm25_served"] = bench_bm25_served(spark, sf_dir)
+    timings["http_query_served"] = bench_http_served(spark, sf_dir)
     timings["ann_lsh_served"] = bench_ann_served(spark, sf_dir)
     timings["ann_lsh_served_vec"] = bench_ann_served_vec(spark, sf_dir)
     timings["ann_pq_served"] = bench_ann_pq_served(spark, sf_dir)
