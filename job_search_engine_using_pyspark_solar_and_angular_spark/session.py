@@ -22,12 +22,17 @@ def get_spark(
     app_name: str = "jse-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
     ``master`` defaults to ``local[N]`` where N comes from ``SPARK_GRAFT_CPUS``
     (driver contract) or all cores. On a real cluster, pass ``master=None`` and
     let spark-submit own it; every conf below is cluster-safe.
+
+    ``extra_conf`` entries are applied LAST (they win over the defaults) —
+    for context-startup-only settings like ``spark.scheduler.mode`` that a
+    live session cannot change. No effect when a session already exists.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
@@ -56,4 +61,6 @@ def get_spark(
         # their DataFrame is GC'd so long iterative jobs don't fill the dir.
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
