@@ -37,11 +37,15 @@ from pyspark.sql import DataFrame
 
 from .api import (
     autocomplete,
+    phrase_search,
+    related_docs,
+    search_facets,
     search_hashtag,
     search_keyword,
     search_user,
     search_vector,
     suggest_next_token,
+    tokenize_query,
 )
 
 # constants/APIConstants.java:5-17 — same names, same codes, same messages.
@@ -185,6 +189,27 @@ class SearchService:
         data = _rows(hits)
         return _ok({COUNT: len(data), DATA: data})
 
+    def phrase(self, query: str, k: int | None = None) -> dict[str, Any]:
+        """Exact phrase matching over positional postings."""
+        terms = tokenize_query(query)
+        if not terms:
+            raise ValueError("empty phrase")
+        data = _rows(phrase_search(self.docs, terms, k=k or self.k))
+        return _ok({COUNT: len(data), DATA: data})
+
+    def related(self, doc_id: int, k: int | None = None) -> dict[str, Any]:
+        """More-Like-This: top-k docs related to ``doc_id``."""
+        data = _rows(related_docs(self.docs, doc_id, k=k or self.k))
+        return _ok({COUNT: len(data), DATA: data})
+
+    def facets(self, query: str, cols: list[str], top: int = 5) -> dict[str, Any]:
+        """Facet counts over the matching set (Solr facet component)."""
+        if self.index is None:
+            raise ValueError("facets route needs an index")
+        terms = tokenize_query(query)
+        data = _rows(search_facets(self.index, self.docs, terms, cols, top=top))
+        return _ok({COUNT: len(data), DATA: data})
+
     def suggest(self, prev: str, k: int = 5) -> dict[str, Any]:
         data = _rows(suggest_next_token(self.docs, prev, k=k))
         return _ok({COUNT: len(data), DATA: data})
@@ -208,6 +233,7 @@ class _Handler(BaseHTTPRequestHandler):
         "user": ("user", "id"),
         "suggest": ("suggest", "prev"),
         "autocomplete": ("complete", "prefix"),
+        "phrase": ("phrase", "q"),
     }
 
     def do_GET(self) -> None:  # noqa: N802 (http.server contract)
@@ -224,6 +250,12 @@ class _Handler(BaseHTTPRequestHandler):
                 vec = [float(x) for x in raw.split(",") if x.strip()]
                 k = int(qs.get("k", [str(self.service.k)])[0])
                 body = self.service.vector(vec, k=k)
+            elif route == "related":
+                body = self.service.related(int(qs.get("doc_id", [""])[0]))
+            elif route == "facets":
+                cols = [c for c in qs.get("cols", [""])[0].split(",") if c]
+                top = int(qs.get("top", ["5"])[0])
+                body = self.service.facets(qs.get("query", [""])[0], cols, top=top)
             elif route in self.ROUTES:
                 method, param = self.ROUTES[route]
                 arg = qs.get(param, [""])[0]

@@ -130,6 +130,36 @@ def test_extension_routes(server):
         assert 0.0 < h["p"] <= 1.0
 
 
+def test_phrase_related_facets_routes(server):
+    """The remaining Lucene-surface capabilities over the socket: phrase
+    (positional postings), More-Like-This, facet counts."""
+    status, _, body = _get(
+        server.url + "/api/search/phrase?q=" + quote("window join")
+    )
+    assert status == 200 and body["status_code"] == 200
+    for h in body["data"]:
+        assert h["n_occurrences"] >= 1
+
+    status, _, body = _get(server.url + "/api/search/related?doc_id=1")
+    assert status == 200 and body["status_code"] == 200
+    assert body["count"] > 0
+    sims = [h["sim"] for h in body["data"]]
+    assert sims == sorted(sims, reverse=True)
+    assert all(h["doc_id"] != 1 for h in body["data"])
+
+    status, _, body = _get(
+        server.url + "/api/search/facets?query=spark&cols=lang,source&top=3"
+    )
+    assert status == 200 and body["status_code"] == 200
+    facets = {h["facet"] for h in body["data"]}
+    assert facets == {"lang", "source"}
+    assert all(h["rn"] <= 3 for h in body["data"])
+
+    # malformed doc_id -> in-band 500, never a stack trace
+    status, _, body = _get(server.url + "/api/search/related?doc_id=abc")
+    assert status == 200 and body["status_code"] == 500
+
+
 def test_concurrent_requests(server):
     """ThreadingHTTPServer + Spark's thread-safe action submission: four
     concurrent GETs across three routes all come back green."""
