@@ -323,3 +323,39 @@ def serve(
     (context-manager). The reference runs this as a Spring Boot app on
     :8080; here the caller owns lifetime — tests bind port 0."""
     return ServerHandle(make_server(service, host=host, port=port))
+
+
+def main(argv: list[str] | None = None) -> None:
+    """``python -m ...search.http_server --sf-dir DIR [--port 8080]`` —
+    stand up the full serving stack the way the reference stands up its
+    Spring app: build (or reuse) the session, index the documents table,
+    bind the routes, block until Ctrl-C. For a production deployment over
+    a streamed index, construct SearchService against ``read_index`` of
+    the serve loop's manifest instead (DEPLOY.md §8)."""
+    import argparse
+
+    from ..io import load_table
+    from ..session import get_spark
+    from .index import build_index
+
+    ap = argparse.ArgumentParser(description="jse search REST endpoint")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="jse-serve")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, args.sf_dir, "documents")
+    svc = SearchService(spark, build_index(docs, cache=True), docs, k=args.k)
+    handle = serve(svc, host=args.host, port=args.port)
+    print(f"serving {args.sf_dir} on {handle.url}/api/search/...", flush=True)
+    try:
+        handle.thread.join()
+    except KeyboardInterrupt:
+        handle.close()
+
+
+if __name__ == "__main__":
+    main()
