@@ -78,20 +78,39 @@ def fingerprint(plan: str) -> dict[str, int]:
     return {op: plan.count(op) for op in OPS if plan.count(op) > 0}
 
 
+# The scale-critical LLM-pipeline compositions: the plans whose silent
+# degradation costs the most at 100 TB (bucketed LSH self-joins, the
+# curation funnel's single-scan projection, ADC serving). Gated alongside
+# the declared set + TPC-H dossier.
+PIPELINE_HEAVIES = [
+    "ext_preprocess_pipeline",
+    "ext_dedup_clusters",
+    "ext_verified_clusters",
+    "ext_curation_verdict",
+    "ext_decontaminate",
+    "ext_simhash",
+    "ext_minhash_candidates",
+    "ext_ann_pq",
+    "ext_ann_pq_rerank",
+    "ext_ann_lsh_quantized",
+]
+
+
 def declared_names(queries) -> list[str]:
     """The gated set: the declared queries (Q01-Q24 + sql_frontdoor — the
-    reference's own surface) plus the TPC-H dossier (ext_tpch_q1..q22) —
-    the join-heaviest plans in the registry, where a broadcast silently
-    flipping to sort-merge costs the most at scale. These are the plans
-    the suite holds to the committed baseline; the other extensions are
-    covered by the report-only diff (their plans change legitimately as
-    operators evolve)."""
+    reference's own surface), the TPC-H dossier (ext_tpch_q1..q22) — the
+    join-heaviest plans in the registry, where a broadcast silently
+    flipping to sort-merge costs the most at scale — and the LLM-pipeline
+    heavies above. These are the plans the suite holds to the committed
+    baseline; the other extensions are covered by the report-only diff
+    (their plans change legitimately as operators evolve)."""
     return [
         n
         for n in queries
         if (n.startswith("q") and n[1].isdigit())
         or n == "sql_frontdoor"
         or n.startswith("ext_tpch_q")
+        or n in PIPELINE_HEAVIES
     ]
 
 
