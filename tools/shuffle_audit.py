@@ -1,0 +1,152 @@
+"""Shuffle-volume audit: measured shuffle read/write bytes, spill, and
+input bytes PER QUERY, at two scale factors — the scaling evidence that
+wall-clock alone can't give. A query whose time scales fine on local[32]
+can still hide shuffle volume growing super-linearly with input (the
+thing that kills at 100 TB when the shuffle no longer fits the cluster's
+disks/network); bytes don't lie.
+
+Method: a dedicated session with the UI's REST status API enabled
+(spark.ui.enabled=true — the engine's default session disables it), one
+snapshot of the completed-stage metric sums before and after each query;
+the delta is that query's volume. Ratios between SFs give the scaling
+exponent: shuffle_ratio ≈ SF-ratio means linear (healthy — partial aggs
+and bucketing are doing their job); >> SF-ratio flags a join or agg whose
+shuffle grows faster than the data.
+
+Usage:
+  python tools/shuffle_audit.py [query ...]   # default: the heavy set
+Writes .bench/shuffle_audit.json and prints one row per (query, sf).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+UI_PORT = int(os.environ.get("JSE_AUDIT_UI_PORT", "4049"))
+
+# the shuffle-heaviest compositions: dedup/LSH self-joins, the curation
+# funnel, TPC-H joins, PQ build, pagerank iterations
+DEFAULT_QUERIES = [
+    "q11_agg_tpch_q1",
+    "ext_tpch_q9",
+    "ext_tpch_q18",
+    "ext_tpch_q21",
+    "ext_dedup_clusters",
+    "ext_verified_clusters",
+    "ext_curation_verdict",
+    "ext_preprocess_pipeline",
+    "ext_simhash",
+    "ext_ann_pq",
+    "ext_pagerank",
+    "ext_bpe_encode",
+]
+
+METRICS = (
+    "shuffleWriteBytes",
+    "shuffleReadBytes",
+    "memoryBytesSpilled",
+    "diskBytesSpilled",
+    "inputBytes",
+)
+
+
+def _rest(path: str):
+    url = f"http://127.0.0.1:{UI_PORT}/api/v1/{path}"
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def _snapshot(app_id: str) -> dict[str, int]:
+    """Sum of each metric over all completed/failed stages so far."""
+    totals = dict.fromkeys(METRICS, 0)
+    for status in ("COMPLETE", "FAILED"):
+        for st in _rest(f"applications/{app_id}/stages?status={status.lower()}"):
+            for m in METRICS:
+                totals[m] += int(st.get(m, 0) or 0)
+    return totals
+
+
+def _stable_snapshot(app_id: str) -> dict[str, int]:
+    """The status API publishes stage completion asynchronously (listener
+    bus → AppStatusStore); settle first, then read until three consecutive
+    snapshots agree — two can both be stale right after a job ends."""
+    time.sleep(1.0)
+    prev = _snapshot(app_id)
+    agree = 0
+    for _ in range(30):
+        time.sleep(0.4)
+        cur = _snapshot(app_id)
+        agree = agree + 1 if cur == prev else 0
+        if agree >= 2:
+            return cur
+        prev = cur
+    return prev
+
+
+def main() -> None:
+    from job_search_engine_using_pyspark_solar_and_angular_spark.session import get_spark
+
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark(
+        app_name="jse-shuffle-audit",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    app_id = _rest("applications")[0]["id"]
+
+    out: dict[str, dict[str, dict[str, float]]] = {}
+    for sf_dir in SFS:
+        sf_tag = os.path.basename(sf_dir.rstrip("/"))
+        for name in names:
+            base = _stable_snapshot(app_id)
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            after = _stable_snapshot(app_id)
+            row = {m: (after[m] - base[m]) / 1e6 for m in METRICS}
+            row["sec"] = round(dt, 3)
+            out.setdefault(name, {})[sf_tag] = {k: round(v, 2) for k, v in row.items()}
+            print(
+                f"{name:28s} {sf_tag}: write={row['shuffleWriteBytes']:10.1f}MB "
+                f"read={row['shuffleReadBytes']:10.1f}MB "
+                f"spill={row['diskBytesSpilled']:8.1f}MB "
+                f"input={row['inputBytes']:10.1f}MB  {dt:6.2f}s"
+            )
+
+    # scaling verdicts: sf0.1 vs sf0.01 is 10x the data
+    verdicts = {}
+    for name, rows in out.items():
+        a, b = rows.get("sf0.01"), rows.get("sf0.1")
+        if not (a and b):
+            continue
+        ratio = (
+            b["shuffleWriteBytes"] / a["shuffleWriteBytes"]
+            if a["shuffleWriteBytes"] > 0.1
+            else None
+        )
+        verdicts[name] = {
+            "shuffle_write_ratio_10x": round(ratio, 2) if ratio else None,
+            "input_ratio_10x": round(b["inputBytes"] / max(a["inputBytes"], 0.1), 2),
+            "superlinear": bool(ratio and ratio > 15.0),
+        }
+    doc = {"queries": out, "verdicts_10x": verdicts}
+    os.makedirs(os.path.join(REPO, ".bench"), exist_ok=True)
+    with open(os.path.join(REPO, ".bench", "shuffle_audit.json"), "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(verdicts))
+
+
+if __name__ == "__main__":
+    main()
