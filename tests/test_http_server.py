@@ -33,14 +33,18 @@ def _get(url: str):
 
 @pytest.fixture(scope="module")
 def service(spark):
+    # cache only DERIVED plans (extra columns), never a bare load_table
+    # result: the shared session's cache manager substitutes a cached
+    # relation into ANY later matching plan, and a cached raw `customer`
+    # scan would break the parquet-pushdown plan pins in test_plans.py.
     docs = (
         load_table(spark, SF_DIR, "documents")
         .withColumn("owner", (F.col("doc_id") % 100) + 1)
         .withColumn("hashtags", F.split("text", " "))
         .cache()
     )
-    users = load_table(spark, SF_DIR, "customer").cache()
-    return SearchService(
+    users = load_table(spark, SF_DIR, "customer")
+    yield SearchService(
         spark,
         build_index(docs, cache=True),
         docs,
@@ -50,6 +54,7 @@ def service(spark):
         doc_time_col="doc_id",
         tags_col="hashtags",
     )
+    docs.unpersist()
 
 
 @pytest.fixture(scope="module")
