@@ -72,6 +72,9 @@ ALWAYS_BAD = {"CartesianProduct", "BatchEvalPython"}
 
 
 DECLARED_BASELINE = os.path.join(REPO, "tests", "plan_baseline_declared.json")
+# committed full-registry snapshot: the diff baseline that survives the
+# per-container .bench reset (refresh deliberately via --write-snapshot)
+SNAPSHOT = os.path.join(REPO, "tools", "plan_fingerprints_snapshot.json")
 
 
 def fingerprint(plan: str) -> dict[str, int]:
@@ -214,6 +217,15 @@ def main() -> int:
             os.replace(CUR, PREV)
         except (OSError, ValueError):
             pass
+    if not prior and os.path.isfile(SNAPSHOT):
+        # fresh container (.bench is gitignored and per-container): fall
+        # back to the committed full-registry snapshot so the diff still
+        # has cross-round teeth; refresh it with --write-snapshot
+        try:
+            with open(SNAPSHOT, encoding="utf-8") as fh:
+                prior = json.load(fh).get("fingerprints", {})
+        except (OSError, ValueError):
+            pass
 
     changed = {}
     for name, fp in fps.items():
@@ -231,6 +243,15 @@ def main() -> int:
         json.dump(
             {"sf_dir": SF_DIR, "fingerprints": fps, "errors": errors}, fh, indent=1
         )
+    if "--write-snapshot" in sys.argv:
+        with open(SNAPSHOT, "w", encoding="utf-8") as fh:
+            json.dump(
+                {"sf_dir": SF_DIR, "fingerprints": fps},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {SNAPSHOT}", file=sys.stderr)
 
     print(
         json.dumps(
