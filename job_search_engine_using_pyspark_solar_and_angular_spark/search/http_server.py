@@ -122,6 +122,26 @@ class SearchService:
         self.k = k
         self._user_cols = set(users.columns) if users is not None else None
 
+    def refresh(
+        self,
+        index=None,
+        docs: DataFrame | None = None,
+        users: DataFrame | None = None,
+    ) -> None:
+        """Swap the served relations after an index publish — the serve
+        loop calls this post-manifest-flip (``read_served_index`` freezes
+        the manifest's segment list when called, so a new publish needs a
+        re-resolve). The HTTP server keeps running: reference assignment
+        is atomic under the GIL, in-flight requests finish on the old
+        relations, the next request sees the new ones."""
+        if index is not None:
+            self.index = index
+        if docs is not None:
+            self.docs = docs
+        if users is not None:
+            self.users = users
+            self._user_cols = set(users.columns)
+
     # -- the three reference routes ------------------------------------
     def query(self, query: str) -> dict[str, Any]:
         """``GET /api/search/query?query=`` (Handler.java:33-74)."""

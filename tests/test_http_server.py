@@ -180,6 +180,52 @@ def test_concurrent_requests(server):
         assert status == 200 and body["status_code"] == 200
 
 
+def test_refresh_across_index_publish_without_restart(spark, tmp_path):
+    """DEPLOY.md §8's operational claim, pinned end-to-end: the HTTP
+    endpoint keeps serving across a serve-loop index publish. Batch 0 is
+    indexed and served; a query for batch-1 vocabulary returns count 0;
+    the serve loop publishes batch 1; ``SearchService.refresh`` swaps the
+    re-resolved served index on the LIVE server (same socket, no
+    restart); the same query now hits."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search import (
+        serve_loop,
+    )
+
+    docs0 = [
+        (1, "spark shuffles partition data across executors for wide joins"),
+        (2, "parquet stores columns together enabling predicate pushdown"),
+    ]
+    docs1 = [(3, "zeppelin notebooks orchestrate interactive analysis sessions")]
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = str(tmp_path / "serving")
+    prefix = "http_rt_" + tmp_path.name.replace("-", "_").lower()
+    serve_loop.serve_batch(spark, _df(docs0), base, prefix, postings_buckets=4)
+
+    svc = SearchService(
+        spark, serve_loop.read_served_index(spark, base), _df(docs0), k=5
+    )
+    with serve(svc) as handle:
+        url = handle.url + "/api/search/query?query="
+        _, _, body = _get(url + "zeppelin")
+        assert body["status_code"] == 200 and body["count"] == 0
+        _, _, body = _get(url + "pushdown")
+        assert body["count"] == 1 and body["data"][0]["tweet"]["doc_id"] == 2
+
+        serve_loop.serve_batch(spark, _df(docs1), base, prefix, postings_buckets=4)
+        svc.refresh(
+            index=serve_loop.read_served_index(spark, base),
+            docs=_df(docs0 + docs1),
+        )
+
+        _, _, body = _get(url + "zeppelin")  # same socket, no restart
+        assert body["count"] == 1 and body["data"][0]["tweet"]["doc_id"] == 3
+        _, _, body = _get(url + "pushdown")  # old corpus still served
+        assert body["count"] == 1 and body["data"][0]["tweet"]["doc_id"] == 2
+
+
 def test_vector_route(spark, tmp_path):
     """The vector extension route against a real on-disk LSH index."""
     from job_search_engine_using_pyspark_solar_and_angular_spark.operators.similarity import (
