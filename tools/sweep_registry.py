@@ -34,6 +34,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")
 BENCH_DIR = os.path.join(REPO, ".bench")
 CUR = os.path.join(BENCH_DIR, "registry_sweep.json")
 PREV = os.path.join(BENCH_DIR, "registry_sweep_prev.json")
+# committed snapshot: the cross-container fallback baseline (.bench dies
+# with the container). Timings are host-specific, so snapshot comparisons
+# are host-calibrated via bench.host_calibration; refresh deliberately
+# with --write-snapshot.
+SNAPSHOT = os.path.join(REPO, "tools", "registry_sweep_snapshot.json")
 
 
 def main() -> int:
@@ -69,6 +74,8 @@ def main() -> int:
 
     prior = {}
     prior_meta = {}
+    calib_scale = 1.0
+    host_calib = None
     if os.path.isfile(CUR):
         try:
             with open(CUR, encoding="utf-8") as fh:
@@ -77,6 +84,30 @@ def main() -> int:
             prior_meta = {"prior_ts": doc.get("ts")}
             os.replace(CUR, PREV)
         except (OSError, ValueError):
+            pass
+    if not prior and os.path.isfile(SNAPSHOT):
+        # fresh container: fall back to the committed snapshot, scaled by
+        # relative host speed (this host's calibration kernel vs the one
+        # recorded when the snapshot was written)
+        try:
+            with open(SNAPSHOT, encoding="utf-8") as fh:
+                snap = json.load(fh)
+            import bench as _bench  # repo-root bench.py
+
+            host_calib = _bench.host_calibration()
+            snap_calib = snap.get("host_calib_sec")
+            if snap_calib:
+                calib_scale = host_calib / snap_calib
+            prior = {
+                k: round(v * calib_scale, 3)
+                for k, v in snap.get("timings", {}).items()
+            }
+            prior_meta = {
+                "prior_ts": snap.get("ts"),
+                "prior_source": "snapshot",
+                "snapshot_calib_scale": round(calib_scale, 3),
+            }
+        except (OSError, ValueError, ImportError):
             pass
 
     flagged = {}
@@ -98,6 +129,16 @@ def main() -> int:
     os.makedirs(BENCH_DIR, exist_ok=True)
     with open(CUR, "w", encoding="utf-8") as fh:
         json.dump(doc, fh, indent=1)
+    if "--write-snapshot" in sys.argv:
+        if host_calib is None:
+            import bench as _bench
+
+            host_calib = _bench.host_calibration()
+        with open(SNAPSHOT, "w", encoding="utf-8") as fh:
+            json.dump(
+                {**doc, "host_calib_sec": host_calib}, fh, indent=1, sort_keys=True
+            )
+        print(f"wrote {SNAPSHOT}", file=sys.stderr)
 
     print(
         json.dumps(
