@@ -180,6 +180,40 @@ def test_concurrent_requests(server):
         assert status == 200 and body["status_code"] == 200
 
 
+def test_queries_race_refresh_swaps(server, service, spark):
+    """refresh()'s atomic-swap claim under load: requests hammer the query
+    route while another thread swaps the served docs relation repeatedly.
+    Every response must be a coherent in-band 200 — a request sees either
+    the old or the new relations, never a torn mix or a 500."""
+    import threading
+
+    stop = threading.Event()
+    swaps = {"n": 0}
+    alt = service.docs  # swap between the same relation's two references
+    orig = service.docs
+
+    def swapper():
+        while not stop.is_set():
+            service.refresh(docs=alt if swaps["n"] % 2 else orig)
+            swaps["n"] += 1
+
+    t = threading.Thread(target=swapper, daemon=True)
+    t.start()
+    try:
+        urls = [
+            server.url + "/api/search/query?query=spark",
+            server.url + "/api/search/query?query=" + quote("window join"),
+        ] * 6
+        with ThreadPoolExecutor(4) as pool:
+            results = list(pool.map(_get, urls))
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert swaps["n"] > 0
+    for status, _, body in results:
+        assert status == 200 and body["status_code"] == 200 and body["count"] > 0
+
+
 def test_refresh_across_index_publish_without_restart(spark, tmp_path):
     """DEPLOY.md §8's operational claim, pinned end-to-end: the HTTP
     endpoint keeps serving across a serve-loop index publish. Batch 0 is
