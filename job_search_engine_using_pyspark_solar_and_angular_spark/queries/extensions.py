@@ -4931,14 +4931,24 @@ def ext_tpch_q19(spark, sf_dir):
 @query("ext_tpch_q21")
 def ext_tpch_q21(spark, sf_dir):
     """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS/NOT-EXISTS
-    pair over the same fact decorrelated into ONE per-order aggregate —
-    count of distinct suppliers and distinct LATE suppliers per finished
-    order — joined back to the late rows. The classic form re-scans lineitem
-    twice through correlated subqueries; the rewrite computes both
-    quantifiers in a single grouped pass (the DuckDB oracle keeps the
-    textbook EXISTS form, so the rewrite is verified against the original
+    pair over the same fact decorrelated into per-order aggregates joined
+    back to the late (order, supplier) pairs. The classic form re-scans
+    lineitem twice through correlated subqueries; the rewrite computes
+    both quantifiers relationally (the DuckDB oracle keeps the textbook
+    EXISTS form, so the rewrite is verified against the original
     semantics). "Late" = shipped > 365 days after order (receipt>commit
-    proxy; module note)."""
+    proxy; module note).
+
+    Aggregation is TWO-STAGE by design: dedup to (orderkey, suppkey,
+    max(late)) first, then plain count/sum per order. The single-pass
+    double-countDistinct form pays Catalyst's Expand (one input row per
+    distinct aggregate — 2x the shuffle rows), and its join-back side
+    re-shuffles the RAW late rows; staging lets both quantifiers AND the
+    join-back reuse the pair-grain relation. Measured at x100 facts
+    (60M lineitem, tools/probe_tpch_scale.py): 29.4 s -> 15.8 s, and the
+    x100/x1 time ratio drops ~32x -> ~15x — this was the shuffle-volume
+    audit's only super-linear entry (13.2x shuffle bytes at 10x data),
+    now in line with Q18."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
     rows = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
@@ -4948,23 +4958,23 @@ def ext_tpch_q21(spark, sf_dir):
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
         ).alias("is_late"),
     )
-    per_order = rows.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    per_pair = rows.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("late")
     )
+    # the waiting predicate is per-order only — filter BEFORE the join so
+    # the equi-join's build side is the small waiting-order set, not every
+    # (order, supplier) pair (as a join predicate it rode the non-equi
+    # condition and left both sides fact-grain — at x100 facts AQE then
+    # runtime-broadcast a ~40 MB fact-derived relation, the exact
+    # driver-OOM shape a 1000x corpus guarantees)
+    waiting = per_pair.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late_supp")
+    ).filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     s = load_table(spark, sf_dir, "supplier")
     culprit = (
-        rows.filter(F.col("is_late"))
-        .join(
-            per_order,
-            (F.col("l_orderkey") == F.col("ok"))
-            & (F.col("n_supp") > 1)
-            & (F.col("n_late_supp") == 1),
-        )
+        per_pair.filter(F.col("late") == 1)
+        .join(waiting, F.col("l_orderkey") == F.col("ok"))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     return (
         culprit.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))

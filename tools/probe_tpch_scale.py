@@ -14,6 +14,11 @@ the same size (their realistic shape: facts grow, dims don't).
 Usage:
   python tools/probe_tpch_scale.py [reps]     # default 20 (-> 12M lineitem)
 
+At reps=100 (60M lineitem) run with JSE_DRIVER_MEMORY=16g: five warmed
+60M-row query plans' broadcast variables accumulate in the single probe
+session and the default 8g driver can hit broadcast-build OOM between
+ContextCleaner passes (a probe-harness artifact — each query alone fits).
+
 Prints one JSON line with per-query sf0.1 vs replicated timings (min of
 2, noop-forced). Replicated tables cached under .bench/tpchrep_r{reps}.
 """
@@ -33,7 +38,16 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_DIR = os.path.join(REPO, ".bench")
-QUERIES_TO_PROBE = ["ext_tpch_q1", "ext_tpch_q5", "ext_tpch_q9", "ext_tpch_q18"]
+# q21 added in the r7 continuation: the shuffle-volume audit's only
+# mildly super-linear entry (13.2x shuffle write at 10x data — the
+# lineitem exists/not-exists self-join pair); probed here to bound it
+QUERIES_TO_PROBE = [
+    "ext_tpch_q1",
+    "ext_tpch_q5",
+    "ext_tpch_q9",
+    "ext_tpch_q18",
+    "ext_tpch_q21",
+]
 SMALL_TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "events", "documents", "embeddings",
