@@ -43,26 +43,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # pandas/arrow) by tools/certify_window.py before rotation:
 #   * slots 1-25: the declared set (Q01-Q24 + sql_frontdoor), the reference's
 #     own query surface (SURVEY.md §2.12) — always in;
-#   * slots 26-50 (r7 rotation #5, all 25 never-driver-certified): the full
-#     r6 window tail rotates out — the r5 cohort is now certified twice
-#     (r5+r6) and the ANN trio three times (held through r6 to re-certify
-#     the PQ m=16/ksub=32 retune that flows through ext_ann_pq /
-#     ext_ann_pq_rerank / the recall ladder; that composition is now
-#     driver-certified fact) — for the two pre-flighted batches:
-#       batch A: the TPC-H partsupp classics Q2/Q9/Q11/Q16/Q20 (driver has
-#       never certified any of the five; exercises the derived-partsupp
-#       contract), ext_lang_stopwords (the 47x HOF staging fix),
-#       BFS distances, bigram surprisal, unigram logprob, GROUPING SETS,
-#       exact median, personalized PageRank, multimodal frame sampling;
-#       batch B: moving average, z-score + MAD outliers, salted skew join,
-#       sliding window, readability, encoding audit, BPE encode, typo
-#       pairs, SQL LATERAL, dataset card, shard manifest (digest-as-string
-#       past 2^63).
-#     25 of the 26 batch slots fit; ext_kcore (pre-certified with batch B)
-#     is held for the r8 rotation. All 25 were pre-certified by
+#   * slots 26-50 (r8 rotation #6, all 25 never-driver-certified): the r7
+#     window tail (TPC-H partsupp classics + the LLM-pipeline batch, all
+#     driver-certified 50/50 in CORRECTNESS_r07.json) rotates out for the
+#     ledger's r8 batch: ext_kcore (held from r7's batch B), audio features,
+#     cohort retention, TF-IDF top terms, length trim, PMI bigrams,
+#     duplicated n-grams, train/test split, pseudonymize, temperature mix,
+#     k-fold, stratified sample, corpus shuffle, snapshot diff, ntile
+#     segments, event transitions, histogram, correlation profile, facet
+#     counts, suggest-next, autocomplete, PMI collocations, DQ audit,
+#     Z-order key, cap-per-group. All 25 were pre-certified in r7 by
 #     tools/certify_window.py at sf0.01 (both fetch models + type-class),
-#     again under JSE_CERTIFY_VANILLA=1, and re-run on this exact window
-#     composition before rotation. Rotated-out queries stay
+#     again under JSE_CERTIFY_VANILLA=1, and the exact window composition is
+#     re-certified before each rotation commit. Rotated-out queries stay
 #     exact-oracle-checked locally every run (tests/test_oracle_parity.py).
 # Float-sensitive ANN variants (ext_ann_lsh / ext_ann_ivf /
 # ext_embedding_near_dups) are deliberately OUTSIDE the window: the driver
@@ -75,33 +68,33 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     *[n for n in _QUERIES if n.startswith("q") and n[1].isdigit()],  # q01..q24
     "sql_frontdoor",
-    # r7 rotation #5, batch A: 13 never-driver-certified slots
-    "ext_tpch_q2",
-    "ext_tpch_q9",
-    "ext_tpch_q11",
-    "ext_tpch_q16",
-    "ext_tpch_q20",
-    "ext_lang_stopwords",
-    "ext_bfs_distances",
-    "ext_bigram_surprisal",
-    "ext_unigram_logprob",
-    "ext_grouping_sets",
-    "ext_exact_median",
-    "ext_pagerank_personalized",
-    "ext_multimodal_frames",
-    # r7 rotation #5, batch B: 12 more (ext_kcore held for r8)
-    "ext_moving_avg",
-    "ext_outliers",
-    "ext_mad_outliers",
-    "ext_salted_join",
-    "ext_sliding_window",
-    "ext_readability",
-    "ext_encoding_audit",
-    "ext_bpe_encode",
-    "ext_typo_pairs",
-    "ext_sql_lateral",
-    "ext_dataset_card",
-    "ext_shard_manifest",
+    # r8 rotation #6: 25 never-driver-certified slots (ledger-derived batch;
+    # all dual-mode pre-certified in r7 — see tools/rotation_ledger.py).
+    "ext_kcore",
+    "ext_audio_features",
+    "ext_cohort_retention",
+    "ext_tfidf_topterms",
+    "ext_length_trim",
+    "ext_pmi_bigrams",
+    "ext_duplicated_ngrams",
+    "ext_train_test_split",
+    "ext_pseudonymize",
+    "ext_temperature_mix",
+    "ext_kfold",
+    "ext_stratified_sample",
+    "ext_corpus_shuffle",
+    "ext_snapshot_diff",
+    "ext_ntile_segments",
+    "ext_event_transitions",
+    "ext_histogram",
+    "ext_corr_profile",
+    "ext_facet_counts",
+    "ext_suggest_next",
+    "ext_autocomplete",
+    "ext_pmi_collocations",
+    "ext_dq_audit",
+    "ext_zorder_key",
+    "ext_cap_per_group",
 ]
 
 
