@@ -91,6 +91,37 @@ def _err() -> dict[str, Any]:
     return {STATUS_CODE: HTTP_ERROR, MESSAGE: ERROR_MESSAGE}
 
 
+class _ServedSnapshot:
+    """One immutable generation of the served relations. Handlers read the
+    whole generation through a single ``self._snap`` attribute fetch, so a
+    ``refresh`` racing an in-flight request can never pair a new index with
+    old docs (or a stale ``user_cols`` set) — the request runs entirely on
+    whichever generation it grabbed first."""
+
+    __slots__ = ("index", "docs", "users", "user_cols")
+
+    def __init__(self, index, docs: DataFrame, users: DataFrame | None) -> None:
+        if users is not None:
+            overlap = set(docs.columns) & set(users.columns)
+            # _split_tweet_user classifies joined-row fields purely by
+            # users-schema membership; a shared name would silently move
+            # the doc field under `user` (Row.asDict keeps one value).
+            if overlap:
+                raise ValueError(
+                    "docs/users column names must be disjoint; overlap: "
+                    + ", ".join(sorted(overlap))
+                )
+        object.__setattr__(self, "index", index)
+        object.__setattr__(self, "docs", docs)
+        object.__setattr__(self, "users", users)
+        object.__setattr__(
+            self, "user_cols", set(users.columns) if users is not None else None
+        )
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        raise AttributeError("_ServedSnapshot is immutable; build a new one")
+
+
 class SearchService:
     """Binds a SparkSession + index + tables to the three reference routes
     (plus the engine's extension routes). Each method returns the envelope
@@ -111,16 +142,31 @@ class SearchService:
         k: int = 10,
     ) -> None:
         self.spark = spark
-        self.index = index
-        self.docs = docs
-        self.users = users
+        self._snap = _ServedSnapshot(index, docs, users)
         self.doc_user_key = doc_user_key
         self.user_name_col = user_name_col
         self.doc_time_col = doc_time_col
         self.tags_col = tags_col
         self.vector_index_path = vector_index_path
         self.k = k
-        self._user_cols = set(users.columns) if users is not None else None
+
+    # Read-only views of the CURRENT generation (bench/probes/tests peek at
+    # these); mutation goes through refresh() so the swap stays atomic.
+    @property
+    def index(self):
+        return self._snap.index
+
+    @property
+    def docs(self) -> DataFrame:
+        return self._snap.docs
+
+    @property
+    def users(self) -> DataFrame | None:
+        return self._snap.users
+
+    @property
+    def _user_cols(self) -> set[str] | None:
+        return self._snap.user_cols
 
     def refresh(
         self,
@@ -131,57 +177,60 @@ class SearchService:
         """Swap the served relations after an index publish — the serve
         loop calls this post-manifest-flip (``read_served_index`` freezes
         the manifest's segment list when called, so a new publish needs a
-        re-resolve). The HTTP server keeps running: reference assignment
-        is atomic under the GIL, in-flight requests finish on the old
-        relations, the next request sees the new ones."""
-        if index is not None:
-            self.index = index
-        if docs is not None:
-            self.docs = docs
-        if users is not None:
-            self.users = users
-            self._user_cols = set(users.columns)
+        re-resolve). The HTTP server keeps running: the new generation is
+        built off to the side and installed with ONE reference assignment
+        (atomic under the GIL); in-flight requests finish on the old
+        snapshot, the next ``self._snap`` read sees the new one whole."""
+        cur = self._snap
+        self._snap = _ServedSnapshot(
+            cur.index if index is None else index,
+            cur.docs if docs is None else docs,
+            cur.users if users is None else users,
+        )
 
     # -- the three reference routes ------------------------------------
     def query(self, query: str) -> dict[str, Any]:
         """``GET /api/search/query?query=`` (Handler.java:33-74)."""
+        snap = self._snap
         hits = search_keyword(
             self.spark,
-            self.index,
-            self.docs,
-            self.users,
+            snap.index,
+            snap.docs,
+            snap.users,
             query,
             k=self.k,
             doc_user_key=self.doc_user_key,
         )
-        data = [_split_tweet_user(r, self._user_cols) for r in _rows(hits)]
+        data = [_split_tweet_user(r, snap.user_cols) for r in _rows(hits)]
         return _ok({COUNT: len(data), DATA: data})
 
     def hashtag(self, tag: str) -> dict[str, Any]:
         """``GET /api/search/hashtag?tag=`` (Handler.java:76-117)."""
+        snap = self._snap
         hits = search_hashtag(
-            self.docs, tag, tags_col=self.tags_col, order_col=self.doc_time_col
+            snap.docs, tag, tags_col=self.tags_col, order_col=self.doc_time_col
         )
-        if self.users is not None and self.doc_user_key is not None:
+        if snap.users is not None and self.doc_user_key is not None:
             from pyspark.sql import functions as F
 
             dcol, ucol = self.doc_user_key
             hits = hits.join(
-                F.broadcast(self.users), hits[dcol] == self.users[ucol], "left"
+                F.broadcast(snap.users), hits[dcol] == snap.users[ucol], "left"
             )
-        data = [_split_tweet_user(r, self._user_cols) for r in _rows(hits)]
+        data = [_split_tweet_user(r, snap.user_cols) for r in _rows(hits)]
         return _ok({COUNT: len(data), DATA: data})
 
     def user(self, name: str) -> dict[str, Any]:
         """``GET /api/search/user?id=`` (Handler.java:119-161): the user
         object once, their items time-desc under ``tweets``."""
-        if self.users is None or self.doc_user_key is None or self.user_name_col is None:
+        snap = self._snap
+        if snap.users is None or self.doc_user_key is None or self.user_name_col is None:
             raise ValueError("user route not configured (users table required)")
         dcol, ucol = self.doc_user_key
         rows = _rows(
             search_user(
-                self.users,
-                self.docs,
+                snap.users,
+                snap.docs,
                 name,
                 name_col=self.user_name_col,
                 user_key=ucol,
@@ -193,9 +242,9 @@ class SearchService:
         tweets = []
         for r in rows:
             if user_obj is None:
-                user_obj = {k: v for k, v in r.items() if k in (self._user_cols or ())}
+                user_obj = {k: v for k, v in r.items() if k in (snap.user_cols or ())}
             tweets.append(
-                {k: v for k, v in r.items() if k not in (self._user_cols or ())}
+                {k: v for k, v in r.items() if k not in (snap.user_cols or ())}
             )
         return _ok({USER: user_obj, COUNT: len(tweets), TWEETS: tweets})
 
@@ -214,28 +263,29 @@ class SearchService:
         terms = tokenize_query(query)
         if not terms:
             raise ValueError("empty phrase")
-        data = _rows(phrase_search(self.docs, terms, k=k or self.k))
+        data = _rows(phrase_search(self._snap.docs, terms, k=k or self.k))
         return _ok({COUNT: len(data), DATA: data})
 
     def related(self, doc_id: int, k: int | None = None) -> dict[str, Any]:
         """More-Like-This: top-k docs related to ``doc_id``."""
-        data = _rows(related_docs(self.docs, doc_id, k=k or self.k))
+        data = _rows(related_docs(self._snap.docs, doc_id, k=k or self.k))
         return _ok({COUNT: len(data), DATA: data})
 
     def facets(self, query: str, cols: list[str], top: int = 5) -> dict[str, Any]:
         """Facet counts over the matching set (Solr facet component)."""
-        if self.index is None:
+        snap = self._snap
+        if snap.index is None:
             raise ValueError("facets route needs an index")
         terms = tokenize_query(query)
-        data = _rows(search_facets(self.index, self.docs, terms, cols, top=top))
+        data = _rows(search_facets(snap.index, snap.docs, terms, cols, top=top))
         return _ok({COUNT: len(data), DATA: data})
 
     def suggest(self, prev: str, k: int = 5) -> dict[str, Any]:
-        data = _rows(suggest_next_token(self.docs, prev, k=k))
+        data = _rows(suggest_next_token(self._snap.docs, prev, k=k))
         return _ok({COUNT: len(data), DATA: data})
 
     def complete(self, prefix: str, k: int = 10) -> dict[str, Any]:
-        data = _rows(autocomplete(self.docs, prefix, k=k))
+        data = _rows(autocomplete(self._snap.docs, prefix, k=k))
         return _ok({COUNT: len(data), DATA: data})
 
 

@@ -180,38 +180,79 @@ def test_concurrent_requests(server):
         assert status == 200 and body["status_code"] == 200
 
 
-def test_queries_race_refresh_swaps(server, service, spark):
-    """refresh()'s atomic-swap claim under load: requests hammer the query
-    route while another thread swaps the served docs relation repeatedly.
-    Every response must be a coherent in-band 200 — a request sees either
-    the old or the new relations, never a torn mix or a 500."""
+def test_queries_race_refresh_swaps(spark):
+    """refresh()'s atomic-swap claim under load, with a TORN-SNAPSHOT
+    detector: two full generations (index+docs) are built over DISJOINT
+    doc_id spaces, both containing the probe term. search_keyword joins
+    hits back to docs on doc_id (inner), so a request that paired
+    generation A's index with generation B's docs would return count 0 —
+    only a coherent snapshot returns hits. A swapper thread flips whole
+    generations while requests hammer the query route; every response
+    must be an in-band 200 with count > 0."""
     import threading
+
+    def _gen(base_id):
+        docs = spark.createDataFrame(
+            [
+                (base_id + 1, "quorum consensus replicates the commit log"),
+                (base_id + 2, "quorum reads trade latency for freshness"),
+            ],
+            "doc_id long, text string",
+        )
+        return build_index(docs, cache=True), docs
+
+    gen_a = _gen(0)
+    gen_b = _gen(1000)
+    svc = SearchService(spark, gen_a[0], gen_a[1], k=5)
 
     stop = threading.Event()
     swaps = {"n": 0}
-    alt = service.docs  # swap between the same relation's two references
-    orig = service.docs
 
     def swapper():
         while not stop.is_set():
-            service.refresh(docs=alt if swaps["n"] % 2 else orig)
+            idx, docs = gen_b if swaps["n"] % 2 else gen_a
+            svc.refresh(index=idx, docs=docs)
             swaps["n"] += 1
 
     t = threading.Thread(target=swapper, daemon=True)
     t.start()
     try:
-        urls = [
-            server.url + "/api/search/query?query=spark",
-            server.url + "/api/search/query?query=" + quote("window join"),
-        ] * 6
-        with ThreadPoolExecutor(4) as pool:
-            results = list(pool.map(_get, urls))
+        with serve(svc) as handle:
+            urls = [handle.url + "/api/search/query?query=quorum"] * 12
+            with ThreadPoolExecutor(4) as pool:
+                results = list(pool.map(_get, urls))
     finally:
         stop.set()
         t.join(timeout=10)
     assert swaps["n"] > 0
     for status, _, body in results:
         assert status == 200 and body["status_code"] == 200 and body["count"] > 0
+        ids = {h["tweet"]["doc_id"] for h in body["data"]}
+        # all hits from ONE generation — never a torn mix
+        assert ids <= {1, 2} or ids <= {1001, 1002}
+
+
+def test_docs_users_column_overlap_rejected(spark):
+    """_split_tweet_user classifies joined-row fields by users-schema
+    membership, so a shared column name would silently move a doc field
+    under `user` (Row.asDict keeps one value per name). The snapshot
+    constructor rejects the overlap up front — at construction AND on any
+    refresh that would introduce it."""
+    docs = spark.createDataFrame([(1, "a", "x")], "doc_id long, text string, name string")
+    users = spark.createDataFrame([(1, "u")], "uid long, name string")
+    with pytest.raises(ValueError, match="disjoint.*name"):
+        SearchService(spark, None, docs, users=users, doc_user_key=("doc_id", "uid"))
+    ok = SearchService(
+        spark,
+        None,
+        docs.drop("name"),
+        users=users,
+        doc_user_key=("doc_id", "uid"),
+    )
+    with pytest.raises(ValueError, match="disjoint.*name"):
+        ok.refresh(docs=docs)
+    # the failed refresh must not have torn the served generation
+    assert ok.docs.columns == ["doc_id", "text"]
 
 
 def test_refresh_across_index_publish_without_restart(spark, tmp_path):
