@@ -58,6 +58,27 @@ def test_certified_rounds_match_artifacts():
             ], f"{name} not green in r{rnd}"
 
 
+def test_window_audit_consistent_with_artifacts():
+    """Every round's committed entry-file window (window_for_commit on the
+    ROUND_WINDOW_COMMITS map) must match the keys of that round's
+    CORRECTNESS artifact — the driver's own record of the window it ran.
+    A MISMATCH means the commit map points at the wrong entry-file state
+    (this caught the original r1/r3 mis-mapping: both pointed at commits
+    that landed AFTER their round's close)."""
+    mod, led = _ledger()
+    audit = led["window_audit"]
+    assert set(audit) == set(mod.ROUND_WINDOW_COMMITS) & {
+        rnd for rnd in audit  # rounds with an artifact on disk
+    }
+    assert audit, "no rounds audited"
+    for rnd, rec in audit.items():
+        assert rec["status"] in ("ok", "registry-order"), (rnd, rec)
+        assert rec["artifact_slots"] == 50
+    # r1 predates _PRIORITY (queries() returned dict(_QUERIES)): the
+    # composition is only recorded by the artifact itself
+    assert audit[1]["status"] == "registry-order"
+
+
 def test_counts_are_consistent():
     mod, led = _ledger()
     # rotatable = oracled minus the two oracled never-rotate exclusions

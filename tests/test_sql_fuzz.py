@@ -446,9 +446,11 @@ def test_sql_differential_fuzz_outer_joins(spark, ddb, sql):
 
 @st.composite
 def _scalar_subquery_query(draw):
-    """Correlated scalar subqueries in the projection — NULL when the
-    correlation finds no rows, and both engines must produce that NULL
-    (not 0) and agree on the aggregate's value otherwise."""
+    """Correlated scalar subqueries in the projection. On an empty
+    correlation MAX/MIN must be NULL, but COUNT(*) must be 0 — the classic
+    decorrelation "COUNT bug" is an engine returning NULL for COUNT(*)
+    there. Both engines must agree on that distinction and on the
+    aggregate's value otherwise."""
     agg = draw(st.sampled_from(["MAX(event_id)", "MIN(event_id)", "COUNT(*)"]))
     cut = draw(st.integers(5, 200))
     cond = draw(

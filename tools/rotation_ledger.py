@@ -2,13 +2,21 @@
 driver ever certified (green in some CORRECTNESS_r{N}.json), which are
 backlog, and what the next rotation batches are.
 
-Derivation is mechanical, not prose: each round's window composition comes
-from that round's committed ``__spark_entry__.py`` (``git show
-<commit>:__spark_entry__.py`` → its ``queries()`` order, first 50), and a
-slot counts as DRIVER-CERTIFIED only when the matching
-``CORRECTNESS_r{N}.json`` records all three checks green for it. The output
-feeds the per-round rotation decision (VERDICT r6 #1/#2: burn the
-never-certified backlog at 25 slots/round).
+Derivation is mechanical, not prose, from two independent records that the
+ledger cross-checks against each other:
+
+* the CERTIFIED set comes from the artifacts — a slot counts as
+  DRIVER-CERTIFIED only when some ``CORRECTNESS_r{N}.json`` records all
+  three checks green for it (the artifact's key set IS the driver's own
+  record of the window it ran);
+* the WINDOW AUDIT re-derives each round's intended composition from that
+  round's committed ``__spark_entry__.py`` (``git show`` →  ``_PRIORITY``,
+  first 50) and flags any round where the artifact keys differ from the
+  committed window — i.e. the driver ran something other than what was
+  committed, or ROUND_WINDOW_COMMITS maps a round to the wrong commit.
+
+The output feeds the per-round rotation decision (VERDICT r6 #1/#2: burn
+the never-certified backlog at 25 slots/round).
 
 Usage:
   python tools/rotation_ledger.py            # print ledger + next batches
@@ -27,13 +35,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The entry-file commit whose window the driver ran for round N.  Derived
-# once from `git log -- __spark_entry__.py` vs the round timestamps in
-# PROGRESS.jsonl; append a row per round when the window rotates.
+# The entry-file commit whose window the driver ran for round N: the last
+# commit touching __spark_entry__.py BEFORE that round's
+# "round N: verdict/advice/correctness/bench" close commit (the driver runs
+# the sweep, then commits the artifacts). r1 and r3 were originally
+# mis-mapped to commits that landed AFTER their round's close (caught by
+# audit_windows, r8) — r1's true window predates _PRIORITY entirely
+# (queries() returned dict(_QUERIES), registry order), and r3's true window
+# is a6abb8db, not the 5f10daf4 rotation that landed 14 minutes after the
+# r3 artifacts. Append a row per round when the window rotates.
 ROUND_WINDOW_COMMITS = {
-    1: "baadd480ce9ec5133c1b0b4d25eabc43de0fa06a",
+    1: "d515b05a41ed6726490aaf3ebfb151f1272a74a4",
     2: "ee3e54cd86f16df389b93cc6795f005d45c7028d",
-    3: "5f10daf4c0df8747c4fd9bc21907462db3f2be4b",
+    3: "a6abb8db28f21fc60223a720d197255809323f2c",
     4: "61e621f1626eb09c8be8cd0d40fd2148ebe5b7f3",
     5: "235dea9df9a4cda5acc33dbe05e602891f0639c2",
     6: "0f25d5fd1dbd2f48207005de59c99c2dfd736fd8",
@@ -85,11 +99,14 @@ PREFERRED_NEXT = [
 ]
 
 
-def window_for_commit(commit: str) -> list[str]:
-    """First-50 queries() order of the entry file at ``commit`` — run in a
-    subprocess so each historical module resolves against the CURRENT
-    registry (names that no longer exist are dropped, mirroring the
-    driver's behavior of calling whatever queries() returns)."""
+def window_for_commit(commit: str) -> list[str] | None:
+    """First-50 window slots of the entry file at ``commit``, parsed
+    statically from its ``_PRIORITY`` literal (no Spark needed). Slot
+    tokens may be bare ``qNN`` prefixes (the declared-set comprehension);
+    :func:`audit_windows` canonicalizes them against the artifact keys.
+    Returns ``None`` for pre-``_PRIORITY`` entry files (``queries()``
+    returned ``dict(_QUERIES)`` — registry order, not statically
+    derivable; only the artifact records that window)."""
     src = subprocess.run(
         ["git", "show", f"{commit}:__spark_entry__.py"],
         cwd=REPO,
@@ -97,20 +114,51 @@ def window_for_commit(commit: str) -> list[str]:
         text=True,
         check=True,
     ).stdout
-    # Parse _PRIORITY statically (no Spark needed): the literal list plus
-    # the q01..q24 comprehension prefix it always starts with.
+    m = re.search(r"_PRIORITY\s*=\s*\[(.*?)\]\s*\n\n", src, re.S)
+    if not m:
+        return None
+    body = m.group(1)
     names: list[str] = []
-    m = re.search(r"_PRIORITY\s*=\s*\[(.*?)\]\s*\n", src, re.S)
-    if m:
-        body = m.group(1)
-        if "n.startswith" in body:
-            names.extend(f"q{i:02d}" for i in range(1, 25))
-        names.extend(re.findall(r'"((?:q|sql|ext|x)[\w]*)"', body))
-    else:
-        # pre-_PRIORITY rounds: queries() built the dict literally
-        names.extend(re.findall(r'"(q\d{2}_[\w]*|sql_frontdoor|ext_[\w]*|x\d_[\w]*)"\s*:', src))
-    # early windows list bare q-prefixes; canonicalize against CORRECTNESS
+    if "n.startswith" in body:
+        names.extend(f"q{i:02d}" for i in range(1, 25))
+    # the bare "q" comes from the comprehension's n.startswith("q") literal
+    names.extend(t for t in re.findall(r'"([\w]+)"', body) if t != "q")
     return names[:50]
+
+
+def audit_windows() -> dict[int, dict]:
+    """Cross-check each round's committed window (window_for_commit)
+    against the keys of that round's CORRECTNESS artifact — the driver's
+    own record of the window it actually ran. A mismatch means either the
+    driver ran a different entry-file state than ROUND_WINDOW_COMMITS maps
+    to, or the rotation commit landed after the driver's sweep."""
+    out: dict[int, dict] = {}
+    for rnd, commit in sorted(ROUND_WINDOW_COMMITS.items()):
+        path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
+        if not os.path.exists(path):
+            continue
+        keys = list(json.load(open(path)))
+        tokens = window_for_commit(commit)
+        if tokens is None:
+            out[rnd] = {"status": "registry-order", "artifact_slots": len(keys)}
+            continue
+
+        def _canon(tok: str) -> str | None:
+            if tok in keys:
+                return tok
+            pref = [k for k in keys if k.startswith(tok + "_")]
+            return pref[0] if len(pref) == 1 else None
+
+        mapped = {m for m in (_canon(t) for t in tokens) if m is not None}
+        missing = sorted(set(keys) - mapped)
+        extra = [t for t in tokens if _canon(t) is None]
+        out[rnd] = {
+            "status": "ok" if not missing and not extra else "MISMATCH",
+            "artifact_slots": len(keys),
+            "missing_from_window": missing,
+            "unmatched_window_tokens": extra,
+        }
+    return out
 
 
 def certified_by_round() -> dict[int, set[str]]:
@@ -164,6 +212,7 @@ def ledger() -> dict:
         "rows_only": sorted(n for n in registry if n not in oracled),
         "batches": batches,
         "certified_rounds": {n: rs for n, rs in sorted(certified.items())},
+        "window_audit": audit_windows(),
     }
 
 
@@ -178,10 +227,26 @@ def main() -> None:
         f"window-pending={len(led['in_window_pending'])} "
         f"backlog-after-window={led['backlog_after_window']}"
     )
-    for i, b in enumerate(led["batches"], start=8):
+    # future batches land in the round after the current (pending) window's
+    # artifact; with no pending slots the next rotation is the next round
+    last_round = max(led["window_audit"], default=0)
+    start = last_round + (2 if led["in_window_pending"] else 1)
+    for i, b in enumerate(led["batches"], start=start):
         print(f"r{i} batch ({len(b)}): {' '.join(b)}")
     print(f"never-rotate: {' '.join(led['never_rotate'])}")
     print(f"rows-only: {' '.join(led['rows_only'])}")
+    audit = led["window_audit"]
+    bad = {r: a for r, a in audit.items() if a["status"] == "MISMATCH"}
+    print(
+        "window-audit: "
+        + (
+            f"MISMATCH {bad}"
+            if bad
+            else f"{len(audit)} rounds consistent with artifacts "
+            f"({sum(a['status'] == 'registry-order' for a in audit.values())} "
+            "registry-order)"
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -136,10 +136,17 @@ def main() -> None:
             if a["shuffleWriteBytes"] > 0.1
             else None
         )
+        input_ratio = round(b["inputBytes"] / max(a["inputBytes"], 0.1), 2)
+        # superlinear = shuffle grows meaningfully faster than the input
+        # did (1.25x headroom for fixed overheads), never slower than a
+        # hard 12x floor at 10x data — the r7 Q21 regression was a 13.2x
+        # write ratio, which the old fixed >15 threshold let pass.
+        threshold = max(1.25 * input_ratio, 12.0)
         verdicts[name] = {
             "shuffle_write_ratio_10x": round(ratio, 2) if ratio else None,
-            "input_ratio_10x": round(b["inputBytes"] / max(a["inputBytes"], 0.1), 2),
-            "superlinear": bool(ratio and ratio > 15.0),
+            "input_ratio_10x": input_ratio,
+            "superlinear_threshold": round(threshold, 2),
+            "superlinear": bool(ratio and ratio > threshold),
         }
     doc = {"queries": out, "verdicts_10x": verdicts}
     os.makedirs(os.path.join(REPO, ".bench"), exist_ok=True)
