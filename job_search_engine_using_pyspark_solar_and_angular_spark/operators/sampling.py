@@ -157,9 +157,10 @@ def temperature_mix_apply(
     rather than silently rows-only.
 
     Scale shape (same as domain_mix): one #domains-row stats agg, shares
-    normalized against the broadcast 1-row total IN-PLAN (no driver
-    collect), broadcast back, row-local hash filter; the corpus is scanned
-    twice and never shuffled. int64 bounds: T=2 quantizes sqrt(tok) by
+    normalized in-plan by an ``over ()`` window on that tiny relation (no
+    driver collect, and no second execution of the corpus-scan stats
+    subplan to build a 1-row total), broadcast back, row-local hash
+    filter; the corpus is scanned twice and never shuffled. int64 bounds: T=2 quantizes sqrt(tok) by
     1e6 (q <= ~3e12 at 100 TB token mass, 10000*q <= ~3e16 < 2^63); T=1
     uses the raw integer token counts UNQUANTIZED — they are already
     exact, and scaling them by 1e6 would overflow 10000*q at ~9e8 tokens
@@ -184,10 +185,14 @@ def temperature_mix_apply(
         .agg(F.sum(token_count(text_col)).alias("__tok"))
         .withColumn("__q", q)
     )
-    total = stats.agg(F.sum("__q").alias("__tq"))
+    # cross-domain total via an `over ()` window on the #domains-row stats
+    # relation (same pattern as temperature_mix) — a crossJoin with a
+    # separate stats.agg() would re-execute the corpus scan + token_count
+    # agg a second time just to build the 1-row total
     rates = (
-        stats.crossJoin(F.broadcast(total))
-        .withColumn("__share_bps", F.expr("div(10000 * __q, __tq)"))
+        stats.withColumn(
+            "__share_bps", F.expr("div(10000 * __q, sum(__q) over ())")
+        )
         .select(
             strata_col,
             F.least(

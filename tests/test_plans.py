@@ -515,16 +515,22 @@ def test_diversity_sample_windows_by_cluster_only(spark):
 
 
 def test_temperature_mix_no_corpus_shuffle_no_window(spark):
-    """temperature_mix_apply: the only exchanges are the #domains-row stats
-    aggregation (partial+final) and its 1-row total — the corpus itself is
-    filtered through a BROADCAST join and never hash-repartitions on a
-    corpus-sized key. No window, no sort of the corpus."""
+    """temperature_mix_apply: the corpus is scanned exactly TWICE (stats
+    agg + filtered output) — the cross-domain total comes from an
+    ``over ()`` window on the #domains-row stats relation, not a third
+    corpus scan (the original crossJoin-with-stats.agg() shape executed
+    the corpus-scan stats subplan twice, with no exchange reuse). The
+    corpus itself is filtered through a BROADCAST join and never
+    hash-repartitions, sorts, or windows on a corpus-sized key."""
     p = plan_of(spark, "ext_mix_temperature")
     assert "BroadcastHashJoin" in p
-    assert "Window" not in p
+    assert p.count("FileScan") == 2, p
     assert "SortMergeJoin" not in p
-    # the corpus side must not exchange on doc_id (row-local hash filter)
+    # the only Window is the totals window over the post-agg stats rows —
+    # a single-partition exchange of #domains rows, never the corpus
+    assert p.count("Window") == 1
     assert "hashpartitioning(doc_id" not in p
+    assert "hashpartitioning(text" not in p
 
 
 def test_packing_stats_prunes_the_packing_window_entirely(spark):
