@@ -28,13 +28,32 @@ def search_keyword(
     query: str,
     k: int = 10,
     doc_user_key: tuple[str, str] | None = None,
+    start: int = 0,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k for a free-text query, joined back to full docs (and
     optionally the user dimension — reference J1 broadcast join). The query
     passes through the SAME analyzer as the corpus (tokenize_query mirrors
-    tokenize_normalized) — otherwise punctuated queries would never match."""
+    tokenize_normalized) — otherwise punctuated queries would never match.
+
+    Pagination (reference O5 — the skip/limit the reference controller
+    accepted but ignored, ``api/Handler.java:34``): ``start`` is Solr-style
+    numeric offset (the retrieval pool deepens to ``start+k`` and the page
+    is sliced via :func:`operators.topk.paginate`); ``after=(score,
+    doc_id)`` is the KEYSET cursor — constant per-page cost, preferred for
+    deep paging. The join-back and ordering are identical either way."""
     terms = tokenize_query(query)
-    hits = bm25_search(spark, index, terms, k=k)
+    if after is not None:
+        hits = bm25_search(spark, index, terms, k=k, after=after)
+    elif start > 0:
+        from ..operators.topk import paginate
+
+        pool = bm25_search(spark, index, terms, k=start + k)
+        hits = paginate(
+            pool, [F.col("score").desc(), F.col("doc_id")], start, k
+        )
+    else:
+        hits = bm25_search(spark, index, terms, k=k)
     out = hits.join(docs, "doc_id")  # hits is tiny: Catalyst broadcasts it
     if users is not None and doc_user_key is not None:
         dcol, ucol = doc_user_key

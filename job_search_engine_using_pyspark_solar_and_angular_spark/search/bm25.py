@@ -48,12 +48,19 @@ def bm25_search(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag of query terms.
 
     Returns (doc_id, score) with score rounded to 4 decimals, ordered
     score desc, doc_id asc (stable tie-break).
-    """
+
+    ``after=(score, doc_id)`` is a KEYSET cursor (the last hit of the
+    previous page): only documents strictly after it in the total order
+    are returned, so page N costs the same as page 1 — the limit stays
+    ``k`` instead of growing to ``offset+k`` the way numeric-offset
+    paging must. Cursor equality is exact because the comparison happens
+    on the same 4-decimal rounded score the caller received."""
     uniq = list(dict.fromkeys(terms))
     # df for just the query terms, computed from postings pruned to those
     # tokens — NOT from term_stats, which would aggregate the full token space
@@ -91,11 +98,19 @@ def bm25_search(
         )
     )
     per_doc = scored.groupBy("doc_id").agg(F.sum("partial").alias("raw_score"))
-    return (
-        per_doc.select("doc_id", F.round(F.col("raw_score"), 4).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(k)
+    ranked = per_doc.select(
+        "doc_id", F.round(F.col("raw_score"), 4).alias("score")
     )
+    if after is not None:
+        a_score, a_doc = after
+        ranked = ranked.filter(
+            (F.col("score") < F.lit(float(a_score)))
+            | (
+                (F.col("score") == F.lit(float(a_score)))
+                & (F.col("doc_id") > F.lit(int(a_doc)))
+            )
+        )
+    return ranked.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
 def tfidf_keywords(

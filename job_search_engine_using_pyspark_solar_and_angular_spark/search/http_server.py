@@ -189,20 +189,41 @@ class SearchService:
         )
 
     # -- the three reference routes ------------------------------------
-    def query(self, query: str) -> dict[str, Any]:
-        """``GET /api/search/query?query=`` (Handler.java:33-74)."""
+    def query(
+        self,
+        query: str,
+        start: int = 0,
+        rows: int | None = None,
+        after: tuple[float, int] | None = None,
+    ) -> dict[str, Any]:
+        """``GET /api/search/query?query=`` (Handler.java:33-74), plus the
+        skip/limit the reference accepted-but-ignored (Handler.java:34):
+        ``start``/``rows`` for Solr-style offset paging, or
+        ``after=(score, doc_id)`` for constant-cost keyset paging. Paged
+        responses carry ``next_after`` — the cursor for the next page;
+        unpaged responses keep the reference envelope byte-for-byte."""
         snap = self._snap
+        paged = start > 0 or rows is not None or after is not None
         hits = search_keyword(
             self.spark,
             snap.index,
             snap.docs,
             snap.users,
             query,
-            k=self.k,
+            k=rows if rows is not None else self.k,
             doc_user_key=self.doc_user_key,
+            start=start,
+            after=after,
         )
         data = [_split_tweet_user(r, snap.user_cols) for r in _rows(hits)]
-        return _ok({COUNT: len(data), DATA: data})
+        out: dict[str, Any] = {COUNT: len(data), DATA: data}
+        if paged and data:
+            last = data[-1][TWEET]
+            out["next_after"] = {
+                "score": last["score"],
+                "doc_id": last["doc_id"],
+            }
+        return _ok(out)
 
     def hashtag(self, tag: str) -> dict[str, Any]:
         """``GET /api/search/hashtag?tag=`` (Handler.java:76-117)."""
@@ -271,13 +292,34 @@ class SearchService:
         data = _rows(related_docs(self._snap.docs, doc_id, k=k or self.k))
         return _ok({COUNT: len(data), DATA: data})
 
-    def facets(self, query: str, cols: list[str], top: int = 5) -> dict[str, Any]:
-        """Facet counts over the matching set (Solr facet component)."""
+    def facets(
+        self,
+        query: str,
+        cols: list[str],
+        top: int = 5,
+        start: int = 0,
+        rows: int | None = None,
+    ) -> dict[str, Any]:
+        """Facet counts over the matching set (Solr facet component).
+        ``start``/``rows`` page through the (facet, rn)-ordered facet rows
+        via operators.topk.paginate."""
         snap = self._snap
         if snap.index is None:
             raise ValueError("facets route needs an index")
         terms = tokenize_query(query)
-        data = _rows(search_facets(snap.index, snap.docs, terms, cols, top=top))
+        df = search_facets(snap.index, snap.docs, terms, cols, top=top)
+        if start > 0 or rows is not None:
+            from pyspark.sql import functions as F
+
+            from ..operators.topk import paginate
+
+            df = paginate(
+                df,
+                [F.col("facet"), F.col("rn")],
+                start,
+                rows if rows is not None else top * max(len(cols), 1),
+            )
+        data = _rows(df)
         return _ok({COUNT: len(data), DATA: data})
 
     def suggest(self, prev: str, k: int = 5) -> dict[str, Any]:
@@ -298,7 +340,6 @@ class _Handler(BaseHTTPRequestHandler):
     service: SearchService  # set by make_server on the subclass
 
     ROUTES = {
-        "query": ("query", "query"),
         "hashtag": ("hashtag", "tag"),
         "user": ("user", "id"),
         "suggest": ("suggest", "prev"),
@@ -315,7 +356,19 @@ class _Handler(BaseHTTPRequestHandler):
         qs = parse_qs(parsed.query)
         route = parts[2]
         try:
-            if route == "vector":
+            if route == "query":
+                rows_raw = qs.get("rows", [None])[0]
+                a_s = qs.get("after_score", [None])[0]
+                a_d = qs.get("after_doc", [None])[0]
+                body = self.service.query(
+                    qs.get("query", [""])[0],
+                    start=int(qs.get("start", ["0"])[0]),
+                    rows=int(rows_raw) if rows_raw is not None else None,
+                    after=(float(a_s), int(a_d))
+                    if a_s is not None and a_d is not None
+                    else None,
+                )
+            elif route == "vector":
                 raw = qs.get("vec", [""])[0]
                 vec = [float(x) for x in raw.split(",") if x.strip()]
                 k = int(qs.get("k", [str(self.service.k)])[0])
@@ -325,7 +378,14 @@ class _Handler(BaseHTTPRequestHandler):
             elif route == "facets":
                 cols = [c for c in qs.get("cols", [""])[0].split(",") if c]
                 top = int(qs.get("top", ["5"])[0])
-                body = self.service.facets(qs.get("query", [""])[0], cols, top=top)
+                rows_raw = qs.get("rows", [None])[0]
+                body = self.service.facets(
+                    qs.get("query", [""])[0],
+                    cols,
+                    top=top,
+                    start=int(qs.get("start", ["0"])[0]),
+                    rows=int(rows_raw) if rows_raw is not None else None,
+                )
             elif route in self.ROUTES:
                 method, param = self.ROUTES[route]
                 arg = qs.get(param, [""])[0]

@@ -232,6 +232,62 @@ def test_queries_race_refresh_swaps(spark):
         assert ids <= {1, 2} or ids <= {1001, 1002}
 
 
+def test_query_route_pagination(server):
+    """Skip/limit on the query route (the params the reference controller
+    accepted but ignored, Handler.java:34) — both paging models page
+    through a >page-size result set deterministically over a real socket:
+
+    * offset (`start`/`rows`, Solr-style): concatenated pages must equal
+      the unpaged ranking exactly;
+    * keyset (`after_score`/`after_doc` from the response's `next_after`
+      cursor): same pages, constant per-page cost (the limit never
+      deepens to offset+rows)."""
+    base = server.url + "/api/search/query?query=spark"
+    _, _, full = _get(base + "&rows=12")
+    assert full["status_code"] == 200 and full["count"] > 6, "need >2 pages"
+    ranking = [(h["tweet"]["doc_id"], h["tweet"]["score"]) for h in full["data"]]
+
+    # offset paging: 3 rows per page
+    paged = []
+    for start in range(0, len(ranking), 3):
+        _, _, body = _get(base + f"&start={start}&rows=3")
+        assert body["status_code"] == 200
+        paged.extend((h["tweet"]["doc_id"], h["tweet"]["score"]) for h in body["data"])
+    assert paged == ranking
+
+    # keyset paging: follow the next_after cursor
+    keyset = []
+    cursor = ""
+    while len(keyset) < len(ranking):
+        _, _, body = _get(base + "&rows=3" + cursor)
+        assert body["status_code"] == 200
+        if not body["data"]:
+            break
+        keyset.extend((h["tweet"]["doc_id"], h["tweet"]["score"]) for h in body["data"])
+        nxt = body["next_after"]
+        cursor = f"&after_score={nxt['score']}&after_doc={nxt['doc_id']}"
+    assert keyset == ranking
+
+    # an unpaged request keeps the reference envelope exactly (no cursor)
+    _, _, plain = _get(base)
+    assert "next_after" not in plain and plain["count"] > 0
+
+
+def test_facets_route_pagination(server):
+    """start/rows page the (facet, rn)-ordered facet rows."""
+    base = server.url + "/api/search/facets?query=spark&cols=lang,source&top=4"
+    _, _, full = _get(base)
+    assert full["count"] > 3
+    rows = [(h["facet"], h["rn"], h["value"]) for h in full["data"]]
+    ordered = sorted(rows)
+    paged = []
+    for start in range(0, len(rows), 3):
+        _, _, body = _get(base + f"&start={start}&rows=3")
+        assert body["status_code"] == 200
+        paged.extend((h["facet"], h["rn"], h["value"]) for h in body["data"])
+    assert paged == ordered
+
+
 def test_docs_users_column_overlap_rejected(spark):
     """_split_tweet_user classifies joined-row fields by users-schema
     membership, so a shared column name would silently move a doc field
