@@ -91,9 +91,212 @@ def _stable_snapshot(app_id: str) -> dict[str, int]:
     return prev
 
 
+def _delta(app_id: str, fn) -> dict[str, float]:
+    """Metric deltas (MB) around ``fn()`` plus its wall time."""
+    base = _stable_snapshot(app_id)
+    t0 = time.perf_counter()
+    fn()
+    dt = time.perf_counter() - t0
+    after = _stable_snapshot(app_id)
+    row = {m: round((after[m] - base[m]) / 1e6, 2) for m in METRICS}
+    row["sec"] = round(dt, 3)
+    return row
+
+
+def served_main() -> None:
+    """Shuffle-volume rows for the SERVING + STREAMING paths (VERDICT r7
+    #4 — the batch-query audit had no measured-bytes row for them):
+
+    * q20_bm25_served / http_query_served — per-request bytes (delta over
+      2 identical requests, halved) against the on-disk bucketed index at
+      sf0.01 and sf0.1: posting-list reads must scale with the index, the
+      shuffle with the ~matching-docs agg, never the corpus;
+    * served_refresh — one ~2%-of-corpus delta batch through the full
+      serve loop (dedup gate -> segment publish) at both sfs;
+    * streaming_ingest — one availableNow replay of the synthetic tweet
+      corpus at ~30 MB and ~120 MB (4x): per-batch preprocess shuffle
+      must scale with the streamed volume.
+    """
+    import shutil
+
+    import bench
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search import (
+        serve_loop,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(
+        app_name="jse-shuffle-audit-served",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = _rest("applications")[0]["id"]
+    from pyspark.sql import functions as F
+
+    out: dict[str, dict[str, dict[str, float]]] = {}
+
+    for sf_dir in SFS:
+        sf_tag = os.path.basename(sf_dir.rstrip("/"))
+
+        # -- BM25 + HTTP request paths over the on-disk index ----------
+        bench.bench_bm25_served(spark, sf_dir)  # ensures + warms the index
+        from job_search_engine_using_pyspark_solar_and_angular_spark.search.bm25 import (
+            bm25_search,
+        )
+        from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+            read_index,
+        )
+
+        idx = read_index(
+            spark,
+            os.path.join(REPO, ".bench", f"index_{sf_tag}"),
+            table=f"jse_bench_postings_{sf_tag.replace('.', '_')}",
+        )
+        row = _delta(
+            app_id,
+            lambda: [
+                bench.force(bm25_search(spark, idx, ["spark", "join"], 10))
+                for _ in range(2)
+            ],
+        )
+        out.setdefault("q20_bm25_served", {})[sf_tag] = {
+            k: round(v / 2, 3) for k, v in row.items()
+        }
+
+        import json as _json
+        import urllib.request
+
+        from job_search_engine_using_pyspark_solar_and_angular_spark.search.http_server import (
+            SearchService,
+            serve,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "owner", (F.col("doc_id") % 100) + 1
+        )
+        users = load_table(spark, sf_dir, "customer")
+        svc = SearchService(
+            spark, idx, docs, users=users, doc_user_key=("owner", "c_custkey")
+        )
+        with serve(svc) as handle:
+            url = handle.url + "/api/search/query?query=spark%20join"
+
+            def one() -> None:
+                with urllib.request.urlopen(url, timeout=300) as resp:
+                    assert _json.loads(resp.read())["status_code"] == 200
+
+            one()  # warm
+            row = _delta(app_id, lambda: [one() for _ in range(2)])
+        out.setdefault("http_query_served", {})[sf_tag] = {
+            k: round(v / 2, 3) for k, v in row.items()
+        }
+
+        # -- serve-loop refresh: one delta batch over bootstrap state ---
+        base = os.path.join(REPO, ".bench", f"audit_serving_{sf_tag}")
+        shutil.rmtree(base, ignore_errors=True)
+        prefix = f"jse_audit_serve_{sf_tag.replace('.', '_')}"
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        corpus = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .join(emb, "doc_id", "left")
+        )
+        serve_loop.serve_batch(spark, corpus, base, prefix, vec_col="embedding")
+        batch = corpus.filter(F.col("doc_id") % 50 == 1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.format_string(
+                "fresh arrival %d audit batch body %d",
+                F.col("doc_id"),
+                F.col("doc_id") + F.lit(7),
+            ).alias("text"),
+            "embedding",
+        )
+        out.setdefault("served_refresh", {})[sf_tag] = _delta(
+            app_id,
+            lambda: serve_loop.serve_batch(
+                spark, batch, base, prefix, vec_col="embedding"
+            ),
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
+    # -- streaming ingest at two volumes (30 MB vs 120 MB = 4x) --------
+    from job_search_engine_using_pyspark_solar_and_angular_spark.plans.preprocess import (
+        preprocess,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.sources.synthetic import (
+        scaled_tweet_corpus,
+        tweets_from_documents,
+    )
+
+    schema = tweets_from_documents(
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+            "doc_id", "text"
+        )
+    ).schema
+    for target_mb in (30, 120):
+        cdir = os.path.join(REPO, ".bench", f"audit_tweets_{target_mb}mb")
+        path, size_mb = scaled_tweet_corpus(
+            spark, "/root/testdata/sf0.1", cdir, target_mb=target_mb
+        )
+        ck = os.path.join(REPO, ".bench", f"audit_stream_ck_{target_mb}")
+        shutil.rmtree(ck, ignore_errors=True)
+
+        def replay() -> None:
+            raw = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 8)
+                .json(path)
+            )
+            q = (
+                raw.writeStream.foreachBatch(
+                    lambda b, _i: bench.force(preprocess(b))
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        row = _delta(app_id, replay)
+        row["input_corpus_mb"] = size_mb
+        out.setdefault("streaming_ingest", {})[f"{target_mb}mb"] = row
+        shutil.rmtree(ck, ignore_errors=True)
+
+    # scaling verdicts: serving rows at 10x corpus, streaming at 4x volume
+    verdicts = {}
+    for name, rows in out.items():
+        tags = list(rows)
+        a, b = rows[tags[0]], rows[tags[-1]]
+        data_ratio = 4.0 if name == "streaming_ingest" else 10.0
+        w_ratio = (
+            round(b["shuffleWriteBytes"] / a["shuffleWriteBytes"], 2)
+            if a["shuffleWriteBytes"] > 0.01
+            else None
+        )
+        verdicts[name] = {
+            "shuffle_write_ratio": w_ratio,
+            "data_ratio": data_ratio,
+            "superlinear": bool(w_ratio and w_ratio > 1.25 * data_ratio),
+        }
+    doc = {"queries": out, "verdicts": verdicts}
+    os.makedirs(os.path.join(REPO, ".bench"), exist_ok=True)
+    with open(os.path.join(REPO, ".bench", "shuffle_audit_served.json"), "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(doc))
+
+
 def main() -> None:
     from job_search_engine_using_pyspark_solar_and_angular_spark.session import get_spark
 
+    if "--served" in sys.argv:
+        served_main()
+        return
     names = sys.argv[1:] or DEFAULT_QUERIES
     spark = get_spark(
         app_name="jse-shuffle-audit",
