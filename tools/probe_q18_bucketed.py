@@ -1,23 +1,33 @@
-"""Q18 on a bucketed storage layout at x100 — the fix SCALE.md names for
-the one super-linear TPC-H scaler, measured instead of only plan-pinned.
+"""Q18 + Q21 on a bucketed storage layout at x100 — the fix SCALE.md
+names for the schema's two heaviest orderkey aggregations, measured
+instead of only plan-pinned.
 
-Q18 keys its grouped-fact HAVING on l_orderkey, the highest-cardinality
-key in the schema (~15M groups at 100 TB-shape), so map-side combine
-compresses only the ~4-line per-order fan-in and the shuffle carries the
-full group-state volume; the probe-measured unbucketed ratio was 22-74x
-time at 100x data. The cluster-scale fix is storage layout: lineitem
-bucketed (and sorted) on l_orderkey makes the aggregation shuffle-free,
-and orders bucketed on o_orderkey with the SAME bucket count makes the
-orderkey join co-located too — the only remaining Exchange in the whole
-plan is the final ORDER BY's range partitioning over the ~1% qualifying
-rows.
+Both queries key their fact-grain work on l_orderkey, the
+highest-cardinality key in the schema (~15M groups at 100 TB-shape):
+
+* Q18's grouped-fact HAVING shuffles one group state per ORDER (map-side
+  combine only compresses the ~4-line per-order fan-in); measured
+  unbucketed ratio was 22-74x time at 100x data.
+* Q21's EXISTS/NOT-EXISTS pair starts from a fact⋈fact lineitem⋈orders
+  join on orderkey, then EVERY downstream step (the (orderkey, suppkey)
+  pair dedup, the per-order quantifier agg, the culprit join-back) just
+  reuses orderkey clustering — it was the shuffle audit's only
+  super-linear entry before the two-stage rewrite.
+
+The cluster-scale fix is storage layout, not plan surgery: lineitem
+bucket-sorted on l_orderkey and orders on o_orderkey with the SAME bucket
+count make Q18's aggregation + join AND Q21's fact⋈fact join + whole
+aggregation ladder run shuffle-free off the layout. The only Exchanges
+left are the result-sized tail (Q18's final ORDER BY range partition;
+Q21's 10-row supplier-name agg).
 
 Usage:
   python tools/probe_q18_bucketed.py [reps]   # default 100 (60M lineitem)
 
 Reuses .bench/tpchrep_r{reps} (probe_tpch_scale builds it) and writes the
-bucketed twins once under .bench/q18_bucketed_r{reps}. Prints one JSON
-line: unbucketed vs bucketed min-of-2 timings, the one-time bucketing
+bucketed twins once under .bench/bucketed_r{reps} (one table pair serves
+both queries — the point of a layout fix). Prints one JSON line per
+query: unbucketed vs bucketed min-of-2 timings, the one-time bucketing
 write cost, and the Exchange counts of both executed plans.
 """
 
@@ -43,6 +53,17 @@ from tools.probe_tpch_scale import (  # noqa: E402
 
 BENCH_DIR = os.path.join(REPO, ".bench")
 BUCKETS = 64
+# one bucketed table pair serves both probed queries
+LI_COLS = ["l_orderkey", "l_quantity", "l_suppkey", "l_shipdate"]
+O_COLS = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderstatus"]
+LI_DDL = (
+    "l_orderkey BIGINT, l_quantity DOUBLE, l_suppkey BIGINT, "
+    "l_shipdate TIMESTAMP"
+)
+O_DDL = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderdate TIMESTAMP, "
+    "o_totalprice DOUBLE, o_orderstatus STRING"
+)
 
 
 def q18_plan(li, o, c):
@@ -71,6 +92,42 @@ def q18_plan(li, o, c):
     )
 
 
+def q21_plan(li, o, s):
+    """The exact ext_tpch_q21 logic (extensions.py: two-stage pair dedup ->
+    per-order quantifiers -> culprit join-back) over caller-supplied
+    relations."""
+    rows = li.join(
+        o.filter(F.col("o_orderstatus") == "F"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        ).alias("is_late"),
+    )
+    per_pair = rows.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("late")
+    )
+    waiting = (
+        per_pair.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.count("*").alias("n_supp"), F.sum("late").alias("n_late_supp"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    culprit = (
+        per_pair.filter(F.col("late") == 1)
+        .join(waiting, F.col("l_orderkey") == F.col("ok"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    return (
+        culprit.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
 def exchange_count(df) -> int:
     p = df._jdf.queryExecution().executedPlan().toString()
     return sum(
@@ -92,9 +149,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rep_dir = build_replicated_dir(spark, reps)
 
-    bdir = os.path.join(BENCH_DIR, f"q18_bucketed_r{reps}")
+    bdir = os.path.join(BENCH_DIR, f"bucketed_r{reps}")
     marker = os.path.join(bdir, "_BUCKETED_OK")
-    li_name, o_name = f"q18_li_b{reps}", f"q18_o_b{reps}"
+    li_name, o_name = f"jse_li_b{reps}", f"jse_o_b{reps}"
     bucket_write_sec = None
     if os.path.exists(marker):
         # data written by a previous session: the catalog is per-session
@@ -102,19 +159,8 @@ def main() -> None:
         # bucket spec must match write_bucketed's exactly or the layout's
         # partitioning guarantee silently vanishes from the plans
         for name, loc, cols, key in (
-            (
-                li_name,
-                os.path.join(bdir, "lineitem"),
-                "l_orderkey BIGINT, l_quantity DOUBLE",
-                "l_orderkey",
-            ),
-            (
-                o_name,
-                os.path.join(bdir, "orders"),
-                "o_orderkey BIGINT, o_custkey BIGINT, "
-                "o_orderdate TIMESTAMP, o_totalprice DOUBLE",
-                "o_orderkey",
-            ),
+            (li_name, os.path.join(bdir, "lineitem"), LI_DDL, "l_orderkey"),
+            (o_name, os.path.join(bdir, "orders"), O_DDL, "o_orderkey"),
         ):
             if not spark.catalog.tableExists(name):
                 spark.sql(
@@ -129,18 +175,14 @@ def main() -> None:
             spark.sql(f"DROP TABLE IF EXISTS {n}")
         t0 = time.perf_counter()
         write_bucketed(
-            spark.read.parquet(f"{rep_dir}/lineitem.parquet").select(
-                "l_orderkey", "l_quantity"
-            ),
+            spark.read.parquet(f"{rep_dir}/lineitem.parquet").select(*LI_COLS),
             li_name,
             os.path.join(bdir, "lineitem"),
             ["l_orderkey"],
             buckets=BUCKETS,
         )
         write_bucketed(
-            spark.read.parquet(f"{rep_dir}/orders.parquet").select(
-                "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
-            ),
+            spark.read.parquet(f"{rep_dir}/orders.parquet").select(*O_COLS),
             o_name,
             os.path.join(bdir, "orders"),
             ["o_orderkey"],
@@ -149,44 +191,47 @@ def main() -> None:
         bucket_write_sec = round(time.perf_counter() - t0, 3)
         open(marker, "w").close()
 
+    li_raw = lambda: spark.read.parquet(f"{rep_dir}/lineitem.parquet")  # noqa: E731
+    o_raw = lambda: spark.read.parquet(f"{rep_dir}/orders.parquet")  # noqa: E731
     c = spark.read.parquet(f"{rep_dir}/customer.parquet")
-    unbucketed = q18_plan(
-        spark.read.parquet(f"{rep_dir}/lineitem.parquet"),
-        spark.read.parquet(f"{rep_dir}/orders.parquet"),
-        c,
-    )
-    bucketed = q18_plan(spark.table(li_name), spark.table(o_name), c)
+    s = spark.read.parquet(f"{rep_dir}/supplier.parquet")
 
-    # correctness: identical result sets (count + a value checksum)
-    chk = lambda df: df.agg(  # noqa: E731
-        F.count("*").alias("n"),
-        F.sum(F.col("c_custkey") + F.col("o_orderkey")).alias("s"),
-    ).first()
-    a, b = chk(unbucketed), chk(bucketed)
-    assert (a["n"], a["s"]) == (b["n"], b["s"]), (a, b)
-
-    force(unbucketed)  # warm
-    force(bucketed)
     out = {
-        "metric": "Q18 bucketed-layout probe",
+        "metric": "bucketed-layout probe (Q18 + Q21)",
         "reps": reps,
         "buckets": BUCKETS,
         "bucket_write_sec": bucket_write_sec,
-        "unbucketed_sec": timed_min(lambda: force(
-            q18_plan(
-                spark.read.parquet(f"{rep_dir}/lineitem.parquet"),
-                spark.read.parquet(f"{rep_dir}/orders.parquet"),
-                c,
-            )
-        )),
-        "bucketed_sec": timed_min(
-            lambda: force(q18_plan(spark.table(li_name), spark.table(o_name), c))
-        ),
-        "unbucketed_exchanges": exchange_count(unbucketed),
-        "bucketed_exchanges": exchange_count(bucketed),
-        "rows": a["n"],
+        "queries": {},
     }
-    out["speedup"] = round(out["unbucketed_sec"] / out["bucketed_sec"], 2)
+    cases = {
+        "ext_tpch_q18": (
+            lambda: q18_plan(li_raw(), o_raw(), c),
+            lambda: q18_plan(spark.table(li_name), spark.table(o_name), c),
+            lambda df: df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("c_custkey") + F.col("o_orderkey")).alias("s"),
+            ).first(),
+        ),
+        "ext_tpch_q21": (
+            lambda: q21_plan(li_raw(), o_raw(), s),
+            lambda: q21_plan(spark.table(li_name), spark.table(o_name), s),
+            # Q21 returns <=10 rows: compare them exactly
+            lambda df: tuple(sorted(map(tuple, df.collect()))),
+        ),
+    }
+    for qname, (mk_unb, mk_b, chk) in cases.items():
+        unb, b = mk_unb(), mk_b()
+        assert chk(unb) == chk(b), f"{qname}: bucketed result differs"
+        force(unb)  # warm
+        force(b)
+        row = {
+            "unbucketed_sec": timed_min(lambda: force(mk_unb())),
+            "bucketed_sec": timed_min(lambda: force(mk_b())),
+            "unbucketed_exchanges": exchange_count(unb),
+            "bucketed_exchanges": exchange_count(b),
+        }
+        row["speedup"] = round(row["unbucketed_sec"] / row["bucketed_sec"], 2)
+        out["queries"][qname] = row
     print(json.dumps(out))
 
 
