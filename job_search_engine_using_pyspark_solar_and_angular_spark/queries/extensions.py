@@ -5558,3 +5558,122 @@ def ext_tpch_q20(spark, sf_dir):
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# ---- round-8 additions: training-feed audits ------------------------------
+
+
+@query("ext_truncation_audit")
+def ext_truncation_audit(spark, sf_dir):
+    """Context-window truncation audit at max_len=128 tokens, per source:
+    how many documents a trainer's sequence cap would cut and what share
+    of the token mass it loses — the go/no-go number before choosing a
+    packing budget. Integer bps end-to-end (10000*x div y); one scan, one
+    #sources-row agg. The per-doc token count is the canonical analyzer's
+    (tokenize_normalized), the same count packing/budget ops use."""
+    from ..functions.text import tokenize_normalized as _tokn
+
+    max_len = 128
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(_tokn("text")).cast("long")
+    per = d.select(
+        "source",
+        n.alias("n"),
+        F.greatest(n - max_len, F.lit(0).cast("long")).alias("lost"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n") > max_len).cast("long")).alias("n_truncated"),
+            F.sum("n").alias("total_tokens"),
+            F.sum("lost").alias("tokens_lost"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_truncated",
+            F.expr("div(10000 * n_truncated, n_docs)").alias("truncated_bps"),
+            "total_tokens",
+            "tokens_lost",
+            F.expr("div(10000 * tokens_lost, total_tokens)").alias("loss_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("ext_ngram_novelty")
+def ext_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the share of a document's DISTINCT
+    5-grams whose FIRST corpus occurrence (min doc_id) is this document —
+    the boilerplate detector dual to cross-doc duplication: low novelty =
+    the document is assembled from text seen earlier in the feed. Shuffle
+    keys are grams and doc_ids, never documents; integer bps. Emits the
+    20 least-novel multi-gram documents (count desc ties on doc_id)."""
+    from ..functions.hashing import token_ngrams
+    from ..functions.text import tokenize_normalized as _tokn
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(token_ngrams(_tokn("text"), 5)).alias("gram")
+    ).distinct()
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .filter(F.col("n_grams") >= 5)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("div(10000 * n_novel, n_grams)").alias("novelty_bps"),
+        )
+        .orderBy("novelty_bps", F.col("n_grams").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query("ext_vocab_topk_coverage")
+def ext_vocab_topk_coverage(spark, sf_dir):
+    """Zipf head coverage: what share of the corpus token mass the top-K
+    vocabulary types cover, K in {10, 100, 1000} — the tokenizer-sizing
+    companion to ext_vocab_growth's Heaps profile. Deliberately NOT a
+    global cumulative-sum window (single-partition over the whole
+    vocabulary — a scale smell): each K is an orderBy(count desc).limit(K)
+    = TakeOrderedAndProject (per-partition heaps) + a K-row agg, unioned.
+    Integer bps against the in-plan broadcast total."""
+    from ..functions.text import tokenize_normalized as _tokn
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokn("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    ).persist()
+    total = counts.agg(F.sum("c").alias("total"))
+    out = None
+    for k in (10, 100, 1000):
+        top = counts.orderBy(F.col("c").desc(), "tok").limit(k)
+        row = (
+            top.agg(
+                F.count("*").alias("n_types"),
+                F.sum("c").alias("covered_tokens"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                "n_types",
+                "covered_tokens",
+                F.expr("div(10000 * covered_tokens, total)").alias(
+                    "coverage_bps"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")

@@ -4201,3 +4201,57 @@ WHERE n.n_name = 'NATION_3'
 ORDER BY s.s_name
 """
 )
+
+# ---- round-8 additions: training-feed audits -------------------------------
+
+ORACLES["ext_truncation_audit"] = f"""
+WITH per AS (
+  SELECT source, CAST(len({TOKS}) AS BIGINT) AS n FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n > 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       CAST(10000 * SUM(CASE WHEN n > 128 THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS truncated_bps,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(GREATEST(n - 128, 0)) AS BIGINT) AS tokens_lost,
+       CAST(10000 * SUM(GREATEST(n - 128, 0)) // SUM(n) AS BIGINT) AS loss_bps
+FROM per GROUP BY source ORDER BY source
+"""
+
+ORACLES["ext_ngram_novelty"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS gram FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i FROM toks)
+),
+first AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram),
+per AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM grams g JOIN first f USING (gram) GROUP BY g.doc_id)
+SELECT doc_id, n_grams, n_novel,
+       CAST(10000 * n_novel // n_grams AS BIGINT) AS novelty_bps
+FROM per WHERE n_grams >= 5
+ORDER BY novelty_bps, n_grams DESC, doc_id LIMIT 20
+"""
+
+ORACLES["ext_vocab_topk_coverage"] = f"""
+WITH counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest({TOKS}) AS tok FROM documents) GROUP BY tok),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts),
+k10 AS (SELECT c FROM counts ORDER BY c DESC, tok LIMIT 10),
+k100 AS (SELECT c FROM counts ORDER BY c DESC, tok LIMIT 100),
+k1000 AS (SELECT c FROM counts ORDER BY c DESC, tok LIMIT 1000)
+SELECT CAST(10 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS covered_tokens,
+       CAST(10000 * SUM(c) // (SELECT total FROM total) AS BIGINT) AS coverage_bps
+FROM k10
+UNION ALL
+SELECT 100, CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT),
+       CAST(10000 * SUM(c) // (SELECT total FROM total) AS BIGINT) FROM k100
+UNION ALL
+SELECT 1000, CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT),
+       CAST(10000 * SUM(c) // (SELECT total FROM total) AS BIGINT) FROM k1000
+ORDER BY k
+"""
