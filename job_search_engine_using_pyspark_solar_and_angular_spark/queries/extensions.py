@@ -5677,3 +5677,165 @@ def ext_vocab_topk_coverage(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k")
+
+
+@query("ext_hapax_rate")
+def ext_hapax_rate(spark, sf_dir):
+    """Per-source hapax legomena rate: share of each source's vocabulary
+    occurring exactly once — high hapax = noisy/ID-heavy text, low = tight
+    boilerplate; pairs with ext_vocab_topk_coverage (head mass) as the
+    tail-mass lens. One explode + one (source, tok) agg + one #sources-row
+    rollup, integer bps."""
+    from ..functions.text import tokenize_normalized as _tokn
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(_tokn("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+            F.sum("c").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_types",
+            "n_hapax",
+            F.expr("div(10000 * n_hapax, n_types)").alias("hapax_bps"),
+            "n_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+@query("ext_source_vocab_overlap")
+def ext_source_vocab_overlap(spark, sf_dir):
+    """Domain similarity by head-vocabulary overlap: Jaccard of the
+    top-100 token types between every source pair — the cheap "are these
+    two feeds the same kind of text" matrix a mixture designer reads
+    before setting shares. Per-source top-k is a source-partitioned
+    row_number window (bounded by per-source vocabulary, never global);
+    the pair join keys on token and only ever joins 100-row head lists.
+    Top-20 most-overlapping pairs, integer bps."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize_normalized as _tokn
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(_tokn("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    head = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 100)
+        .select("source", "tok")
+        .persist()
+    )
+    a, b = head.alias("a"), head.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("overlap_n"))
+    )
+    return (
+        pairs.select(
+            "src_a",
+            "src_b",
+            "overlap_n",
+            F.expr("div(10000 * overlap_n, 200 - overlap_n)").alias(
+                "jaccard_bps"
+            ),
+        )
+        .orderBy(F.col("jaccard_bps").desc(), "src_a", "src_b")
+        .limit(20)
+    )
+
+
+@query("ext_sentence_stats")
+def ext_sentence_stats(spark, sf_dir):
+    """Per-source sentence segmentation stats (regex [.!?] splitter, empty
+    segments trimmed away): sentences per doc (x100) and characters per
+    sentence — the readability-adjacent shape features a curation pass
+    bands on. Row-local split + one #sources-row agg; integer division
+    end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    sentences = F.filter(
+        F.transform(F.split("text", r"[.!?]"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    per = d.select(
+        "source",
+        F.size(sentences).cast("long").alias("n_sentences"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sentences").alias("total_sentences"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_sentences",
+            F.expr("div(100 * total_sentences, n_docs)").alias(
+                "sentences_per_doc_x100"
+            ),
+            F.expr("div(total_chars, total_sentences)").alias(
+                "chars_per_sentence"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query("ext_dup_sample_estimate")
+def ext_dup_sample_estimate(spark, sf_dir):
+    """Sampled duplicate-rate estimator vs ground truth: at 100 TB you
+    audit dedup health from a sample, not a full pass — but sampling DOCS
+    breaks duplicate groups across the boundary and biases the estimate
+    down. Sampling by HASH OF CONTENT (md5(text) bucket) keeps every
+    duplicate group wholly in or out, so the group-level sample is
+    unbiased. One row: exact dup rate, 1/8-sample estimate, and their
+    gap — all integer bps from one scan + one content-hash agg."""
+    from ..functions.hashing import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.col("text"))
+    groups = (
+        d.select(h.alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .withColumn("in_sample", (F.pmod(F.col("h"), F.lit(8)) == 0).cast("long"))
+    )
+    return groups.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") - 1).alias("n_dup_docs"),
+        F.sum(F.col("n") * F.col("in_sample")).alias("n_sample_docs"),
+        F.sum((F.col("n") - 1) * F.col("in_sample")).alias("n_sample_dups"),
+    ).select(
+        "n_docs",
+        "n_dup_docs",
+        F.expr("div(10000 * n_dup_docs, n_docs)").alias("exact_dup_bps"),
+        "n_sample_docs",
+        "n_sample_dups",
+        F.expr(
+            "CASE WHEN n_sample_docs > 0 "
+            "THEN div(10000 * n_sample_dups, n_sample_docs) ELSE 0 END"
+        ).alias("est_dup_bps"),
+        F.expr(
+            "abs(div(10000 * n_dup_docs, n_docs) - "
+            "CASE WHEN n_sample_docs > 0 "
+            "THEN div(10000 * n_sample_dups, n_sample_docs) ELSE 0 END)"
+        ).alias("err_bps"),
+    )

@@ -4255,3 +4255,66 @@ SELECT 1000, CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT),
        CAST(10000 * SUM(c) // (SELECT total FROM total) AS BIGINT) FROM k1000
 ORDER BY k
 """
+
+ORACLES["ext_hapax_rate"] = f"""
+WITH counts AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest({TOKS}) AS tok FROM documents) GROUP BY source, tok)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(10000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS hapax_bps,
+       CAST(SUM(c) AS BIGINT) AS n_tokens
+FROM counts GROUP BY source ORDER BY source
+"""
+
+ORACLES["ext_source_vocab_overlap"] = f"""
+WITH counts AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest({TOKS}) AS tok FROM documents) GROUP BY source, tok),
+head AS (
+  SELECT source, tok FROM (
+    SELECT source, tok,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn
+    FROM counts) WHERE rn <= 100)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS overlap_n,
+       CAST(10000 * COUNT(*) // (200 - COUNT(*)) AS BIGINT) AS jaccard_bps
+FROM head a JOIN head b ON a.tok = b.tok AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY jaccard_bps DESC, src_a, src_b LIMIT 20
+"""
+
+ORACLES["ext_sentence_stats"] = """
+WITH per AS (
+  SELECT source,
+         CAST(len(list_filter(list_transform(
+           regexp_split_to_array(text, '[.!?]'), s -> trim(s)), s -> s <> '')) AS BIGINT) AS n_sentences,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sentences) AS BIGINT) AS total_sentences,
+       CAST(100 * SUM(n_sentences) // COUNT(*) AS BIGINT) AS sentences_per_doc_x100,
+       CAST(SUM(n_chars) // SUM(n_sentences) AS BIGINT) AS chars_per_sentence
+FROM per GROUP BY source ORDER BY source
+"""
+
+ORACLES["ext_dup_sample_estimate"] = f"""
+WITH groups AS (
+  SELECT {md5long('text')} AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY h),
+g AS (SELECT n, CASE WHEN ((h % 8) + 8) % 8 = 0 THEN 1 ELSE 0 END AS in_sample FROM groups),
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(n - 1) AS BIGINT) AS n_dup_docs,
+         CAST(SUM(n * in_sample) AS BIGINT) AS n_sample_docs,
+         CAST(SUM((n - 1) * in_sample) AS BIGINT) AS n_sample_dups
+  FROM g)
+SELECT n_docs, n_dup_docs,
+       CAST(10000 * n_dup_docs // n_docs AS BIGINT) AS exact_dup_bps,
+       n_sample_docs, n_sample_dups,
+       CAST(CASE WHEN n_sample_docs > 0 THEN 10000 * n_sample_dups // n_sample_docs ELSE 0 END AS BIGINT) AS est_dup_bps,
+       CAST(ABS(10000 * n_dup_docs // n_docs - CASE WHEN n_sample_docs > 0 THEN 10000 * n_sample_dups // n_sample_docs ELSE 0 END) AS BIGINT) AS err_bps
+FROM agg
+"""
