@@ -123,3 +123,4 @@ def observe_metrics(df: DataFrame, name: str, **metrics):
 
     obs = Observation(name)
     return df.observe(obs, *[v.alias(k) for k, v in metrics.items()]), obs
+

@@ -1563,7 +1563,18 @@ def ext_curation_verdict(spark, sf_dir):
     non-canonical) -> contaminated -> keep. Composes the independently
     oracle-verified operators into the funnel a real training-data pass
     runs; the oracle composes the same verified SQL fragments."""
+    from ..io import ensure_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
+    # spread BEFORE the tokenize projection: quality_score/_shingle_hashes
+    # ensure parallelism internally, but on `docs.withColumn(__toks, ...)`
+    # the repartition lands ABOVE the projection — the HOF tokenize itself
+    # still ran as the scan's single task (single-row-group input) and only
+    # the downstream folds parallelized. Spreading the raw docs first moves
+    # the tokenize past the exchange too (measured: fused projection
+    # 1.77 s -> 0.63 s, whole funnel ~3.8 -> ~2.9 s warm at sf0.1); no-op
+    # whenever the scan already has >= cores splits, i.e. at real scale.
+    spread = ensure_parallelism(docs)
     # lang-ID and quality are row-local column expressions — fuse them into
     # ONE projection on the base scan instead of separate stage DataFrames
     # joined on doc_id (same values, same oracle; removes two full corpus
@@ -1572,7 +1583,7 @@ def ext_curation_verdict(spark, sf_dir):
     # don't codegen: the inline form re-tokenized per profile, ~2x slower)
     from ..functions.text import tokenize_normalized
 
-    staged = docs.withColumn("__toks", tokenize_normalized("text"))
+    staged = spread.withColumn("__toks", tokenize_normalized("text"))
     # repetition is row-local since the fold rewrite (repetition_signals) —
     # fuse it into the same projection instead of a separate corpus scan
     # joined back on doc_id (zero-token docs: frac is NULL, exactly like
@@ -1590,7 +1601,7 @@ def ext_curation_verdict(spark, sf_dir):
     # ONE corpus tokenize+shingle+md5 pass feeds BOTH the LSH clustering and
     # both sides of decontamination (values identical to computing each
     # independently — same oracle; at 100 TB this removes a full extra scan)
-    sh = pipeline._shingle_hashes(docs, "doc_id", "text", 3).persist()
+    sh = pipeline._shingle_hashes(spread, "doc_id", "text", 3).persist()
     cc = dedup.connected_components(
         dedup.minhash_lsh_candidates(docs, shingle_hashes=sh)
     )
