@@ -682,8 +682,15 @@ def quantize_int8_corpus(
     ``scales``: a precomputed :func:`corpus_scales` frame (e.g. read back
     from a persisted index's stats file) — lets an index SERVE path and
     later encodes share the exact scales the index was built with."""
+    from ..io import ensure_parallelism
+
     arrs = corpus_scales(embeddings, vec_col) if scales is None else scales
-    with_stats = embeddings.crossJoin(F.broadcast(arrs))
+    # the per-row zip_with encode (and every integer-geometry consumer
+    # downstream: PQ argmin, cluster assignment, int-L2) is CPU-bound HOF
+    # math — spread a narrow scan first (no-op once the input has >= cores
+    # splits; measured on the single-row-group sf0.1 embeddings: the PQ
+    # tier 2.5 s -> 1.6 s)
+    with_stats = ensure_parallelism(embeddings).crossJoin(F.broadcast(arrs))
     paired = F.zip_with(
         F.col(vec_col),
         F.zip_with(
