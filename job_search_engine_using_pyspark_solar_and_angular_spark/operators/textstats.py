@@ -768,11 +768,16 @@ def bpe_encode_stats(
     vocab side when it fits, so encoding 100 TB is one map-side join plus
     the per-doc agg — the token stream is never re-walked per merge round.
     """
+    from ..io import ensure_parallelism
+
     _, vocab = _bpe_learn(df, text_col, rounds)
     vocab_n = vocab.select(
         "word", F.size(F.split("sym", " ")).alias("n_sym")
     )
-    toks = df.select(
+    # spread the RAW docs before the tokenize projection (the train half
+    # in _bpe_learn already does) — on a single-row-group input this
+    # second corpus pass otherwise tokenizes in the scan's one task
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize_normalized(text_col)).alias("word"),
     )
