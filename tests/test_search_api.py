@@ -437,3 +437,41 @@ def test_search_with_query_correction(spark):
 
     _, passthru = search_keyword_corrected(spark, idx, "spark zzzzqqq", k=5)
     assert passthru[0] == "spark" and passthru[1] == "zzzzqqq"
+
+
+def test_keyset_paging_constant_cost_and_exact(spark):
+    """bm25_search's keyset cursor (after=(score, doc_id)) pages at
+    CONSTANT per-page cost: the executed plan keeps limit=k (a
+    TakeOrderedAndProject of k) with the cursor as a plain filter —
+    offset paging instead deepens the pool to start+k. Pages stitched via
+    the cursor must reproduce the unpaged ranking exactly."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import (
+        load_table,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.bm25 import (
+        bm25_search,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+        build_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = build_index(docs, cache=True)
+
+    full = [
+        (r["doc_id"], r["score"])
+        for r in bm25_search(spark, idx, ["spark", "join"], k=9).collect()
+    ]
+    assert len(full) == 9
+
+    pages, cursor = [], None
+    for _ in range(3):
+        page_df = bm25_search(spark, idx, ["spark", "join"], k=3, after=cursor)
+        plan = page_df._jdf.queryExecution().executedPlan().toString()
+        # the page plan's top-k stays k — never offset+k
+        assert "TakeOrderedAndProject(limit=3" in plan, plan
+        rows = [(r["doc_id"], r["score"]) for r in page_df.collect()]
+        assert len(rows) == 3
+        pages.extend(rows)
+        cursor = (rows[-1][1], rows[-1][0])
+    assert pages == full
