@@ -503,3 +503,49 @@ def test_rollup_empty_input_divergence_is_known(spark, ddb):
     assert spark.sql(sql).count() == 0  # Spark: no rows at all
     d = ddb.execute(sql).fetchall()
     assert len(d) == 1 and d[0][1] == 0  # DuckDB: the () grand-total row
+
+
+@st.composite
+def _null_in_query(draw):
+    """[NOT] IN subqueries with a NULL-BEARING list — the classic
+    three-valued-logic trap: one NULL in the list makes NOT IN yield
+    UNKNOWN (filtered out) for every non-matching row, i.e. usually an
+    EMPTY result, and IN yield UNKNOWN instead of FALSE for non-members.
+    NULLs are injected deterministically via NULLIF on a modulus, so both
+    engines see the identical list. Also samples the scalar-comparison
+    `= ANY` spelling DuckDB and Spark both accept via IN."""
+    neg = draw(st.booleans())
+    op = "NOT IN" if neg else "IN"
+    null_mod = draw(st.integers(2, 7))
+    list_cut = draw(st.integers(5, 120))
+    outer_cut = draw(st.integers(20, 200))
+    with_nulls = draw(st.booleans())
+    inner_expr = (
+        f"NULLIF(c_custkey, c_custkey % {null_mod} * {null_mod // 2 or 1})"
+        if with_nulls
+        else "c_custkey"
+    )
+    return (
+        "SELECT CAST(event_id AS BIGINT) AS eid, "
+        "CAST(user_id AS BIGINT) AS uid FROM events "
+        f"WHERE event_id < {outer_cut} AND user_id {op} "
+        f"(SELECT {inner_expr} FROM customer WHERE c_custkey < {list_cut}) "
+        "ORDER BY eid"
+    )
+
+
+@given(sql=_null_in_query())
+@_SET
+def test_sql_differential_fuzz_null_in(spark, ddb, sql):
+    """[NOT] IN with NULL-bearing subquery lists must agree exactly —
+    NOT IN over a list containing NULL filters everything (UNKNOWN), and
+    a decorrelation that rewrites to anti-join without the null check
+    silently returns rows. Both engines must land on identical sets."""
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    load_table(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
+    s = spark.sql(sql)
+    s_rows = [tuple(r) for r in s.collect()]
+    d = ddb.execute(sql)
+    assert canon_rows(s.columns, s_rows) == canon_rows(
+        [c[0] for c in d.description], d.fetchall()
+    ), sql
