@@ -255,6 +255,58 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_users_b")
 
 
+def test_bucketed_layout_runs_q18_q21_ladders_shuffle_free(spark, tmp_path):
+    """The r8 probe's claim, pinned: lineitem bucket-sorted on l_orderkey
+    + orders on o_orderkey (same bucket count) run BOTH heavy orderkey
+    workloads off the layout — Q18's grouped-fact HAVING agg + join, and
+    Q21's fact⋈fact join with its whole downstream ladder (pair dedup,
+    per-order quantifiers, culprit join-back) — with no orderkey Exchange
+    anywhere: the only Exchanges left are the result-sized tails (Q18's
+    ORDER BY range partition; Q21's few-row supplier agg). Subset
+    HashPartitioning satisfying the composite grouping is what makes the
+    ladder reuse the layout; this pins that Catalyst behavior too."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.probe_q18_bucketed import exchange_count, q18_plan, q21_plan
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark import catalog
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    s = load_table(spark, SF_DIR, "supplier")
+    try:
+        catalog.write_bucketed(
+            li.select("l_orderkey", "l_quantity", "l_suppkey", "l_shipdate"),
+            "t_li_b", str(tmp_path / "li"), ["l_orderkey"], buckets=8,
+        )
+        catalog.write_bucketed(
+            o.select("o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice", "o_orderstatus"),
+            "t_o_b", str(tmp_path / "o"), ["o_orderkey"], buckets=8,
+        )
+        lib, ob = spark.table("t_li_b"), spark.table("t_o_b")
+        q18b, q18u = q18_plan(lib, ob, c), q18_plan(li, o, c)
+        q21b, q21u = q21_plan(lib, ob, s), q21_plan(li, o, s)
+        for bucketed, cap in ((q18b, 1), (q21b, 2)):
+            p = bucketed._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(l_orderkey" not in p, p[:1500]
+            assert "hashpartitioning(o_orderkey" not in p, p[:1500]
+            assert exchange_count(bucketed) <= cap, p[:1500]
+        # results identical to the unbucketed plans
+        assert sorted(map(tuple, q18b.collect())) == sorted(
+            map(tuple, q18u.collect())
+        )
+        assert sorted(map(tuple, q21b.collect())) == sorted(
+            map(tuple, q21u.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_o_b")
+
+
 def test_shard_ops_one_exchange_no_global_sort(spark):
     """corpus_shuffle / pack_sequences: exactly ONE shuffle (keyed on shard)
     and no rangepartitioning / single-partition stage — the per-shard window
