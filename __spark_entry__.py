@@ -43,18 +43,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # pandas/arrow) by tools/certify_window.py before rotation:
 #   * slots 1-25: the declared set (Q01-Q24 + sql_frontdoor), the reference's
 #     own query surface (SURVEY.md §2.12) — always in;
-#   * slots 26-50 (r8 rotation #6, all 25 never-driver-certified): the r7
-#     window tail (TPC-H partsupp classics + the LLM-pipeline batch, all
-#     driver-certified 50/50 in CORRECTNESS_r07.json) rotates out for the
-#     ledger's r8 batch: ext_kcore (held from r7's batch B), audio features,
-#     cohort retention, TF-IDF top terms, length trim, PMI bigrams,
-#     duplicated n-grams, train/test split, pseudonymize, temperature mix,
-#     k-fold, stratified sample, corpus shuffle, snapshot diff, ntile
-#     segments, event transitions, histogram, correlation profile, facet
-#     counts, suggest-next, autocomplete, PMI collocations, DQ audit,
-#     Z-order key, cap-per-group. All 25 were pre-certified in r7 by
-#     tools/certify_window.py at sf0.01 (both fetch models + type-class),
-#     again under JSE_CERTIFY_VANILLA=1, and the exact window composition is
+#   * slots 26-50 (r9 rotation #7, all 25 never-driver-certified): the r8
+#     window tail (ext_kcore + the audit/layout batch, all driver-certified
+#     50/50 in CORRECTNESS_r08.json) rotates out for the ledger's r9 batch:
+#     ring negatives, agg-merge rollup, ANN LSH multiprobe, TPC-H Q5,
+#     MinHash Jaccard estimate, corpus report, join cardinality, AND-search,
+#     snippets, containment, split leakage, importance sample, robust trend,
+#     best survivor, language confusion, degree distribution, index stats,
+#     CMS range query, vocab growth, stickiness, power users, basket lift,
+#     effective size, freshness, null profile. All 25 were pre-certified in
+#     r7 by tools/certify_window.py at sf0.01 (both fetch models +
+#     type-class), re-certified post-r8 under BOTH session modes (tuned +
+#     JSE_CERTIFY_VANILLA=1), and the exact window composition is
 #     re-certified before each rotation commit. Rotated-out queries stay
 #     exact-oracle-checked locally every run (tests/test_oracle_parity.py).
 # Float-sensitive ANN variants (ext_ann_lsh / ext_ann_ivf /
@@ -68,33 +68,34 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     *[n for n in _QUERIES if n.startswith("q") and n[1].isdigit()],  # q01..q24
     "sql_frontdoor",
-    # r8 rotation #6: 25 never-driver-certified slots (ledger-derived batch;
-    # all dual-mode pre-certified in r7 — see tools/rotation_ledger.py).
-    "ext_kcore",
-    "ext_audio_features",
-    "ext_cohort_retention",
-    "ext_tfidf_topterms",
-    "ext_length_trim",
-    "ext_pmi_bigrams",
-    "ext_duplicated_ngrams",
-    "ext_train_test_split",
-    "ext_pseudonymize",
-    "ext_temperature_mix",
-    "ext_kfold",
-    "ext_stratified_sample",
-    "ext_corpus_shuffle",
-    "ext_snapshot_diff",
-    "ext_ntile_segments",
-    "ext_event_transitions",
-    "ext_histogram",
-    "ext_corr_profile",
-    "ext_facet_counts",
-    "ext_suggest_next",
-    "ext_autocomplete",
-    "ext_pmi_collocations",
-    "ext_dq_audit",
-    "ext_zorder_key",
-    "ext_cap_per_group",
+    # r9 rotation #7: 25 never-driver-certified slots (ledger-derived batch;
+    # all dual-mode pre-certified in r7, re-certified post-r8 — see
+    # tools/rotation_ledger.py).
+    "ext_ring_negatives",
+    "ext_agg_merge_rollup",
+    "ext_ann_lsh_multiprobe",
+    "ext_tpch_q5",
+    "ext_minhash_est_jaccard",
+    "ext_corpus_report",
+    "ext_join_cardinality",
+    "ext_search_and",
+    "ext_snippets",
+    "ext_containment",
+    "ext_split_leakage",
+    "ext_importance_sample",
+    "ext_robust_trend",
+    "ext_best_survivor",
+    "ext_lang_confusion",
+    "ext_degree_distribution",
+    "ext_index_stats",
+    "ext_cms_range_query",
+    "ext_vocab_growth",
+    "ext_stickiness",
+    "ext_power_users",
+    "ext_basket_lift",
+    "ext_effective_size",
+    "ext_freshness",
+    "ext_null_profile",
 ]
 
 

@@ -52,6 +52,7 @@ ROUND_WINDOW_COMMITS = {
     5: "235dea9df9a4cda5acc33dbe05e602891f0639c2",
     6: "0f25d5fd1dbd2f48207005de59c99c2dfd736fd8",
     7: "e601a537635cd6e813b5a6fff2f3a467d9722665",
+    8: "1ef585cc06981114d2ad5d83b7e861f87b3e7294",
 }
 
 # Rotation-ineligible registry queries (the window comment in
@@ -66,36 +67,38 @@ NEVER_ROTATE = {
     "ext_zscore_embeddings",
 }
 
-# The r8 batch ROUND7.md declared and pre-certified through BOTH session
+# The batch the NEXT rotation carries, pre-certified through BOTH session
 # modes (tuned + JSE_CERTIFY_VANILLA=1) and both oracle fetch models — it
 # goes first regardless of registry order so the next rotation is
-# unambiguous.
+# unambiguous. r9 state: the r9 batch (pre-certified in r7, re-certified
+# post-r8) is IN the window now; this lists the r10 head so the ledger's
+# printed batches stay pinned.
 PREFERRED_NEXT = [
-    "ext_kcore",
-    "ext_audio_features",
-    "ext_cohort_retention",
-    "ext_tfidf_topterms",
-    "ext_length_trim",
-    "ext_pmi_bigrams",
-    "ext_duplicated_ngrams",
-    "ext_train_test_split",
-    "ext_pseudonymize",
-    "ext_temperature_mix",
-    "ext_kfold",
-    "ext_stratified_sample",
-    "ext_corpus_shuffle",
-    "ext_snapshot_diff",
-    "ext_ntile_segments",
-    "ext_event_transitions",
-    "ext_histogram",
-    "ext_corr_profile",
-    "ext_facet_counts",
-    "ext_suggest_next",
-    "ext_autocomplete",
-    "ext_pmi_collocations",
-    "ext_dq_audit",
-    "ext_zorder_key",
-    "ext_cap_per_group",
+    "ext_seasonality",
+    "ext_new_vs_returning",
+    "ext_return_rate",
+    "ext_burstiness",
+    "ext_gini",
+    "ext_autocorrelation",
+    "ext_skew_report",
+    "ext_cluster_sizes",
+    "ext_anomalous_hours",
+    "ext_event_paths",
+    "ext_first_touch",
+    "ext_cohort_ltv",
+    "ext_rfm",
+    "ext_purchase_intervals",
+    "ext_source_quality",
+    "ext_weekly_trend",
+    "ext_error_rate",
+    "ext_pack_multimodal",
+    "ext_fk_profile",
+    "ext_catalog_summary",
+    "ext_abandonment",
+    "ext_conversion_lag",
+    "ext_peak_hour",
+    "ext_log_histogram",
+    "ext_audience_overlap",
 ]
 
 
@@ -202,6 +205,25 @@ def ledger() -> dict:
         n for n in future if n not in PREFERRED_NEXT
     ]
     batches = [future[i : i + 25] for i in range(0, len(future), 25)]
+    # Post-exhaustion policy (pinned here, not prose): once the
+    # never-certified backlog is empty (r12 closes it slot-perfect at
+    # 25/25), each subsequent window's slots 26-50 carry the 25
+    # EARLIEST-certified rotatable queries for drift re-validation —
+    # ordered by (earliest certification round, registry order), declared
+    # slots and never-rotate excluded. Re-certifying a query updates its
+    # earliest round only in the artifact sense, not here: the re-rotation
+    # ORDER is by first certification, so the cycle walks the whole
+    # certified set oldest-first round-robin as artifacts accumulate.
+    declared = {n for n in registry if (n.startswith("q") and n[1:3].isdigit())}
+    declared.add("sql_frontdoor")
+    recert_order = sorted(
+        (
+            n
+            for n in certified
+            if n in oracled and n not in NEVER_ROTATE and n not in declared
+        ),
+        key=lambda n: (min(certified[n]), registry.index(n)),
+    )
     return {
         "registry": len(registry),
         "oracled": len(oracled),
@@ -212,6 +234,7 @@ def ledger() -> dict:
         "rows_only": sorted(n for n in registry if n not in oracled),
         "batches": batches,
         "certified_rounds": {n: rs for n, rs in sorted(certified.items())},
+        "re_rotation_batch": recert_order[:25],
         "window_audit": audit_windows(),
     }
 
@@ -233,6 +256,11 @@ def main() -> None:
     start = last_round + (2 if led["in_window_pending"] else 1)
     for i, b in enumerate(led["batches"], start=start):
         print(f"r{i} batch ({len(b)}): {' '.join(b)}")
+    first_recert = start + len(led["batches"])
+    print(
+        f"r{first_recert}+ re-rotation (earliest-certified 25, drift "
+        f"re-validation): {' '.join(led['re_rotation_batch'])}"
+    )
     print(f"never-rotate: {' '.join(led['never_rotate'])}")
     print(f"rows-only: {' '.join(led['rows_only'])}")
     audit = led["window_audit"]
