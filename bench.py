@@ -614,6 +614,111 @@ def bench_served_refresh(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def bench_bucketed_layout(spark, sf_dir: str) -> dict:
+    """The prescribed fact layout (DEPLOY.md), measured in the driver-visible
+    artifact (VERDICT r8 #2): lineitem bucket-sorted on l_orderkey and orders
+    on o_orderkey (same bucket count) run BOTH heavy orderkey workloads —
+    Q18's grouped-fact HAVING agg + join and Q21's fact⋈fact ladder — off the
+    layout. The bucketed pair is written once per sf and cached under
+    .bench/ (the one-time layout cost is recorded when paid); each query's
+    result is asserted identical to the unbucketed plan and the bucketed
+    Exchange counts are asserted at the shuffle-free caps the CI plan pin
+    uses (Q18 ≤1: only the final ORDER BY; Q21 ≤2: the few-row supplier
+    tail) before timing."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark import catalog
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from tools.probe_q18_bucketed import (
+        BUCKETS,
+        LI_COLS,
+        LI_DDL,
+        O_COLS,
+        O_DDL,
+        exchange_count,
+        q18_plan,
+        q21_plan,
+    )
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    bdir = os.path.join(BENCH_DIR, f"bucketed_bench_{tag}")
+    marker = os.path.join(bdir, "_BUCKETED_OK")
+    safe = tag.replace(".", "_")
+    li_name, o_name = f"jse_li_bench_{safe}", f"jse_o_bench_{safe}"
+    bucket_write_sec = None
+    if os.path.exists(marker):
+        # pair written by a previous run: the catalog is per-session, so
+        # re-attach the bucketed metadata via DDL — the bucket spec must
+        # match write_bucketed's exactly or the layout guarantee vanishes
+        for name, loc, ddl, key in (
+            (li_name, os.path.join(bdir, "lineitem"), LI_DDL, "l_orderkey"),
+            (o_name, os.path.join(bdir, "orders"), O_DDL, "o_orderkey"),
+        ):
+            if not spark.catalog.tableExists(name):
+                spark.sql(
+                    f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {BUCKETS} BUCKETS LOCATION '{loc}'"
+                )
+    else:
+        shutil.rmtree(bdir, ignore_errors=True)
+        os.makedirs(bdir, exist_ok=True)
+        for n in (li_name, o_name):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        t0 = time.perf_counter()
+        catalog.write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(*LI_COLS),
+            li_name, os.path.join(bdir, "lineitem"), ["l_orderkey"],
+            buckets=BUCKETS,
+        )
+        catalog.write_bucketed(
+            load_table(spark, sf_dir, "orders").select(*O_COLS),
+            o_name, os.path.join(bdir, "orders"), ["o_orderkey"],
+            buckets=BUCKETS,
+        )
+        bucket_write_sec = round(time.perf_counter() - t0, 3)
+        open(marker, "w").close()
+
+    li, o = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    c, s = load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
+    lib, ob = spark.table(li_name), spark.table(o_name)
+
+    out: dict = {"buckets": BUCKETS, "bucket_write_sec": bucket_write_sec}
+    cases = {
+        "ext_tpch_q18": (
+            lambda: q18_plan(li, o, c),
+            lambda: q18_plan(lib, ob, c),
+            1,
+            lambda df: df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("c_custkey") + F.col("o_orderkey")).alias("s"),
+            ).first(),
+        ),
+        "ext_tpch_q21": (
+            lambda: q21_plan(li, o, s),
+            lambda: q21_plan(lib, ob, s),
+            2,
+            lambda df: tuple(sorted(map(tuple, df.collect()))),
+        ),
+    }
+    for qname, (mk_unb, mk_b, cap, chk) in cases.items():
+        unb, b = mk_unb(), mk_b()
+        assert chk(unb) == chk(b), f"{qname}: bucketed result differs"
+        xb = exchange_count(b)
+        assert xb <= cap, f"{qname}: bucketed plan has {xb} Exchanges (cap {cap})"
+        out[qname] = {
+            "unbucketed_sec": timed_min(
+                f"{qname}_unbucketed", lambda: force(mk_unb())
+            ),
+            "bucketed_sec": timed_min(f"{qname}_bucketed", lambda: force(mk_b())),
+            "unbucketed_exchanges": exchange_count(unb),
+            "bucketed_exchanges": xb,
+        }
+        out[qname]["speedup"] = round(
+            out[qname]["unbucketed_sec"] / max(out[qname]["bucketed_sec"], 1e-9), 2
+        )
+    return out
+
+
 # Deliberate cost increases, annotated so the artifact explains itself when
 # the guard flags them (the r4 precedent: ext_multimodal_features 0.45->0.83
 # was the honest price of real pixel decode). Entries are NOT suppressed —
@@ -852,6 +957,12 @@ def main() -> None:
         # the 1M-vector replication probe only makes sense at the full
         # bench scale (its index replicates the sf0.1 corpus)
         timings["ann_lsh_served_1m"] = bench_ann_served_1m(spark)
+    bucketed_layout = bench_bucketed_layout(spark, sf_dir)
+    # the layout's query timings join the regression-tracked set under
+    # stable names; the full record (exchanges, speedup, write cost) rides
+    # in the artifact's bucketed_layout section
+    timings["ext_tpch_q18_bucketed"] = bucketed_layout["ext_tpch_q18"]["bucketed_sec"]
+    timings["ext_tpch_q21_bucketed"] = bucketed_layout["ext_tpch_q21"]["bucketed_sec"]
     served_refresh = bench_served_refresh(spark, sf_dir)
     streaming_ingest = bench_streaming_ingest(spark)
     scaled = bench_preprocess_scaled(spark)
@@ -883,6 +994,7 @@ def main() -> None:
         "preprocess_scaled_1gb": scaled_1gb,
         "preprocess_skewed": skewed,
         "preprocess_scaled_10gb": scaled_10gb,
+        "bucketed_layout": bucketed_layout,
         # raw per-trial served timings: lets a flagged regression be
         # adjudicated as noise (trial spread) vs plan change from the
         # artifact alone (r4 recorded three phantom regressions from
@@ -904,7 +1016,40 @@ def main() -> None:
             os.path.join(BENCH_DIR, "last_full.json"), "w", encoding="utf-8"
         ) as fh:
             json.dump(doc, fh)
+    # The driver's BENCH artifact keeps only a bounded stdout TAIL (r1-r8:
+    # "parsed": null because the single full-doc line overflows it), so emit
+    # a COMPACT totals line first (VERDICT r8 #7) and again LAST — whichever
+    # end a bounded capture keeps, it contains one complete parseable JSON
+    # line with the headline numbers. The full doc stays on its own line and
+    # in .bench/last_full.json.
+    flags = {
+        k: v
+        for k, v in doc["regressions"].items()
+        if not k.startswith("_")
+    }
+    summary = {
+        "metric": doc["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": doc["sf"],
+        "queries_n": len(timings),
+        "slowest": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+        ),
+        "preprocess_mb_per_sec": scaled["mb_per_sec"],
+        "preprocess_10gb_mb_per_sec": scaled_10gb["mb_per_sec"],
+        "streaming_mb_per_sec": streaming_ingest["mb_per_sec"],
+        "bucketed_speedup": {
+            q: bucketed_layout[q]["speedup"]
+            for q in ("ext_tpch_q18", "ext_tpch_q21")
+        },
+        "regression_flags": len(flags),
+        "host_calib_sec": doc["host_calib_sec"],
+        "full_artifact": ".bench/last_full.json",
+    }
+    print(json.dumps(summary))
     print(json.dumps(doc))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

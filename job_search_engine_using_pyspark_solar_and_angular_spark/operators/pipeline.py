@@ -40,18 +40,26 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
 def _shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, h): distinct md5-prefix hashes of token n-gram shingles.
 
     Two-step projection (bind the token array before the n-gram transform) —
     inlined, the tokenizer tree is re-evaluated per shingle (see
-    dedup.minhash_signatures for the measurement)."""
+    dedup.minhash_signatures for the measurement).
+
+    ``toks``: optional precomputed (doc_id, tk) token relation — pass a
+    persisted one when the caller ALSO needs the token arrays for other
+    stages (quality/lang/repetition profiles), so the corpus is tokenized
+    once instead of once per consumer. ``df``/``text_col`` are ignored
+    when given."""
     from ..io import ensure_parallelism
 
-    toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
-    )
+    if toks is None:
+        toks = ensure_parallelism(df).select(
+            F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
+        )
     return (
         toks.select(
             "doc_id", F.explode(token_ngrams(F.col("tk"), n)).alias("sh")

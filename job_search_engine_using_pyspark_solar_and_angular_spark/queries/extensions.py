@@ -1579,11 +1579,18 @@ def ext_curation_verdict(spark, sf_dir):
     # ONE projection on the base scan instead of separate stage DataFrames
     # joined on doc_id (same values, same oracle; removes two full corpus
     # scans and two doc_id shuffles from the funnel). The normalized-token
-    # array stages ONCE and feeds every profile + the stopword ratio (HOFs
-    # don't codegen: the inline form re-tokenized per profile, ~2x slower)
+    # array is computed ONCE for the whole funnel: the persisted ``toks``
+    # relation feeds every quality/lang/repetition profile AND the shingle
+    # pass below — pre-r9 the funnel regex-tokenized the corpus twice
+    # (once scan-fused for the profiles, once inside _shingle_hashes);
+    # the tokenize is the funnel's single most expensive projection, so
+    # one cached pass beats two compute passes (spill-able at 100 TB —
+    # the standard stage-once trade)
     from ..functions.text import tokenize_normalized
 
-    staged = spread.withColumn("__toks", tokenize_normalized("text"))
+    staged = spread.select(
+        "doc_id", "text", tokenize_normalized("text").alias("__toks")
+    ).persist()
     # repetition is row-local since the fold rewrite (repetition_signals) —
     # fuse it into the same projection instead of a separate corpus scan
     # joined back on doc_id (zero-token docs: frac is NULL, exactly like
@@ -1601,10 +1608,21 @@ def ext_curation_verdict(spark, sf_dir):
     # ONE corpus tokenize+shingle+md5 pass feeds BOTH the LSH clustering and
     # both sides of decontamination (values identical to computing each
     # independently — same oracle; at 100 TB this removes a full extra scan)
-    sh = pipeline._shingle_hashes(spread, "doc_id", "text", 3).persist()
-    cc = dedup.connected_components(
-        dedup.minhash_lsh_candidates(docs, shingle_hashes=sh)
-    )
+    sh = pipeline._shingle_hashes(
+        docs, "doc_id", "text", 3,
+        toks=staged.select("doc_id", F.col("__toks").alias("tk")),
+    ).persist()
+    # fused bucket->clusters path: this funnel never needs the pair LIST,
+    # so skip candidates_from_buckets' oriented distinct + the symmetric
+    # re-distinct (one dedup shuffle instead of two; same closure, same
+    # labels — see connected_components_from_buckets). banded is NOT
+    # persisted: it is consumed exactly once (the eager edges cut), so a
+    # cache write never pays for itself — the self-join's two sides each
+    # re-run only the min-agg over the PERSISTED shingle cache (measured
+    # faster than persist+read at sf0.1, and at scale it trades one banded
+    # materialization for a second agg pass over cached shingles)
+    banded = dedup.minhash_bucket_table(docs, shingle_hashes=sh)
+    cc = dedup.connected_components_from_buckets(banded)
     removed = (
         cc.withColumnRenamed("node", "doc_id")
         .filter(F.col("doc_id") != F.col("cluster_id"))

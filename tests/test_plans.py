@@ -265,9 +265,10 @@ def test_bucketed_layout_runs_q18_q21_ladders_shuffle_free(spark, tmp_path):
     ORDER BY range partition; Q21's few-row supplier agg). Subset
     HashPartitioning satisfying the composite grouping is what makes the
     ladder reuse the layout; this pins that Catalyst behavior too."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from tools.probe_q18_bucketed import exchange_count, q18_plan, q21_plan
 
     from job_search_engine_using_pyspark_solar_and_angular_spark import catalog
