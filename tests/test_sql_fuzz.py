@@ -534,6 +534,83 @@ def _null_in_query(draw):
     )
 
 
+@st.composite
+def _correlated_agg_query(draw):
+    """Correlated AGGREGATE subqueries in the WHERE clause over often-EMPTY
+    correlations (VERDICT r8 #6) — the decorrelation "COUNT bug" family the
+    scalar-subquery fuzzer's docstring names but its projection-only shape
+    cannot catch:
+
+    * ``(SELECT COUNT(*) ...) = 0`` — a naive rewrite to inner-join+group
+      DROPS outer rows with no matches, so the ``= 0`` predicate silently
+      returns the empty set instead of exactly those rows;
+    * ``(SELECT MAX/MIN ...) <cmp> k`` — empty correlation is NULL, the
+      comparison is UNKNOWN, the row is filtered — an engine substituting
+      a default instead of NULL keeps rows it must drop;
+    * ``[NOT] EXISTS (... GROUP BY ... HAVING agg)`` — an empty correlation
+      has NO groups, so even HAVING COUNT(*) >= 0 is EXISTS-false; a
+      rewrite that evaluates HAVING over the empty group as a global agg
+      flips it.
+
+    Tight event cuts make empty correlations common, and customer keys run
+    past the user_id range so some correlations are empty for EVERY cut."""
+    cut = draw(st.integers(2, 60))
+    cond = draw(
+        st.sampled_from(
+            [
+                f"e.event_id < {cut}",
+                f"e.event_type = '{draw(st.sampled_from(_TYPES))}' "
+                f"AND e.event_id < {cut * 3}",
+                f"e.user_id % {draw(st.integers(2, 5))} = 0",
+            ]
+        )
+    )
+    form = draw(st.sampled_from(["count_cmp", "minmax_cmp", "exists_having"]))
+    if form == "count_cmp":
+        op = draw(st.sampled_from(["=", ">", "<=", ">="]))
+        n = draw(st.integers(0, 3))
+        pred = (
+            f"(SELECT COUNT(*) FROM events e "
+            f"WHERE e.user_id = c_custkey AND {cond}) {op} {n}"
+        )
+    elif form == "minmax_cmp":
+        agg = draw(st.sampled_from(["MAX(e.event_id)", "MIN(e.event_id)"]))
+        op = draw(st.sampled_from(["<", ">=", "="]))
+        k = draw(st.integers(0, 150))
+        pred = (
+            f"(SELECT {agg} FROM events e "
+            f"WHERE e.user_id = c_custkey AND {cond}) {op} {k}"
+        )
+    else:
+        ex = "NOT EXISTS" if draw(st.booleans()) else "EXISTS"
+        m = draw(st.integers(0, 4))
+        pred = (
+            f"{ex} (SELECT 1 FROM events e "
+            f"WHERE e.user_id = c_custkey AND {cond} "
+            f"GROUP BY e.event_type HAVING COUNT(*) >= {m})"
+        )
+    lim = draw(st.integers(40, 300))
+    return (
+        "SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer "
+        f"WHERE {pred} ORDER BY ck LIMIT {lim}"
+    )
+
+
+@given(sql=_correlated_agg_query())
+@_SET
+def test_sql_differential_fuzz_correlated_agg(spark, ddb, sql):
+    """Correlated-aggregate predicates over empty correlations (COUNT-bug
+    family) must agree exactly."""
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    load_table(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
+    s = spark.sql(sql)
+    s_rows = [tuple(r) for r in s.collect()]
+    d = ddb.execute(sql)
+    assert canon_rows(s.columns, s_rows) == canon_rows(
+        [c[0] for c in d.description], d.fetchall()
+    ), sql
+
+
 @given(sql=_null_in_query())
 @_SET
 def test_sql_differential_fuzz_null_in(spark, ddb, sql):
