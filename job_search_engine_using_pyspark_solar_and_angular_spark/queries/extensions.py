@@ -5749,7 +5749,10 @@ def ext_source_vocab_overlap(spark, sf_dir):
     before setting shares. Per-source top-k is a source-partitioned
     row_number window (bounded by per-source vocabulary, never global);
     the pair join keys on token and only ever joins 100-row head lists.
-    Top-20 most-overlapping pairs, integer bps."""
+    Top-20 most-overlapping pairs, integer bps. The Jaccard denominator
+    uses each side's ACTUAL head size (|A| + |B| - overlap) — a source
+    with under 100 distinct types must not have its union padded to 100
+    (the pre-r9 hardcoded ``200 - overlap`` understated such pairs)."""
     from pyspark.sql import Window
 
     from ..functions.text import tokenize_normalized as _tokn
@@ -5775,12 +5778,19 @@ def ext_source_vocab_overlap(spark, sf_dir):
         )
         .agg(F.count("*").alias("overlap_n"))
     )
+    sizes = head.groupBy("source").agg(F.count("*").alias("hn"))
     return (
-        pairs.select(
+        pairs.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("hn").alias("hn_a"))), "src_a")
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("hn").alias("hn_b"))), "src_b")
+        .select(
             "src_a",
             "src_b",
             "overlap_n",
-            F.expr("div(10000 * overlap_n, 200 - overlap_n)").alias(
+            F.expr("div(10000 * overlap_n, hn_a + hn_b - overlap_n)").alias(
                 "jaccard_bps"
             ),
         )

@@ -4276,12 +4276,18 @@ head AS (
   SELECT source, tok FROM (
     SELECT source, tok,
            ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn
-    FROM counts) WHERE rn <= 100)
-SELECT a.source AS src_a, b.source AS src_b,
-       CAST(COUNT(*) AS BIGINT) AS overlap_n,
-       CAST(10000 * COUNT(*) // (200 - COUNT(*)) AS BIGINT) AS jaccard_bps
-FROM head a JOIN head b ON a.tok = b.tok AND a.source < b.source
-GROUP BY a.source, b.source
+    FROM counts) WHERE rn <= 100),
+hs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS hn FROM head GROUP BY source)
+SELECT src_a, src_b, overlap_n,
+       CAST(10000 * overlap_n // (sa.hn + sb.hn - overlap_n) AS BIGINT)
+         AS jaccard_bps
+FROM (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS overlap_n
+  FROM head a JOIN head b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source) p
+JOIN hs sa ON sa.source = p.src_a
+JOIN hs sb ON sb.source = p.src_b
 ORDER BY jaccard_bps DESC, src_a, src_b LIMIT 20
 """
 

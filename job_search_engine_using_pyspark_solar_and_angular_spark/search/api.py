@@ -41,8 +41,16 @@ def search_keyword(
     numeric offset (the retrieval pool deepens to ``start+k`` and the page
     is sliced via :func:`operators.topk.paginate`); ``after=(score,
     doc_id)`` is the KEYSET cursor — constant per-page cost, preferred for
-    deep paging. The join-back and ordering are identical either way."""
+    deep paging. The join-back and ordering are identical either way.
+    ``start`` and ``after`` are mutually exclusive: they define different
+    page boundaries, and silently preferring one (the pre-r9 behavior
+    ignored ``start``) hides a caller bug — reject the combination."""
     terms = tokenize_query(query)
+    if after is not None and start > 0:
+        raise ValueError(
+            "start and after are mutually exclusive pagination modes; "
+            "pass a numeric offset OR a keyset cursor, not both"
+        )
     if after is not None:
         hits = bm25_search(spark, index, terms, k=k, after=after)
     elif start > 0:

@@ -59,8 +59,12 @@ def bm25_search(
     previous page): only documents strictly after it in the total order
     are returned, so page N costs the same as page 1 — the limit stays
     ``k`` instead of growing to ``offset+k`` the way numeric-offset
-    paging must. Cursor equality is exact because the comparison happens
-    on the same 4-decimal rounded score the caller received."""
+    paging must. The cursor comparison is TOLERANCE-FREE: both sides are
+    mapped to the int64 key ``round(score * 10000)`` (bijective with the
+    4-decimal score the caller received), so no double-equality test
+    sits on a page edge — integer equality either matches or it doesn't.
+    The displayed score stays the plain ``round(raw, 4)`` double
+    (oracle/envelope parity unchanged)."""
     uniq = list(dict.fromkeys(terms))
     # df for just the query terms, computed from postings pruned to those
     # tokens — NOT from term_stats, which would aggregate the full token space
@@ -103,12 +107,15 @@ def bm25_search(
     )
     if after is not None:
         a_score, a_doc = after
+        # int64 cursor key: score is already exactly a 4-decimal-rounded
+        # double, so round(score * 10000) recovers its integer form
+        # losslessly on BOTH sides — the page-edge comparison never tests
+        # two doubles for equality
+        a_key = int(round(float(a_score) * 10000))
+        score_key = F.round(F.col("score") * 10000, 0).cast("long")
         ranked = ranked.filter(
-            (F.col("score") < F.lit(float(a_score)))
-            | (
-                (F.col("score") == F.lit(float(a_score)))
-                & (F.col("doc_id") > F.lit(int(a_doc)))
-            )
+            (score_key < F.lit(a_key))
+            | ((score_key == F.lit(a_key)) & (F.col("doc_id") > F.lit(int(a_doc))))
         )
     return ranked.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 

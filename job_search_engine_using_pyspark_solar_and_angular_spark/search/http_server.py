@@ -143,6 +143,12 @@ class SearchService:
     ) -> None:
         self.spark = spark
         self._snap = _ServedSnapshot(index, docs, users)
+        # serializes WRITERS only (readers stay lock-free on the single
+        # _snap load): two concurrent PARTIAL refreshes — one passing
+        # index, one passing docs — would otherwise both build from the
+        # same `cur` and the last writer silently discard the other's
+        # update (lost-update race; the swap itself was always atomic)
+        self._refresh_lock = threading.Lock()
         self.doc_user_key = doc_user_key
         self.user_name_col = user_name_col
         self.doc_time_col = doc_time_col
@@ -180,13 +186,17 @@ class SearchService:
         re-resolve). The HTTP server keeps running: the new generation is
         built off to the side and installed with ONE reference assignment
         (atomic under the GIL); in-flight requests finish on the old
-        snapshot, the next ``self._snap`` read sees the new one whole."""
-        cur = self._snap
-        self._snap = _ServedSnapshot(
-            cur.index if index is None else index,
-            cur.docs if docs is None else docs,
-            cur.users if users is None else users,
-        )
+        snapshot, the next ``self._snap`` read sees the new one whole.
+        The read-modify-write of concurrent PARTIAL refreshes is
+        serialized by ``_refresh_lock`` (writers only — readers never
+        take it), so neither update is lost."""
+        with self._refresh_lock:
+            cur = self._snap
+            self._snap = _ServedSnapshot(
+                cur.index if index is None else index,
+                cur.docs if docs is None else docs,
+                cur.users if users is None else users,
+            )
 
     # -- the three reference routes ------------------------------------
     def query(

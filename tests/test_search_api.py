@@ -475,3 +475,29 @@ def test_keyset_paging_constant_cost_and_exact(spark):
         pages.extend(rows)
         cursor = (rows[-1][1], rows[-1][0])
     assert pages == full
+
+
+def test_start_with_after_rejected(spark):
+    """search_keyword refuses start+after together: they define different
+    page boundaries, and the pre-r9 behavior silently ignored start —
+    a hidden caller bug (ADVICE r8). The HTTP handler surfaces the
+    rejection as the error envelope."""
+    import pytest
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import (
+        load_table,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.api import (
+        search_keyword,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.search.index import (
+        build_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = build_index(docs, cache=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        search_keyword(
+            spark, idx, docs, None, "spark join",
+            start=3, after=(1.2345, 7),
+        )
