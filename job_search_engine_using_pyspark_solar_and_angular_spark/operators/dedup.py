@@ -412,8 +412,23 @@ def connected_components_from_buckets(
     cut at sf0.1, and at 100 TB it removes one corpus-pairs-sized shuffle
     entirely. Same transitive closure, same labels: the symmetric closure
     of the oriented pair set equals the within-bucket a != b pair set."""
+    edges = symmetric_edges_from_buckets(banded, checkpoint_dir)
+    return _cc_label_loop(edges, checkpoint_dir, max_iter)
+
+
+def symmetric_edges_from_buckets(
+    banded: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Lineage-cut SYMMETRIC distinct edge table (a, b) straight from an
+    LSH bucket table — ONE distinct, both directions kept by the a != b
+    self-join condition. The shared edge builder for every iterative graph
+    operator over the similarity graph (connected components, PageRank,
+    BFS, k-core): going through the pair-list API instead pays an oriented
+    distinct AND a redundant re-distinct of the disjoint symmetric union
+    (see connected_components_from_buckets). Eagerly cut so no loop round
+    reaches back into the LSH pipeline."""
     a, b = banded.alias("a"), banded.alias("b")
-    edges = lineage_cut(
+    return lineage_cut(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -424,7 +439,6 @@ def connected_components_from_buckets(
         .distinct(),
         checkpoint_dir,
     )
-    return _cc_label_loop(edges, checkpoint_dir, max_iter)
 
 
 def _cc_label_loop(

@@ -93,24 +93,32 @@ def triangle_stats(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> 
 
 
 def pagerank_int(
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     src: str = "doc_a",
     dst: str = "doc_b",
     iters: int = 5,
     scale: int = SCALE,
     checkpoint_dir: str | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Integer PageRank over the undirected graph of ``pairs``. Returns
     (node, rank) for every node in at least one pair, rank in micro-units
-    of ``scale``. Deterministic for any partitioning/run."""
-    pairs_p = pairs.persist()
-    edges = lineage_cut(
-        pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs_p.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct(),
-        checkpoint_dir,
-    )
-    pairs_p.unpersist()
+    of ``scale``. Deterministic for any partitioning/run.
+
+    ``edges``: optional PRE-CUT symmetric distinct edge table (a, b) —
+    pass ``dedup.symmetric_edges_from_buckets(banded)`` when the graph
+    comes from an LSH bucket table, skipping the oriented-pairs distinct
+    plus the symmetric re-distinct (one dedup shuffle instead of two;
+    ``pairs`` is ignored)."""
+    if edges is None:
+        pairs_p = pairs.persist()
+        edges = lineage_cut(
+            pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .union(pairs_p.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct(),
+            checkpoint_dir,
+        )
+        pairs_p.unpersist()
     # round-state cuts are lazy: nothing needs a barrier job per round —
     # the caller's action materializes the chain with lineage still cut at
     # every round boundary (checkpointing module docstring)
@@ -144,12 +152,13 @@ def pagerank_int(
 
 
 def pagerank_personalized_int(
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     src: str = "doc_a",
     dst: str = "doc_b",
     iters: int = 5,
     scale: int = SCALE,
     checkpoint_dir: str | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Personalized (seeded) integer PageRank: ALL restart mass returns to
     the seed node — the related-content expansion of link analysis
@@ -161,15 +170,17 @@ def pagerank_personalized_int(
     Same integer-exact update as pagerank_int (micro-units of ``scale``,
     floor division), so the iterations unroll to chained SQL CTEs for the
     oracle; same per-round join+sum shape, same ``lineage_cut``
-    checkpointing contract."""
-    pairs_p = pairs.persist()
-    edges = lineage_cut(
-        pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs_p.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct(),
-        checkpoint_dir,
-    )
-    pairs_p.unpersist()
+    checkpointing contract. ``edges``: pre-cut symmetric edge table (see
+    :func:`pagerank_int`)."""
+    if edges is None:
+        pairs_p = pairs.persist()
+        edges = lineage_cut(
+            pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .union(pairs_p.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct(),
+            checkpoint_dir,
+        )
+        pairs_p.unpersist()
     # round-state cuts are lazy: nothing needs a barrier job per round —
     # the caller's action materializes the chain with lineage still cut at
     # every round boundary (checkpointing module docstring)
@@ -211,11 +222,12 @@ def pagerank_personalized_int(
 
 
 def bfs_distances(
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_hops: int = 4,
     checkpoint_dir: str | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Hop distances from the minimum-id node of the undirected ``pairs``
     graph, bounded at ``max_hops`` (single-source BFS — "how far is every
@@ -228,8 +240,11 @@ def bfs_distances(
     frontier semantics, not a full outer scan per round. The source is the
     1-row MIN(doc_a) aggregate kept in-plan (broadcast-joined, never
     collected to the driver); ``lineage_cut`` per round cuts lineage.
+    ``edges``: pre-cut symmetric edge table (see :func:`pagerank_int`) —
+    the source stays the graph-wide min node either way (a symmetric
+    table's min(a) equals the oriented table's min(doc_a)).
     """
-    e = lineage_cut(
+    e = edges if edges is not None else lineage_cut(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct(),
@@ -256,12 +271,13 @@ def bfs_distances(
 
 
 def kcore(
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     src: str = "doc_a",
     dst: str = "doc_b",
     k: int = 2,
     rounds: int = 3,
     checkpoint_dir: str | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded k-core peeling of the undirected ``pairs`` graph: drop nodes
     with degree < k, restrict edges to survivors, repeat ``rounds`` times;
@@ -273,8 +289,9 @@ def kcore(
     BOUNDED peel is deterministic and unrolls to SQL for the oracle, and in
     practice 2-3 rounds reach the fixpoint on shallow similarity graphs
     (each round is two semi joins + one degree agg, all on node keys).
+    ``edges``: pre-cut symmetric edge table (see :func:`pagerank_int`).
     """
-    e = lineage_cut(
+    e = edges if edges is not None else lineage_cut(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct(),

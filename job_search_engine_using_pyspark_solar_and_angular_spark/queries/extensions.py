@@ -2222,8 +2222,13 @@ def ext_pagerank_personalized(spark, sf_dir):
     from ..operators.graph import pagerank_personalized_int
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(d)
-    pr = pagerank_personalized_int(pairs, iters=5)
+    # banded persists only across the eager edges cut: the self-join's
+    # two sides read it from cache (ONE LSH pipeline compute), and the
+    # cut materializes edges, so the cache is released immediately
+    banded = dedup.minhash_bucket_table(d).persist()
+    edges = dedup.symmetric_edges_from_buckets(banded)
+    banded.unpersist()
+    pr = pagerank_personalized_int(None, iters=5, edges=edges)
     return (
         pr.filter(F.col("rank") > 0)
         .select(F.col("node").alias("doc_id"), "rank")
@@ -2242,8 +2247,15 @@ def ext_pagerank(spark, sf_dir):
     from ..operators.graph import pagerank_int
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(d)
-    pr = pagerank_int(pairs, iters=5)
+    # fused bucket->edges path: same edge set as the pair-list API, one
+    # dedup shuffle instead of two (symmetric_edges_from_buckets)
+    # banded persists only across the eager edges cut: the self-join's
+    # two sides read it from cache (ONE LSH pipeline compute), and the
+    # cut materializes edges, so the cache is released immediately
+    banded = dedup.minhash_bucket_table(d).persist()
+    edges = dedup.symmetric_edges_from_buckets(banded)
+    banded.unpersist()
+    pr = pagerank_int(None, iters=5, edges=edges)
     return (
         pr.select(F.col("node").alias("doc_id"), "rank")
         .orderBy(F.col("rank").desc(), F.col("doc_id"))
@@ -5057,10 +5069,15 @@ def ext_bfs_distances(spark, sf_dir):
     from ..operators.graph import bfs_distances
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(d)
-    return bfs_distances(pairs, max_hops=4).orderBy("node").withColumnRenamed(
-        "node", "doc_id"
-    )
+    # banded persists only across the eager edges cut: the self-join's
+    # two sides read it from cache (ONE LSH pipeline compute), and the
+    # cut materializes edges, so the cache is released immediately
+    banded = dedup.minhash_bucket_table(d).persist()
+    edges = dedup.symmetric_edges_from_buckets(banded)
+    banded.unpersist()
+    return bfs_distances(
+        None, max_hops=4, edges=edges
+    ).orderBy("node").withColumnRenamed("node", "doc_id")
 
 
 @query("ext_kcore")
@@ -5072,10 +5089,15 @@ def ext_kcore(spark, sf_dir):
     from ..operators.graph import kcore
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(d)
-    return kcore(pairs, k=2, rounds=3).orderBy("node").withColumnRenamed(
-        "node", "doc_id"
-    )
+    # banded persists only across the eager edges cut: the self-join's
+    # two sides read it from cache (ONE LSH pipeline compute), and the
+    # cut materializes edges, so the cache is released immediately
+    banded = dedup.minhash_bucket_table(d).persist()
+    edges = dedup.symmetric_edges_from_buckets(banded)
+    banded.unpersist()
+    return kcore(
+        None, k=2, rounds=3, edges=edges
+    ).orderBy("node").withColumnRenamed("node", "doc_id")
 
 
 @query("ext_bigram_surprisal")
