@@ -924,6 +924,13 @@ def regressions_vs_previous(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # calibration sample BEFORE any Spark work: a straggling JVM thread
+    # (stream cleanup, GC) can inflate the end-of-run sample — a poisoned
+    # calib in last_full.json then mis-adjusts EVERY next-run ratio (one
+    # r9 run recorded 1.37 vs the true ~0.28 and produced 67 false
+    # host-adjusted flags). The artifact keeps min(pre, post) plus both
+    # samples so an anomaly is visible instead of silently absorbed.
+    calib_pre = host_calibration()
     spark = get_spark(app_name="jse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -1001,7 +1008,9 @@ def main() -> None:
         # single-shot served timings)
         "served_trials": SERVED_TRIALS,
     }
-    doc["host_calib_sec"] = host_calibration()
+    calib_post = host_calibration()
+    doc["host_calib_sec"] = min(calib_pre, calib_post)
+    doc["host_calib_samples"] = {"pre": calib_pre, "post": calib_post}
     doc["regressions"] = regressions_vs_previous(
         timings, host_calib_sec=doc["host_calib_sec"]
     )
