@@ -625,14 +625,10 @@ def bench_bucketed_layout(spark, sf_dir: str) -> dict:
     Exchange counts are asserted at the shuffle-free caps the CI plan pin
     uses (Q18 ≤1: only the final ORDER BY; Q21 ≤2: the few-row supplier
     tail) before timing."""
-    from job_search_engine_using_pyspark_solar_and_angular_spark import catalog
     from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
     from tools.probe_q18_bucketed import (
         BUCKETS,
-        LI_COLS,
-        LI_DDL,
-        O_COLS,
-        O_DDL,
+        ensure_bucketed_pair,
         exchange_count,
         q18_plan,
         q21_plan,
@@ -641,42 +637,17 @@ def bench_bucketed_layout(spark, sf_dir: str) -> dict:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     bdir = os.path.join(BENCH_DIR, f"bucketed_bench_{tag}")
-    marker = os.path.join(bdir, "_BUCKETED_OK")
     safe = tag.replace(".", "_")
     li_name, o_name = f"jse_li_bench_{safe}", f"jse_o_bench_{safe}"
-    bucket_write_sec = None
-    if os.path.exists(marker):
-        # pair written by a previous run: the catalog is per-session, so
-        # re-attach the bucketed metadata via DDL — the bucket spec must
-        # match write_bucketed's exactly or the layout guarantee vanishes
-        for name, loc, ddl, key in (
-            (li_name, os.path.join(bdir, "lineitem"), LI_DDL, "l_orderkey"),
-            (o_name, os.path.join(bdir, "orders"), O_DDL, "o_orderkey"),
-        ):
-            if not spark.catalog.tableExists(name):
-                spark.sql(
-                    f"CREATE TABLE {name} ({ddl}) USING PARQUET "
-                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                    f"INTO {BUCKETS} BUCKETS LOCATION '{loc}'"
-                )
-    else:
-        shutil.rmtree(bdir, ignore_errors=True)
-        os.makedirs(bdir, exist_ok=True)
-        for n in (li_name, o_name):
-            spark.sql(f"DROP TABLE IF EXISTS {n}")
-        t0 = time.perf_counter()
-        catalog.write_bucketed(
-            load_table(spark, sf_dir, "lineitem").select(*LI_COLS),
-            li_name, os.path.join(bdir, "lineitem"), ["l_orderkey"],
-            buckets=BUCKETS,
-        )
-        catalog.write_bucketed(
-            load_table(spark, sf_dir, "orders").select(*O_COLS),
-            o_name, os.path.join(bdir, "orders"), ["o_orderkey"],
-            buckets=BUCKETS,
-        )
-        bucket_write_sec = round(time.perf_counter() - t0, 3)
-        open(marker, "w").close()
+    # ONE owner of the layout-write + DDL re-attach sequence (the probe's
+    # helper) — the marker fingerprints source row counts, so regenerated
+    # testdata triggers a rewrite instead of a stale-layout assert abort
+    bucket_write_sec = ensure_bucketed_pair(
+        spark,
+        lambda: load_table(spark, sf_dir, "lineitem"),
+        lambda: load_table(spark, sf_dir, "orders"),
+        bdir, li_name, o_name,
+    )
 
     li, o = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
     c, s = load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "supplier")
@@ -1048,8 +1019,12 @@ def main() -> None:
         "preprocess_mb_per_sec": scaled["mb_per_sec"],
         "preprocess_10gb_mb_per_sec": scaled_10gb["mb_per_sec"],
         "streaming_mb_per_sec": streaming_ingest["mb_per_sec"],
+        # keys deliberately NOT registry query names: _timings_from_tail
+        # extracts flat "name": number pairs first-occurrence-wins from a
+        # truncated tail, and a ratio under a real query name would poison
+        # a tail-reconstructed regression baseline
         "bucketed_speedup": {
-            q: bucketed_layout[q]["speedup"]
+            q.replace("ext_tpch_", "") + "_speedup": bucketed_layout[q]["speedup"]
             for q in ("ext_tpch_q18", "ext_tpch_q21")
         },
         "regression_flags": len(flags),

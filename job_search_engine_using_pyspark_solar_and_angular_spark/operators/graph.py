@@ -111,6 +111,8 @@ def pagerank_int(
     plus the symmetric re-distinct (one dedup shuffle instead of two;
     ``pairs`` is ignored)."""
     if edges is None:
+        if pairs is None:
+            raise ValueError("pass exactly one of pairs= or edges=")
         pairs_p = pairs.persist()
         edges = lineage_cut(
             pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -173,6 +175,8 @@ def pagerank_personalized_int(
     checkpointing contract. ``edges``: pre-cut symmetric edge table (see
     :func:`pagerank_int`)."""
     if edges is None:
+        if pairs is None:
+            raise ValueError("pass exactly one of pairs= or edges=")
         pairs_p = pairs.persist()
         edges = lineage_cut(
             pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -244,6 +248,8 @@ def bfs_distances(
     the source stays the graph-wide min node either way (a symmetric
     table's min(a) equals the oriented table's min(doc_a)).
     """
+    if edges is None and pairs is None:
+        raise ValueError("pass exactly one of pairs= or edges=")
     e = edges if edges is not None else lineage_cut(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -291,6 +297,8 @@ def kcore(
     (each round is two semi joins + one degree agg, all on node keys).
     ``edges``: pre-cut symmetric edge table (see :func:`pagerank_int`).
     """
+    if edges is None and pairs is None:
+        raise ValueError("pass exactly one of pairs= or edges=")
     e = edges if edges is not None else lineage_cut(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -1588,6 +1588,12 @@ def ext_curation_verdict(spark, sf_dir):
     # the standard stage-once trade)
     from ..functions.text import tokenize_normalized
 
+    # persist (not localCheckpoint): the lazy caller never unpersists, so
+    # these blocks live until session end — a BOUNDED leak (corpus + token
+    # arrays, compressed columnar) accepted deliberately: the checkpoint
+    # alternative is cleaner-lifecycled but measured 1.0 s slower per run
+    # (row-format blocks, no column pruning into the four consumers), and
+    # this query runs in bounded batch sessions, not serve loops.
     staged = spread.select(
         "doc_id", "text", tokenize_normalized("text").alias("__toks")
     ).persist()

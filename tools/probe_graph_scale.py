@@ -45,16 +45,19 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-ID_OFFSET = 10_000_000  # well above any sf0.1 doc_id
 
 
-def replicated_pairs(spark, base, reps: int):
-    """``reps`` disjoint id-offset copies of the base pair graph."""
+def replicated_pairs(spark, base, reps: int, id_offset: int):
+    """``reps`` disjoint id-offset copies of the base pair graph.
+    ``id_offset`` must exceed the base graph's max node id (derived by the
+    caller — a fixed constant would silently overlap copies on a larger
+    corpus, welding them into cross-connected components and invalidating
+    the disjoint-replication invariant this probe's numbers rest on)."""
     if reps == 1:
         return base
     return base.crossJoin(spark.range(reps).select(F.col("id").alias("__r"))).select(
-        (F.col("doc_a") + F.col("__r") * ID_OFFSET).alias("doc_a"),
-        (F.col("doc_b") + F.col("__r") * ID_OFFSET).alias("doc_b"),
+        (F.col("doc_a") + F.col("__r") * id_offset).alias("doc_a"),
+        (F.col("doc_b") + F.col("__r") * id_offset).alias("doc_b"),
     )
 
 
@@ -154,9 +157,22 @@ def main() -> None:
     spark = get_spark(app_name="probe-graph-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.checkpointing import (
+        lineage_cut,
+    )
+
     docs = load_table(spark, SF_DIR, "documents")
-    base = dedup.minhash_lsh_candidates(docs).persist()
+    # lineage_cut, not persist: the operators under test persist+unpersist
+    # their pairs input internally, which would strip a shared persisted
+    # cache mid-probe (and reps=1 ALIASES base) — later scales would then
+    # silently re-run the whole LSH pipeline inside their timings. A local
+    # checkpoint is immune to callee unpersist and survives all scales.
+    base = lineage_cut(dedup.minhash_lsh_candidates(docs), None)
     base_edges = base.count()
+    id_offset = (
+        base.agg(F.greatest(F.max("doc_a"), F.max("doc_b")).alias("m")).first()[0]
+        + 1
+    )
 
     out = {
         "metric": "iterative graph scale probe (pagerank + bfs)",
@@ -165,7 +181,7 @@ def main() -> None:
         "scales": {},
     }
     for reps in reps_list:
-        pairs = replicated_pairs(spark, base, reps).persist()
+        pairs = lineage_cut(replicated_pairs(spark, base, reps, id_offset), None)
         n_edges = pairs.count()
         # end-to-end production paths first (warm codegen for the loops)
         t0 = time.perf_counter()
@@ -176,7 +192,8 @@ def main() -> None:
         bfs_total = round(time.perf_counter() - t0, 3)
         pr_rounds, pr_plans = timed_rounds_pagerank(pairs)
         bfs_rounds, bfs_plans = timed_rounds_bfs(pairs)
-        pairs.unpersist()
+        # pairs is a local checkpoint — freed by the context cleaner when
+        # this reference drops; nothing to unpersist
         out["scales"][f"x{reps}"] = {
             "edges": n_edges,
             "pagerank_total_sec": pr_total,

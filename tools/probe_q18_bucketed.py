@@ -136,28 +136,38 @@ def exchange_count(df) -> int:
     )
 
 
-def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+def ensure_bucketed_pair(spark, li_src, o_src, bdir: str, li_name: str, o_name: str):
+    """Ensure the bucket-sorted lineitem/orders pair exists at ``bdir``
+    under the given catalog names — the ONE owner of the on-disk layout +
+    DDL re-attach sequence (bench.py's bucketed entry and this probe both
+    call it; the CREATE TABLE bucket spec must match write_bucketed's
+    exactly or the layout guarantee silently vanishes from the plans, so
+    there must be exactly one copy of it). Returns the one-time write cost
+    in seconds, or None when the cached pair was reused.
+
+    ``li_src``/``o_src`` are zero-arg callables returning the SOURCE
+    DataFrames. The marker records both source ROW COUNTS: a source
+    regenerated in place (fresh-container testdata rebuild with a
+    persistent .bench) invalidates the cache and triggers a rewrite
+    instead of feeding callers a stale layout (whose result-equality
+    assert would otherwise abort the whole bench run)."""
     from job_search_engine_using_pyspark_solar_and_angular_spark.catalog import (
         write_bucketed,
     )
-    from job_search_engine_using_pyspark_solar_and_angular_spark.session import (
-        get_spark,
-    )
 
-    spark = get_spark(app_name="probe-q18-bucketed")
-    spark.sparkContext.setLogLevel("ERROR")
-    rep_dir = build_replicated_dir(spark, reps)
-
-    bdir = os.path.join(BENCH_DIR, f"bucketed_r{reps}")
     marker = os.path.join(bdir, "_BUCKETED_OK")
-    li_name, o_name = f"jse_li_b{reps}", f"jse_o_b{reps}"
-    bucket_write_sec = None
+    li_df, o_df = li_src(), o_src()
+    counts = {"lineitem": li_df.count(), "orders": o_df.count()}
+    cached = None
     if os.path.exists(marker):
+        try:
+            with open(marker, encoding="utf-8") as fh:
+                cached = json.load(fh)
+        except (OSError, ValueError):
+            cached = None
+    if cached == counts:
         # data written by a previous session: the catalog is per-session
-        # (in-memory), so re-attach the bucketed metadata via DDL — the
-        # bucket spec must match write_bucketed's exactly or the layout's
-        # partitioning guarantee silently vanishes from the plans
+        # (in-memory), so re-attach the bucketed metadata via DDL
         for name, loc, cols, key in (
             (li_name, os.path.join(bdir, "lineitem"), LI_DDL, "l_orderkey"),
             (o_name, os.path.join(bdir, "orders"), O_DDL, "o_orderkey"),
@@ -168,28 +178,44 @@ def main() -> None:
                     f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                     f"INTO {BUCKETS} BUCKETS LOCATION '{loc}'"
                 )
-    else:
-        shutil.rmtree(bdir, ignore_errors=True)
-        os.makedirs(bdir, exist_ok=True)
-        for n in (li_name, o_name):
-            spark.sql(f"DROP TABLE IF EXISTS {n}")
-        t0 = time.perf_counter()
-        write_bucketed(
-            spark.read.parquet(f"{rep_dir}/lineitem.parquet").select(*LI_COLS),
-            li_name,
-            os.path.join(bdir, "lineitem"),
-            ["l_orderkey"],
-            buckets=BUCKETS,
-        )
-        write_bucketed(
-            spark.read.parquet(f"{rep_dir}/orders.parquet").select(*O_COLS),
-            o_name,
-            os.path.join(bdir, "orders"),
-            ["o_orderkey"],
-            buckets=BUCKETS,
-        )
-        bucket_write_sec = round(time.perf_counter() - t0, 3)
-        open(marker, "w").close()
+        return None
+    shutil.rmtree(bdir, ignore_errors=True)
+    os.makedirs(bdir, exist_ok=True)
+    for n in (li_name, o_name):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    t0 = time.perf_counter()
+    write_bucketed(
+        li_df.select(*LI_COLS), li_name, os.path.join(bdir, "lineitem"),
+        ["l_orderkey"], buckets=BUCKETS,
+    )
+    write_bucketed(
+        o_df.select(*O_COLS), o_name, os.path.join(bdir, "orders"),
+        ["o_orderkey"], buckets=BUCKETS,
+    )
+    bucket_write_sec = round(time.perf_counter() - t0, 3)
+    with open(marker, "w", encoding="utf-8") as fh:
+        json.dump(counts, fh)
+    return bucket_write_sec
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    from job_search_engine_using_pyspark_solar_and_angular_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(app_name="probe-q18-bucketed")
+    spark.sparkContext.setLogLevel("ERROR")
+    rep_dir = build_replicated_dir(spark, reps)
+
+    bdir = os.path.join(BENCH_DIR, f"bucketed_r{reps}")
+    li_name, o_name = f"jse_li_b{reps}", f"jse_o_b{reps}"
+    bucket_write_sec = ensure_bucketed_pair(
+        spark,
+        lambda: spark.read.parquet(f"{rep_dir}/lineitem.parquet"),
+        lambda: spark.read.parquet(f"{rep_dir}/orders.parquet"),
+        bdir, li_name, o_name,
+    )
 
     li_raw = lambda: spark.read.parquet(f"{rep_dir}/lineitem.parquet")  # noqa: E731
     o_raw = lambda: spark.read.parquet(f"{rep_dir}/orders.parquet")  # noqa: E731
