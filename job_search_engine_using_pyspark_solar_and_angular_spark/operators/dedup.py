@@ -492,18 +492,24 @@ def _cc_label_loop(
 
 def near_dedup_survivors(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical near-dedup: drop every clustered document except its
     cluster's minimum id. Documents in no candidate pair survive untouched —
     one left_anti join against the non-canonical cluster members.
     ``checkpoint_dir``: reliable lineage cuts for the closure on clusters
-    (same contract as connected_components)."""
-    removed = connected_components(pairs, checkpoint_dir=checkpoint_dir).filter(
-        F.col("node") != F.col("cluster_id")
-    )
+    (same contract as connected_components). ``clusters``: optional
+    precomputed (node, cluster_id) assignment (e.g. from
+    :func:`connected_components_from_buckets`) — skips the pair-path
+    closure entirely (``pairs`` is then ignored)."""
+    if clusters is None:
+        if pairs is None:
+            raise ValueError("pass exactly one of pairs= or clusters=")
+        clusters = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    removed = clusters.filter(F.col("node") != F.col("cluster_id"))
     return df.join(
         removed.select(F.col("node").alias(id_col)), id_col, "left_anti"
     )
@@ -517,25 +523,32 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.0,
     keep_counts: bool = False,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for given candidate (doc_a, doc_b)
     pairs: |A∩B| / |A∪B| over distinct token n-grams. Intersection via an
     explode+join on shingle hash — no arrays cross the shuffle.
     ``keep_counts`` also returns (n_inter, n_a, n_b) so asymmetric measures
-    (containment) derive for free from the same pass."""
+    (containment) derive for free from the same pass. ``shingle_hashes``:
+    optional precomputed (doc_id, h) distinct-shingle relation (pass the
+    PERSISTED pass the LSH candidate build already made, so verify and
+    candidates shingle the corpus once, not twice)."""
     from ..io import ensure_parallelism
 
-    toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
-    )
-    sh = (
-        toks.select(
-            "doc_id", F.explode(token_ngrams(F.col("tk"), shingle_n)).alias("sh")
+    if shingle_hashes is not None:
+        sh = shingle_hashes
+    else:
+        toks = ensure_parallelism(df).select(
+            F.col(id_col).alias("doc_id"), tokenize_normalized(text_col).alias("tk")
         )
-        .select("doc_id", md5_long(F.col("sh")).alias("h"))
-        .distinct()
-        .persist()  # feeds sizes + both join sides: 3 subtrees, 1 computation
-    )
+        sh = (
+            toks.select(
+                "doc_id", F.explode(token_ngrams(F.col("tk"), shingle_n)).alias("sh")
+            )
+            .select("doc_id", md5_long(F.col("sh")).alias("h"))
+            .distinct()
+            .persist()  # feeds sizes + both join sides: 3 subtrees, 1 computation
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "h")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "h")

@@ -154,8 +154,10 @@ def ext_minhash_signatures(spark, sf_dir):
 def ext_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard over the MinHash candidate pairs."""
     d = load_table(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(d)
-    out = dedup.ngram_jaccard_pairs(d, cand)
+    # ONE corpus shingle pass feeds candidates AND the exact verify
+    sh = pipeline._shingle_hashes(d, "doc_id", "text", 3).persist()
+    cand = dedup.minhash_lsh_candidates(d, shingle_hashes=sh)
+    out = dedup.ngram_jaccard_pairs(d, cand, shingle_hashes=sh)
     return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -1213,7 +1215,12 @@ def ext_dedup_clusters(spark, sf_dir):
     min id in component) for every clustered doc; oracle is a DuckDB
     recursive CTE over the same LSH pair set."""
     d = load_table(spark, sf_dir, "documents")
-    cc = dedup.connected_components(dedup.minhash_lsh_candidates(d))
+    # fused bucket->clusters path (one dedup shuffle; see
+    # connected_components_from_buckets) — banded persists only across the
+    # eager edges cut, then the cache is released
+    banded = dedup.minhash_bucket_table(d).persist()
+    cc = dedup.connected_components_from_buckets(banded)
+    banded.unpersist()
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
@@ -1222,7 +1229,13 @@ def ext_near_dedup(spark, sf_dir):
     """Canonical near-dedup of the corpus: every LSH cluster keeps only its
     minimum doc_id; unclustered docs survive. One left_anti join."""
     d = load_table(spark, sf_dir, "documents")
-    out = dedup.near_dedup_survivors(d, dedup.minhash_lsh_candidates(d))
+    # fused bucket->clusters path (one dedup shuffle; see
+    # connected_components_from_buckets) — banded persists only across the
+    # eager edges cut, then the cache is released
+    banded = dedup.minhash_bucket_table(d).persist()
+    cc = dedup.connected_components_from_buckets(banded)
+    banded.unpersist()
+    out = dedup.near_dedup_survivors(d, None, clusters=cc)
     return out.select("doc_id")
 
 
@@ -2415,8 +2428,9 @@ def ext_containment(spark, sf_dir):
     Same single shingle-join pass as ext_ngram_jaccard (keep_counts=True);
     ratios are exact rationals of shingle counts, rounded 4."""
     d = load_table(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(d)
-    j = dedup.ngram_jaccard_pairs(d, cand, keep_counts=True)
+    sh = pipeline._shingle_hashes(d, "doc_id", "text", 3).persist()
+    cand = dedup.minhash_lsh_candidates(d, shingle_hashes=sh)
+    j = dedup.ngram_jaccard_pairs(d, cand, keep_counts=True, shingle_hashes=sh)
     return j.select(
         "doc_a",
         "doc_b",
@@ -2433,10 +2447,11 @@ def ext_verified_clusters(spark, sf_dir):
     otherwise chain unrelated docs into one mega-cluster. Same iterative
     closure as ext_dedup_clusters over the verified edge set."""
     d = load_table(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(d)
-    verified = dedup.ngram_jaccard_pairs(d, cand, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
+    sh = pipeline._shingle_hashes(d, "doc_id", "text", 3).persist()
+    cand = dedup.minhash_lsh_candidates(d, shingle_hashes=sh)
+    verified = dedup.ngram_jaccard_pairs(
+        d, cand, threshold=0.5, shingle_hashes=sh
+    ).select("doc_a", "doc_b")
     cc = dedup.connected_components(verified)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
@@ -2565,7 +2580,12 @@ def ext_best_survivor(spark, sf_dir):
     copy, drop its mirrors). One max_by struct-ordering agg over the
     cluster assignment joined to the quality score."""
     d = load_table(spark, sf_dir, "documents")
-    cc = dedup.connected_components(dedup.minhash_lsh_candidates(d))
+    # fused bucket->clusters path (one dedup shuffle; see
+    # connected_components_from_buckets) — banded persists only across the
+    # eager edges cut, then the cache is released
+    banded = dedup.minhash_bucket_table(d).persist()
+    cc = dedup.connected_components_from_buckets(banded)
+    banded.unpersist()
     q = textstats.quality_score(d).select("doc_id", "quality")
     j = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(q, "doc_id")
     # max over (quality, -doc_id) struct == highest quality, lowest id on tie
@@ -3027,7 +3047,13 @@ def ext_effective_size(spark, sf_dir):
     from ..functions.text import tokenize_normalized as _tokn
 
     d = load_table(spark, sf_dir, "documents")
-    survivors = dedup.near_dedup_survivors(d, dedup.minhash_lsh_candidates(d)).select(
+    # fused bucket->clusters path (one dedup shuffle; see
+    # connected_components_from_buckets) — banded persists only across the
+    # eager edges cut, then the cache is released
+    banded = dedup.minhash_bucket_table(d).persist()
+    cc = dedup.connected_components_from_buckets(banded)
+    banded.unpersist()
+    survivors = dedup.near_dedup_survivors(d, None, clusters=cc).select(
         "doc_id"
     )
     toks = d.select("doc_id", F.size(_tokn("text")).cast("long").alias("n_tok"))
@@ -3313,7 +3339,12 @@ def ext_cluster_sizes(spark, sf_dir):
     LSH+closure pass finds — the companion to the degree distribution
     (cluster sizes bound the per-cluster work of canonical selection)."""
     d = load_table(spark, sf_dir, "documents")
-    cc = dedup.connected_components(dedup.minhash_lsh_candidates(d))
+    # fused bucket->clusters path (one dedup shuffle; see
+    # connected_components_from_buckets) — banded persists only across the
+    # eager edges cut, then the cache is released
+    banded = dedup.minhash_bucket_table(d).persist()
+    cc = dedup.connected_components_from_buckets(banded)
+    banded.unpersist()
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
 
