@@ -2197,7 +2197,7 @@ def ext_minhash_est_jaccard(spark, sf_dir):
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", (n_eq / F.lit(16.0)).alias("est_jaccard"))
     )
-    exact = dedup.ngram_jaccard_pairs(d, cand).select(
+    exact = dedup.ngram_jaccard_pairs(d, cand, shingle_hashes=sh).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
     return est.join(exact, ["doc_a", "doc_b"]).select(
