@@ -597,3 +597,45 @@ def test_packing_stats_prunes_the_packing_window_entirely(spark):
     assert p.count("Window") == 0
     assert p.count("Exchange") == 1, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_simhash_single_shuffle(spark):
+    """r9 rewrite pinned: simhash aggregates straight from the exploded
+    occurrences to doc grain — ONE partial+final agg pair and at most two
+    Exchanges (the ensure_parallelism spread + the doc-grain agg). The
+    pre-r9 shape carried an extra (doc_id, token) tf aggregate: four
+    HashAggregates and a third Exchange shipping the corpus-sized tf
+    table for zero information."""
+    p = plan_of(spark, "ext_simhash")
+    assert p.count("HashAggregate") == 2, p[:1500]
+    assert p.count("Exchange") <= 2, p[:1500]
+    assert "SortMergeJoin" not in p
+
+
+def test_bucketed_pair_marker_invalidates_on_source_change(spark, tmp_path):
+    """ensure_bucketed_pair (the single owner of the bench/probe fact
+    layout) must REBUILD when the source data changes under the same
+    paths — a stale cached pair would otherwise abort the bench via the
+    result-equality assert. The marker fingerprints source row counts."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.probe_q18_bucketed import ensure_bucketed_pair
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+
+    li = lambda: load_table(spark, SF_DIR, "lineitem")  # noqa: E731
+    o = lambda: load_table(spark, SF_DIR, "orders")  # noqa: E731
+    bdir = str(tmp_path / "bp")
+    try:
+        first = ensure_bucketed_pair(spark, li, o, bdir, "t_bp_li", "t_bp_o")
+        assert first is not None  # fresh write
+        again = ensure_bucketed_pair(spark, li, o, bdir, "t_bp_li", "t_bp_o")
+        assert again is None  # cached: counts match
+        shrunk = lambda: load_table(spark, SF_DIR, "lineitem").limit(10)  # noqa: E731
+        rebuilt = ensure_bucketed_pair(spark, shrunk, o, bdir, "t_bp_li", "t_bp_o")
+        assert rebuilt is not None  # source changed -> rewrite, not stale reuse
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bp_li")
+        spark.sql("DROP TABLE IF EXISTS t_bp_o")
