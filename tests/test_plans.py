@@ -605,8 +605,19 @@ def test_simhash_single_shuffle(spark):
     Exchanges (the ensure_parallelism spread + the doc-grain agg). The
     pre-r9 shape carried an extra (doc_id, token) tf aggregate: four
     HashAggregates and a third Exchange shipping the corpus-sized tf
-    table for zero information."""
-    p = plan_of(spark, "ext_simhash")
+    table for zero information.
+
+    Built on a filter-interposed input rather than the registry query:
+    in a shared session, other tests' persisted relations substitute into
+    matching subtrees and an InMemoryRelation PRINTS its cached child
+    plan, inflating raw operator-string counts (the full-suite flake that
+    motivated this form)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import dedup
+
+    d = load_table(spark, SF_DIR, "documents").where("doc_id IS NOT NULL")
+    p = dedup.simhash(d)._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" not in p, p[:800]  # isolation held
     assert p.count("HashAggregate") == 2, p[:1500]
     assert p.count("Exchange") <= 2, p[:1500]
     assert "SortMergeJoin" not in p
