@@ -68,34 +68,34 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     *[n for n in _QUERIES if n.startswith("q") and n[1].isdigit()],  # q01..q24
     "sql_frontdoor",
-    # r9 rotation #7: 25 never-driver-certified slots (ledger-derived batch;
-    # all dual-mode pre-certified in r7, re-certified post-r8 — see
+    # r10 rotation #8: 25 never-driver-certified slots (ledger-derived batch;
+    # all dual-mode pre-certified in r7, re-certified post-r9 — see
     # tools/rotation_ledger.py).
-    "ext_ring_negatives",
-    "ext_agg_merge_rollup",
-    "ext_ann_lsh_multiprobe",
-    "ext_tpch_q5",
-    "ext_minhash_est_jaccard",
-    "ext_corpus_report",
-    "ext_join_cardinality",
-    "ext_search_and",
-    "ext_snippets",
-    "ext_containment",
-    "ext_split_leakage",
-    "ext_importance_sample",
-    "ext_robust_trend",
-    "ext_best_survivor",
-    "ext_lang_confusion",
-    "ext_degree_distribution",
-    "ext_index_stats",
-    "ext_cms_range_query",
-    "ext_vocab_growth",
-    "ext_stickiness",
-    "ext_power_users",
-    "ext_basket_lift",
-    "ext_effective_size",
-    "ext_freshness",
-    "ext_null_profile",
+    "ext_seasonality",
+    "ext_new_vs_returning",
+    "ext_return_rate",
+    "ext_burstiness",
+    "ext_gini",
+    "ext_autocorrelation",
+    "ext_skew_report",
+    "ext_cluster_sizes",
+    "ext_anomalous_hours",
+    "ext_event_paths",
+    "ext_first_touch",
+    "ext_cohort_ltv",
+    "ext_rfm",
+    "ext_purchase_intervals",
+    "ext_source_quality",
+    "ext_weekly_trend",
+    "ext_error_rate",
+    "ext_pack_multimodal",
+    "ext_fk_profile",
+    "ext_catalog_summary",
+    "ext_abandonment",
+    "ext_conversion_lag",
+    "ext_peak_hour",
+    "ext_log_histogram",
+    "ext_audience_overlap",
 ]
 
 

@@ -53,6 +53,7 @@ ROUND_WINDOW_COMMITS = {
     6: "0f25d5fd1dbd2f48207005de59c99c2dfd736fd8",
     7: "e601a537635cd6e813b5a6fff2f3a467d9722665",
     8: "1ef585cc06981114d2ad5d83b7e861f87b3e7294",
+    9: "d201cfcee6d7a4925ee612f42091ef87ec3c1620",
 }
 
 # Rotation-ineligible registry queries (the window comment in
