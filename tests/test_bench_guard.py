@@ -158,8 +158,14 @@ def test_host_adjusted_ratio_unmasks_and_excuses(tmp_path):
         {"fastq": 1.6, "slowq": 0.9},
         repo_dir=str(tmp_path), bench_dir=str(bdir), host_calib_sec=0.8,
     )
-    assert out2["fastq"]["ratio"] == 1.6  # raw flag kept
-    assert out2["fastq"]["host_adj_ratio"] == 0.8  # ...but explained as host
+    # r10: a raw-1.6x slowdown the calibration fully explains (adjusted
+    # 0.8x) no longer counts as a flag — it is absorbed with the
+    # explanation attached, so noisy-host runs need no human adjudication
+    assert "fastq" not in out2
+    absorbed = out2["_noise_absorbed"]["fastq"]
+    assert absorbed["ratio"] == 1.6
+    assert absorbed["host_adj_ratio"] == 0.8
+    assert absorbed["absorbed"] == "host_adjusted_clean"
 
 
 def test_calibration_recovered_from_driver_tail(tmp_path):
@@ -167,7 +173,107 @@ def test_calibration_recovered_from_driver_tail(tmp_path):
     # recoverable from the flat tail pairs and must NOT leak into the
     # timings dict as a phantom query.
     _driver_artifact(tmp_path, {"q": 0.5, "host_calib_sec": 0.4})
-    prev, source, calib = bench._round_artifact_timings(str(tmp_path))
+    prev, source, calib, meta = bench._round_artifact_timings(str(tmp_path))
     assert source == "BENCH_r05.json"
     assert calib == 0.4
     assert "host_calib_sec" not in prev and prev["q"] == 0.5
+    # a tail-only artifact with no host_calib_samples marker is the pre-r9
+    # single end-of-run sample kind
+    assert meta["calib_kind"] == "single"
+
+
+def test_flag_absorbed_within_prev_trial_spread(tmp_path):
+    # baseline min 0.5 came from trials [0.5, 0.9] (a lucky quiet window);
+    # current run's 0.8 is a raw 1.6x — but it sits INSIDE the baseline's
+    # own recorded spread, so the artifact explains it as noise. A current
+    # 1.2 (past the baseline's worst trial) must still flag.
+    bdir = tmp_path / ".bench"
+    bdir.mkdir()
+    (bdir / "last_full.json").write_text(json.dumps({
+        "queries": {"noisy": 0.5, "regressed": 0.5},
+        "served_trials": {"noisy": [0.5, 0.9], "regressed": [0.5, 0.55]},
+    }))
+    out = bench.regressions_vs_previous(
+        {"noisy": 0.8, "regressed": 1.2},
+        repo_dir=str(tmp_path), bench_dir=str(bdir),
+    )
+    assert "noisy" not in out
+    assert (
+        out["_noise_absorbed"]["noisy"]["absorbed"]
+        == "within_prev_trial_spread"
+    )
+    assert out["regressed"]["ratio"] >= 2.0  # real regression still counted
+
+
+def test_back_to_back_noisy_runs_need_no_adjudication(tmp_path):
+    # VERDICT r9 #2 done-criterion in miniature: run A (quiet host) writes
+    # the baseline with trials; run B lands on a 1.7x-loaded host (every
+    # query uniformly slower, calibration sandwich catches it). B must
+    # produce ZERO counted flags against A without any human adjudication.
+    bdir = tmp_path / ".bench"
+    bdir.mkdir()
+    queries_a = {f"q{i:02d}": 0.2 + 0.05 * i for i in range(20)}
+    (bdir / "last_full.json").write_text(json.dumps({
+        "queries": queries_a,
+        "served_trials": {k: [v, round(v * 1.15, 3)] for k, v in queries_a.items()},
+        "host_calib_sec": 0.24,
+        "host_calib_samples": {"pre": 0.24, "post": 0.26},
+    }))
+    queries_b = {k: round(v * 1.7, 3) for k, v in queries_a.items()}
+    out = bench.regressions_vs_previous(
+        queries_b, repo_dir=str(tmp_path), bench_dir=str(bdir),
+        host_calib_sec=0.24 * 1.7,
+        host_calib_samples={"pre": 0.24 * 1.7, "post": 0.26 * 1.7},
+    )
+    counted = {k for k in out if not k.startswith("_")}
+    assert counted == set(), f"phantom flags on a uniformly loaded host: {counted}"
+    assert len(out["_noise_absorbed"]) == 20  # all explained, none hidden
+
+
+def test_like_for_like_calibration_vs_single_sample_baseline(tmp_path):
+    # ADVICE r9: a pre-r9 baseline carries ONE end-of-run calibration
+    # sample; comparing it against this run's min(pre, post) biases
+    # host_factor low. The guard must use the current POST sample when the
+    # baseline kind is "single", and the min when the baseline carries the
+    # sandwich.
+    bdir = tmp_path / ".bench"
+    bdir.mkdir()
+    (bdir / "last_full.json").write_text(json.dumps({
+        "queries": {"q": 1.0}, "host_calib_sec": 0.4,  # no samples: pre-r9
+    }))
+    out = bench.regressions_vs_previous(
+        {"q": 1.0}, repo_dir=str(tmp_path), bench_dir=str(bdir),
+        host_calib_sec=0.2,  # min(pre, post)
+        host_calib_samples={"pre": 0.2, "post": 0.4},
+    )
+    assert out["_host_factor"] == 1.0  # post-vs-single: 0.4/0.4, not 0.2/0.4
+    (bdir / "last_full.json").write_text(json.dumps({
+        "queries": {"q": 1.0}, "host_calib_sec": 0.4,
+        "host_calib_samples": {"pre": 0.4, "post": 0.5},
+    }))
+    out2 = bench.regressions_vs_previous(
+        {"q": 1.0}, repo_dir=str(tmp_path), bench_dir=str(bdir),
+        host_calib_sec=0.2,
+        host_calib_samples={"pre": 0.2, "post": 0.4},
+    )
+    assert out2["_host_factor"] == 0.5  # min-vs-min: like-for-like
+
+
+def test_timed_min_escalates_on_trial_disagreement(monkeypatch):
+    # two disagreeing trials (>1.3x spread) must earn exactly one extra
+    # trial; two agreeing trials must not. Drive timed_min with a fake
+    # clock so the test is instant and exact.
+    ticks = iter([0.0, 0.10, 0.10, 0.50, 0.50, 0.51])  # t1=0.10s, t2=0.40s, t3=0.01s
+    calls = []
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(ticks))
+    got = bench.timed_min("esc", lambda: calls.append(1))
+    assert len(calls) == 3
+    assert got == 0.01
+    assert bench.SERVED_TRIALS["esc"] == [0.1, 0.4, 0.01]
+
+    ticks2 = iter([0.0, 0.10, 0.10, 0.21])  # 0.10 vs 0.11: inside 1.3x
+    calls2 = []
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(ticks2))
+    got2 = bench.timed_min("no_esc", lambda: calls2.append(1))
+    assert len(calls2) == 2
+    assert got2 == 0.1
