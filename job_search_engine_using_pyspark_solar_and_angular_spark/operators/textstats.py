@@ -38,17 +38,21 @@ def token_count_bpe(col: Column | str) -> Column:
     return F.size(pieces)
 
 
-def lang_id_scores(col: Column | str, toks: Column | None = None) -> Column:
+def lang_id_scores(
+    col: Column | str | None = None, toks: Column | None = None
+) -> Column:
     """Map of lang -> stopword-hit count over the token set.
 
-    ``toks``: a pre-staged normalized-token array column. Higher-order
-    functions stay outside whole-stage codegen, so the tokenize expression
-    embedded once per language profile is re-evaluated once per profile —
-    staging the array in its own projection (``df.withColumn(..,
-    tokenize_normalized(..))``) and passing it here measured ~45% faster on
-    the lang+quality scan stage (values identical). Catalyst keeps the
-    staged column (CollapseProject won't inline a multiply-referenced
-    non-cheap alias)."""
+    ``toks``: a pre-staged normalized-token array column (``col`` may then
+    be omitted). Higher-order functions stay outside whole-stage codegen,
+    so the tokenize expression embedded once per language profile is
+    re-evaluated once per profile — staging the array in its own projection
+    (``df.withColumn(.., tokenize_normalized(..))``) and passing it here
+    measured ~45% faster on the lang+quality scan stage (values identical).
+    Catalyst keeps the staged column (CollapseProject won't inline a
+    multiply-referenced non-cheap alias)."""
+    if col is None and toks is None:
+        raise ValueError("lang_id_scores: pass col or toks")
     toks = tokenize_normalized(col) if toks is None else toks
     entries = []
     for lang, words in LANG_PROFILES.items():
@@ -59,12 +63,20 @@ def lang_id_scores(col: Column | str, toks: Column | None = None) -> Column:
 
 
 def lang_id(
-    col: Column | str, default: str = "und", toks: Column | None = None
+    col: Column | str | None = None,
+    default: str = "und",
+    toks: Column | None = None,
+    scores: Column | None = None,
 ) -> Column:
     """Argmax language by stopword hits; ``default`` when no profile hits.
     Ties break deterministically (largest language code wins, via struct
-    ordering of array_max on (hits, lang)). ``toks``: see lang_id_scores."""
-    scores = lang_id_scores(col, toks=toks)
+    ordering of array_max on (hits, lang)). ``toks``: see lang_id_scores.
+    ``scores``: a pre-staged lang_id_scores column — a caller that also
+    needs the en hit count (quality's stopword count is the same fold)
+    stages the scores ONCE and both consumers read it (one pass over the
+    token array instead of two)."""
+    if scores is None:
+        scores = lang_id_scores(col, toks=toks)
     best = F.array_max(
         F.transform(
             scores,
@@ -101,6 +113,34 @@ def quality_features(
             "q_stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)),
             "q_upper_ratio": F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(F.lit(0.0)),
         }
+    )
+
+
+def quality_from_counts(
+    n_chars: Column, n_tokens: Column, n_stop: Column, n_punct: Column
+) -> Column:
+    """Scalar quality in [0,1] straight from the raw counts — the same
+    combination quality_score applies to quality_features' ratio columns
+    (ratios constructed identically, value for value). For callers that
+    stage the counts instead of the text — the curation funnel persists
+    (doc_id, __toks, 3 ints) so its cache never stores the corpus text,
+    and reuses the lang-scores fold's en hit count as ``n_stop``."""
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0, n_stop.cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    length_ok = F.when(
+        (n_tokens >= 5) & (n_tokens <= 100000), F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    punct_pen = F.least(punct_ratio * 2.0, F.lit(0.25))
+    stop_bonus = F.least(stop_ratio * 2.0, F.lit(0.5))
+    return F.round(
+        F.greatest(
+            F.least(length_ok + stop_bonus - punct_pen, F.lit(1.0)), F.lit(0.0)
+        ),
+        4,
     )
 
 

@@ -387,6 +387,72 @@ def test_curation_verdict_covers_corpus_and_stages(spark):
     assert by.get("keep", 0) > 0 and by.get("duplicate", 0) > 0
 
 
+def test_curation_cache_fill_carries_verdict_scalars_not_text(spark):
+    """r10 funnel shape pin: the persisted relation caches (doc_id, __toks,
+    verdict scalars) and NEVER the corpus text — every text-derived input
+    quality needs is staged as a scalar count in the fill projection, so
+    the cache shrinks by the whole corpus text size and the per-document
+    folds (lang scores, quality, repetition) run once at fill time instead
+    of on every read of the cache."""
+    import re
+
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        QUERIES,
+    )
+
+    df = QUERIES["ext_curation_verdict"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    rels = re.findall(r"InMemoryRelation \[([^\]]+)\]", plan)
+    staged = [r for r in rels if "__toks" in r]
+    assert staged, f"no token-bearing InMemoryRelation in plan:\n{plan[:2000]}"
+    for r in staged:
+        cols = [c.split("#")[0].strip() for c in r.split(",")]
+        assert "text" not in cols, f"funnel cache stores the corpus text: {r}"
+    assert any("lang_pred" in r and "quality" in r for r in staged), (
+        "verdict scalars not fused into the cache fill: " + str(staged)
+    )
+
+
+def test_quality_from_counts_matches_quality_score(spark):
+    """The count-level quality definition (what the funnel persists) and the
+    DataFrame-level quality_score agree value-for-value on real documents."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.functions.text import (
+        tokenize_normalized,
+        tokenize_ws,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        textstats,
+    )
+
+    d = _docs(spark)
+    stop = F.array(
+        *[F.lit(w) for w in textstats.LANG_PROFILES["en"]]
+    )
+    got = (
+        d.select(
+            "doc_id",
+            F.length("text").alias("nc"),
+            F.size(tokenize_ws("text")).alias("nt"),
+            F.size(
+                F.filter(
+                    tokenize_normalized("text"),
+                    lambda t: F.array_contains(stop, t),
+                )
+            ).alias("ns"),
+            F.length(F.regexp_replace("text", r"[\w\s]", "")).alias("np"),
+        )
+        .select(
+            "doc_id",
+            textstats.quality_from_counts(
+                F.col("nc"), F.col("nt"), F.col("ns"), F.col("np")
+            ).alias("q2"),
+        )
+    )
+    ref = textstats.quality_score(d).select("doc_id", "quality")
+    diff = got.join(ref, "doc_id").filter(F.col("q2") != F.col("quality"))
+    assert diff.count() == 0
+
+
 # ---- domain_mix -----------------------------------------------------------
 
 
