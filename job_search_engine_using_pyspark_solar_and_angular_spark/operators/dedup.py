@@ -532,10 +532,19 @@ def ngram_jaccard_pairs(
     (containment) derive for free from the same pass. ``shingle_hashes``:
     optional precomputed (doc_id, h) distinct-shingle relation (pass the
     PERSISTED pass the LSH candidate build already made, so verify and
-    candidates shingle the corpus once, not twice)."""
+    candidates shingle the corpus once, not twice); ``df``/``id_col``/
+    ``text_col``/``shingle_n`` are then unused — combining it with a
+    non-default ``shingle_n`` raises, because hashes built at a different
+    n would yield silently wrong Jaccard values (ADVICE r9)."""
     from ..io import ensure_parallelism
 
     if shingle_hashes is not None:
+        if shingle_n != 3:
+            raise ValueError(
+                "ngram_jaccard_pairs: shingle_n is ignored when "
+                "shingle_hashes is passed — build the hashes at the wanted "
+                "n and drop the shingle_n argument"
+            )
         sh = shingle_hashes
     else:
         toks = ensure_parallelism(df).select(

@@ -92,6 +92,15 @@ def triangle_stats(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> 
     )
 
 
+def _require_exactly_one_edge_source(pairs, edges) -> None:
+    """``pairs=`` and ``edges=`` are ALTERNATIVE edge sources — exactly one
+    must be given. Silently preferring ``edges`` when both arrive would
+    hide a caller bug (ADVICE r9), mirroring near_dedup_survivors' "pass
+    exactly one" contract."""
+    if (pairs is None) == (edges is None):
+        raise ValueError("pass exactly one of pairs= or edges=")
+
+
 def pagerank_int(
     pairs: DataFrame | None,
     src: str = "doc_a",
@@ -109,10 +118,9 @@ def pagerank_int(
     pass ``dedup.symmetric_edges_from_buckets(banded)`` when the graph
     comes from an LSH bucket table, skipping the oriented-pairs distinct
     plus the symmetric re-distinct (one dedup shuffle instead of two;
-    ``pairs`` is ignored)."""
+    pass ``None`` for ``pairs`` — supplying both raises)."""
+    _require_exactly_one_edge_source(pairs, edges)
     if edges is None:
-        if pairs is None:
-            raise ValueError("pass exactly one of pairs= or edges=")
         pairs_p = pairs.persist()
         edges = lineage_cut(
             pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -174,9 +182,8 @@ def pagerank_personalized_int(
     oracle; same per-round join+sum shape, same ``lineage_cut``
     checkpointing contract. ``edges``: pre-cut symmetric edge table (see
     :func:`pagerank_int`)."""
+    _require_exactly_one_edge_source(pairs, edges)
     if edges is None:
-        if pairs is None:
-            raise ValueError("pass exactly one of pairs= or edges=")
         pairs_p = pairs.persist()
         edges = lineage_cut(
             pairs_p.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -248,8 +255,7 @@ def bfs_distances(
     the source stays the graph-wide min node either way (a symmetric
     table's min(a) equals the oriented table's min(doc_a)).
     """
-    if edges is None and pairs is None:
-        raise ValueError("pass exactly one of pairs= or edges=")
+    _require_exactly_one_edge_source(pairs, edges)
     e = edges if edges is not None else lineage_cut(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -297,8 +303,7 @@ def kcore(
     (each round is two semi joins + one degree agg, all on node keys).
     ``edges``: pre-cut symmetric edge table (see :func:`pagerank_int`).
     """
-    if edges is None and pairs is None:
-        raise ValueError("pass exactly one of pairs= or edges=")
+    _require_exactly_one_edge_source(pairs, edges)
     e = edges if edges is not None else lineage_cut(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))

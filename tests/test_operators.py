@@ -1541,3 +1541,40 @@ def test_ann_lsh_served_vec_rejects_wrong_dim(spark, tmp_path):
     assert ann_lsh_served_vec(spark, path, qv, k=5).count() == 5
     with pytest.raises(ValueError, match="query dim"):
         ann_lsh_served_vec(spark, path, qv[:-1], k=5)
+
+
+def test_graph_ops_reject_both_pairs_and_edges(spark):
+    """pairs= and edges= are alternative edge sources: supplying BOTH must
+    raise (ADVICE r9 — silently preferring edges hides a caller bug),
+    mirroring the None/None branch and near_dedup_survivors' contract."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import graph
+
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["a", "b"])
+    for fn in (
+        lambda: graph.pagerank_int(pairs, edges=edges),
+        lambda: graph.pagerank_personalized_int(pairs, edges=edges),
+        lambda: graph.bfs_distances(pairs, edges=edges),
+        lambda: graph.kcore(pairs, edges=edges),
+    ):
+        with pytest.raises(ValueError, match="exactly one"):
+            fn()
+
+
+def test_ngram_jaccard_rejects_shingle_n_with_precomputed_hashes(spark):
+    """shingle_n is derived at hash-build time: combining a non-default n
+    with shingle_hashes= would silently compute Jaccard over hashes built
+    at a DIFFERENT n (ADVICE r9) — must raise instead."""
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.pipeline import (
+        _shingle_hashes,
+    )
+
+    sh = _shingle_hashes(d, "doc_id", "text", 3)
+    with pytest.raises(ValueError, match="shingle_n is ignored"):
+        dedup.ngram_jaccard_pairs(d, pairs, shingle_n=4, shingle_hashes=sh)
+    # the default n with precomputed hashes stays the supported fast path
+    assert dedup.ngram_jaccard_pairs(d, pairs, shingle_hashes=sh).count() == 1

@@ -141,6 +141,24 @@ def test_tpch_q3_plan_shape(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_tpch_q5_plan_shape(spark):
+    """ext_tpch_q5 (VERDICT r9 #5): the 5-way star must collapse dimension-
+    side — region/nation/customer/supplier all broadcast against the fact
+    stream, filters pushed into the scans, and the only DATA shuffles are
+    the fact-edge join (none at test sf: filtered orders broadcasts too)
+    plus the final agg/sort. A plan that row-shuffles a dimension or goes
+    nested-loop on the same-nation correlation fails here, not at 100 TB."""
+    p = plan_of(spark, "ext_tpch_q5")
+    assert "EqualTo(r_name,ASIA)" in p  # region filter pushed to scan
+    assert "GreaterThanOrEqual(o_orderdate" in p  # orders dates pushed
+    assert p.count("BroadcastHashJoin") >= 4  # every dimension edge
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # shuffles: at most the orders⋈lineitem edge (when too big to
+    # broadcast) + the partial/final agg boundary; the sort is range
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert p.count("SortMergeJoin") <= 1  # only ever the fact edge
+
+
 def test_gap_fill_spine_stays_distributed(spark):
     """ext_gap_fill: the hour spine is generated in-plan (Generate/explode
     over sequence), not via a driver-side calendar crossJoin."""
@@ -627,7 +645,10 @@ def test_bucketed_pair_marker_invalidates_on_source_change(spark, tmp_path):
     """ensure_bucketed_pair (the single owner of the bench/probe fact
     layout) must REBUILD when the source data changes under the same
     paths — a stale cached pair would otherwise abort the bench via the
-    result-equality assert. The marker fingerprints source row counts."""
+    result-equality assert. The marker fingerprints source row counts AND
+    orderkey sums, so same-count content changes invalidate too (ADVICE
+    r9: a regenerated source with identical counts silently reused the
+    stale layout)."""
     import os
     import sys
 
@@ -647,6 +668,21 @@ def test_bucketed_pair_marker_invalidates_on_source_change(spark, tmp_path):
         shrunk = lambda: load_table(spark, SF_DIR, "lineitem").limit(10)  # noqa: E731
         rebuilt = ensure_bucketed_pair(spark, shrunk, o, bdir, "t_bp_li", "t_bp_o")
         assert rebuilt is not None  # source changed -> rewrite, not stale reuse
+        # same ROW COUNT, different content: the key-sum fingerprint must
+        # catch what the count alone cannot
+        from pyspark.sql import functions as sf
+
+        shifted = lambda: load_table(spark, SF_DIR, "lineitem").withColumn(  # noqa: E731
+            "l_orderkey", sf.col("l_orderkey") + 1
+        )
+        assert (  # restore the full-source layout first
+            ensure_bucketed_pair(spark, li, o, bdir, "t_bp_li", "t_bp_o")
+            is not None
+        )
+        rebuilt2 = ensure_bucketed_pair(
+            spark, shifted, o, bdir, "t_bp_li", "t_bp_o"
+        )
+        assert rebuilt2 is not None, "same-count content change reused stale layout"
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bp_li")
         spark.sql("DROP TABLE IF EXISTS t_bp_o")

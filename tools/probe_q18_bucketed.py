@@ -146,18 +146,29 @@ def ensure_bucketed_pair(spark, li_src, o_src, bdir: str, li_name: str, o_name: 
     in seconds, or None when the cached pair was reused.
 
     ``li_src``/``o_src`` are zero-arg callables returning the SOURCE
-    DataFrames. The marker records both source ROW COUNTS: a source
-    regenerated in place (fresh-container testdata rebuild with a
-    persistent .bench) invalidates the cache and triggers a rewrite
-    instead of feeding callers a stale layout (whose result-equality
-    assert would otherwise abort the whole bench run)."""
+    DataFrames. The marker records each source's row count AND its
+    orderkey sum (one agg pass per table): a source regenerated in place
+    (fresh-container testdata rebuild with a persistent .bench)
+    invalidates the cache and triggers a rewrite instead of feeding
+    callers a stale layout (whose result-equality assert would otherwise
+    abort the whole bench run). Counts alone were not enough (ADVICE r9):
+    regenerated data with identical counts but different content silently
+    reused the stale layout."""
     from job_search_engine_using_pyspark_solar_and_angular_spark.catalog import (
         write_bucketed,
     )
 
     marker = os.path.join(bdir, "_BUCKETED_OK")
     li_df, o_df = li_src(), o_src()
-    counts = {"lineitem": li_df.count(), "orders": o_df.count()}
+
+    def _fingerprint(df, key: str) -> dict:
+        r = df.agg(F.count("*").alias("n"), F.sum(key).alias("s")).first()
+        return {"n": r["n"], "key_sum": r["s"]}
+
+    counts = {
+        "lineitem": _fingerprint(li_df, "l_orderkey"),
+        "orders": _fingerprint(o_df, "o_orderkey"),
+    }
     cached = None
     if os.path.exists(marker):
         try:
