@@ -354,6 +354,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected candidate-pair graph by
     hash-min label propagation: every node's label converges to the MINIMUM
@@ -389,13 +390,14 @@ def connected_components(
         checkpoint_dir,
     )
     pairs_p.unpersist()
-    return _cc_label_loop(edges, checkpoint_dir, max_iter)
+    return _cc_label_loop(edges, checkpoint_dir, max_iter, stats=stats)
 
 
 def connected_components_from_buckets(
     banded: DataFrame,
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components DIRECTLY over a (persisted) LSH bucket table —
     the fused form of ``connected_components(candidates_from_buckets(b))``
@@ -413,7 +415,7 @@ def connected_components_from_buckets(
     entirely. Same transitive closure, same labels: the symmetric closure
     of the oriented pair set equals the within-bucket a != b pair set."""
     edges = symmetric_edges_from_buckets(banded, checkpoint_dir)
-    return _cc_label_loop(edges, checkpoint_dir, max_iter)
+    return _cc_label_loop(edges, checkpoint_dir, max_iter, stats=stats)
 
 
 def symmetric_edges_from_buckets(
@@ -442,11 +444,18 @@ def symmetric_edges_from_buckets(
 
 
 def _cc_label_loop(
-    edges: DataFrame, checkpoint_dir: str | None, max_iter: int
+    edges: DataFrame,
+    checkpoint_dir: str | None,
+    max_iter: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Hash-min label propagation over an already-cut SYMMETRIC distinct
     edge set: each round is one join + one min-agg, lineage cut per round.
-    Shared by the pair-list and bucket-table entry points."""
+    Shared by the pair-list and bucket-table entry points. ``stats``: an
+    optional dict that receives {"rounds": <loop rounds run>} — the loop is
+    eager (one convergence action per round), so the count is known by
+    return time; scale probes assert the round count stays flat as the
+    corpus grows (component diameter, not corpus size, drives it)."""
     # per-round cuts are lazy: the convergence-sum action right below each
     # cut materializes it in the same job (one job per round, not two).
     # The init FOLDS round 1 in: node list + first hash-min propagation are
@@ -472,6 +481,7 @@ def _cc_label_loop(
     # (Sum of int64 ids: exact while n_nodes * max_id < 2^63 — beyond that,
     # switch the check to count(label != prev) at one extra join.)
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    rounds = 0
     for _ in range(max_iter):
         nbr = edges.join(
             labels, edges["b"] == labels["node"]
@@ -483,10 +493,13 @@ def _cc_label_loop(
             checkpoint_dir,
             eager=False,
         )
+        rounds += 1
         new_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 

@@ -393,6 +393,76 @@ def test_sql_differential_fuzz_frames(spark, ddb, sql):
 
 
 @st.composite
+def _rank_range_tie_query(draw):
+    """Distribution rankers (PERCENT_RANK / CUME_DIST) and RANGE frames over
+    NON-UNIQUE order keys — peer-group semantics, the window surface the
+    fixed families left ungeneratively covered (VERDICT r9 #6). Determinism
+    without a unique frame key: every windowed value here depends only on
+    the row's tie GROUP, never on intra-tie order — rankers by definition,
+    RANGE aggregates because all peers share one frame (NTILE is excluded:
+    it splits ties by row position). PERCENT_RANK/CUME_DIST are compared
+    through FLOOR(x * 1e6): both engines compute the same rational in the
+    same doubles, while a bare CAST would trip Spark-truncate vs
+    DuckDB-round-half-even."""
+    k = draw(st.integers(2, 9))
+    part = draw(st.sampled_from(["PARTITION BY event_type", ""]))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    key = f"user_id % {k}"
+    choice = draw(st.integers(0, 2))
+    if choice == 0:
+        fn = draw(st.sampled_from(["PERCENT_RANK()", "CUME_DIST()"]))
+        expr = (
+            f"CAST(FLOOR({fn} OVER ({part} ORDER BY {key} {direction})"
+            " * 1000000) AS BIGINT)"
+        )
+    elif choice == 1:
+        # default frame over ties: RANGE UNBOUNDED PRECEDING..CURRENT ROW,
+        # i.e. aggregates see the whole peer group — deterministic
+        fn = draw(st.sampled_from(["RANK()", "DENSE_RANK()", "COUNT(*)"]))
+        expr = f"CAST({fn} OVER ({part} ORDER BY {key} {direction}) AS BIGINT)"
+    else:
+        a = draw(st.integers(0, 4))
+        b = draw(st.integers(0, 4))
+        frame = draw(
+            st.sampled_from(
+                [
+                    f"RANGE BETWEEN {a} PRECEDING AND {b} FOLLOWING",
+                    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                    f"RANGE BETWEEN CURRENT ROW AND {b} FOLLOWING",
+                ]
+            )
+        )
+        agg = draw(
+            st.sampled_from(
+                ["SUM(user_id)", "COUNT(*)", "MIN(user_id)", "MAX(user_id)"]
+            )
+        )
+        expr = (
+            f"CAST({agg} OVER ({part} ORDER BY {key} {direction} {frame})"
+            " AS BIGINT)"
+        )
+    where = draw(_predicate)
+    return (
+        f"SELECT event_id, CAST({key} AS BIGINT) AS gk, {expr} AS w "
+        f"FROM events WHERE {where} ORDER BY event_id LIMIT 300"
+    ).replace("( ", "(")
+
+
+@given(sql=_rank_range_tie_query())
+@_SET
+def test_sql_differential_fuzz_rank_range_ties(spark, ddb, sql):
+    """Peer-group windows (distribution rankers, RANGE over ties, ASC and
+    DESC) must agree row-for-row across engines."""
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    s = spark.sql(sql)
+    s_rows = [tuple(r) for r in s.collect()]
+    d = ddb.execute(sql)
+    assert canon_rows(s.columns, s_rows) == canon_rows(
+        [c[0] for c in d.description], d.fetchall()
+    ), sql
+
+
+@st.composite
 def _outer_join_query(draw):
     """Outer joins with predicates split between ON and WHERE — the
     null-extension rules (an ON-clause filter on the null-supplying side

@@ -69,12 +69,41 @@ def main() -> None:
     spark = get_spark(app_name="probe-dedup-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def pipeline(docs):
+    def pipeline(docs, stats=None):
         cand = dedup.minhash_lsh_candidates(docs)
         verified = dedup.ngram_jaccard_pairs(docs, cand, threshold=0.5).select(
             "doc_a", "doc_b"
         )
-        return dedup.connected_components(verified)
+        return dedup.connected_components(verified, stats=stats)
+
+    def structure(docs) -> dict:
+        """The quantities that decide whether the banded build survives a
+        scale-up (VERDICT r9 #4): candidate-pair growth must be
+        sub-quadratic (a query doc only meets its own bucket), the banded
+        self-join's bucket-size TAIL must stay bounded (the per-bucket
+        join is quadratic in bucket size), and cc rounds must stay flat
+        (component diameter, not corpus size)."""
+        bt = dedup.minhash_bucket_table(docs)
+        sizes = bt.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+        s = sizes.agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max"),
+            F.expr("percentile_approx(n, 0.99, 10000)").alias("p99"),
+            F.round(F.avg("n"), 2).alias("mean"),
+        ).first()
+        n_pairs = dedup.minhash_lsh_candidates(docs).count()
+        cc_stats: dict = {}
+        pipeline(docs, stats=cc_stats).count()
+        return {
+            "candidate_pairs": n_pairs,
+            "bucket_sizes": {
+                "n_buckets": s["n_buckets"],
+                "max": s["max"],
+                "p99": s["p99"],
+                "mean": s["mean"],
+            },
+            "cc_rounds": cc_stats.get("rounds"),
+        }
 
     out = {"metric": "near-dedup replication probe", "sf_dir": SF_DIR, "runs": {}}
 
@@ -87,6 +116,7 @@ def main() -> None:
         "docs": n_base,
         "sec": timed(lambda: pipeline(base_docs).count()),
         "clusters": pipeline(base_docs).select("cluster_id").distinct().count(),
+        **structure(base_docs),
     }
 
     for reps in reps_list:
@@ -94,12 +124,17 @@ def main() -> None:
         n = docs.count()
         pipeline(docs).count()  # warm
         sec = timed(lambda: pipeline(docs).count())
-        out["runs"][f"x{reps}"] = {
+        run = {
             "docs": n,
             "sec": sec,
             "ratio_vs_x1": round(sec / out["runs"]["x1"]["sec"], 2),
             "clusters": pipeline(docs).select("cluster_id").distinct().count(),
+            **structure(docs),
         }
+        run["pair_growth_vs_x1"] = round(
+            run["candidate_pairs"] / max(out["runs"]["x1"]["candidate_pairs"], 1), 2
+        )
+        out["runs"][f"x{reps}"] = run
         docs.unpersist()
 
     # pathological regime: identical replicas — every doc gains R-1 exact
