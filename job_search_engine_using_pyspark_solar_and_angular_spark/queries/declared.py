@@ -30,12 +30,67 @@ STOPWORDS = ("the", "a", "of", "and", "to")
 Q24_USER = "Customer#000000001"
 
 
+# (query name, sf_dir) of the registry query currently CONSTRUCTING its
+# DataFrame — a stack because a query may compose another query's builder.
+_ACTIVE_QUERY: list[tuple[str, str]] = []
+# per-query scoped caches: name -> (sf_dir, [persisted DataFrames])
+_SCOPED_CACHES: dict[str, tuple[str, list]] = {}
+
+
 def query(name: str):
     def deco(fn):
-        QUERIES[name] = fn
-        return fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapper(spark, sf_dir, *a, **kw):
+            # one cache GENERATION per query: invoking the same query
+            # against a DIFFERENT sf_dir releases the previous
+            # invocation's persist_scoped blocks (their plans can never
+            # be cache-matched again), while same-sf_dir reruns keep the
+            # warm cache alive (Spark's CacheManager matches by analyzed
+            # plan, so the rerun's persist() aliases the same entry).
+            # Bounds the lazy-caller cache leak (ADVICE r9) without a
+            # listener: long mixed-sf sessions — certify + parity sweeps —
+            # hold at most one generation per query.
+            prev = _SCOPED_CACHES.get(name)
+            if prev is not None and prev[0] != sf_dir:
+                for d in prev[1]:
+                    try:
+                        d.unpersist()
+                    except Exception:
+                        pass
+                _SCOPED_CACHES.pop(name, None)
+            elif prev is not None:
+                # same sf_dir: the rerun's persists alias the same cache
+                # entries (plan identity) — drop the stale handles so the
+                # list doesn't grow across reruns, WITHOUT unpersisting
+                prev[1].clear()
+            _ACTIVE_QUERY.append((name, sf_dir))
+            try:
+                return fn(spark, sf_dir, *a, **kw)
+            finally:
+                _ACTIVE_QUERY.pop()
+
+        QUERIES[name] = wrapper
+        return wrapper
 
     return deco
+
+
+def persist_scoped(df: DataFrame) -> DataFrame:
+    """``df.persist()`` whose blocks are RELEASED when the enclosing
+    registry query is next invoked against a different sf_dir (see
+    ``query``). Outside a registry query construction it degrades to a
+    plain persist (operator-level callers manage their own lifecycle)."""
+    df = df.persist()
+    if _ACTIVE_QUERY:
+        name, sf_dir = _ACTIVE_QUERY[-1]
+        entry = _SCOPED_CACHES.get(name)
+        if entry is None or entry[0] != sf_dir:
+            entry = (sf_dir, [])
+            _SCOPED_CACHES[name] = entry
+        entry[1].append(df)
+    return df
 
 
 @query("q01_scan_project")

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..functions.vectors import cosine
 from ..operators import dedup, multimodal, pipeline, similarity, textstats
-from .declared import QUERIES, query
+from .declared import QUERIES, persist_scoped, query
 
 # N5 lemma dictionary (tiny deterministic sample; production swaps in a full
 # AntBNC-style dictionary table — the plan shape is identical).
@@ -155,7 +155,7 @@ def ext_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard over the MinHash candidate pairs."""
     d = load_table(spark, sf_dir, "documents")
     # ONE corpus shingle pass feeds candidates AND the exact verify
-    sh = pipeline._shingle_hashes(d, "doc_id", "text", 3).persist()
+    sh = persist_scoped(pipeline._shingle_hashes(d, "doc_id", "text", 3))
     cand = dedup.minhash_lsh_candidates(d, shingle_hashes=sh)
     out = dedup.ngram_jaccard_pairs(d, cand, shingle_hashes=sh)
     return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
@@ -1034,11 +1034,10 @@ def ext_typo_pairs(spark, sf_dir):
     from ..operators.joins import fuzzy_join
 
     d = load_table(spark, sf_dir, "documents")
-    tf = (
+    tf = persist_scoped(
         d.select(F.explode(tokenize_normalized("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
-        .persist()
     )
     pairs = fuzzy_join(
         tf.select(F.col("tok").alias("tok_a")),
@@ -1218,7 +1217,7 @@ def ext_dedup_clusters(spark, sf_dir):
     # fused bucket->clusters path (one dedup shuffle; see
     # connected_components_from_buckets) — banded persists only across the
     # eager edges cut, then the cache is released
-    banded = dedup.minhash_bucket_table(d).persist()
+    banded = persist_scoped(dedup.minhash_bucket_table(d))
     cc = dedup.connected_components_from_buckets(banded)
     banded.unpersist()
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
@@ -1232,7 +1231,7 @@ def ext_near_dedup(spark, sf_dir):
     # fused bucket->clusters path (one dedup shuffle; see
     # connected_components_from_buckets) — banded persists only across the
     # eager edges cut, then the cache is released
-    banded = dedup.minhash_bucket_table(d).persist()
+    banded = persist_scoped(dedup.minhash_bucket_table(d))
     cc = dedup.connected_components_from_buckets(banded)
     banded.unpersist()
     out = dedup.near_dedup_survivors(d, None, clusters=cc)
@@ -1601,13 +1600,13 @@ def ext_curation_verdict(spark, sf_dir):
     # the standard stage-once trade)
     from ..functions.text import tokenize_normalized, tokenize_ws
 
-    # persist (not localCheckpoint): the lazy caller never unpersists, so
-    # these blocks live until session end — a BOUNDED leak (token arrays +
-    # 3 ints per doc, compressed columnar) accepted deliberately: the
-    # checkpoint alternative is cleaner-lifecycled but measured 1.0 s
-    # slower per run (row-format blocks, no column pruning into the four
-    # consumers), and this query runs in bounded batch sessions, not serve
-    # loops. The TEXT column is NOT cached (VERDICT r9 #3): every
+    # persist_scoped (not localCheckpoint): blocks are released when this
+    # query next runs against a different sf_dir (ADVICE r9 — long mixed-sf
+    # sessions hold one generation per query), and a same-sf rerun reuses
+    # the warm cache by plan identity. The checkpoint alternative is
+    # cleaner-lifecycled but measured 1.0 s slower per run (row-format
+    # blocks, no column pruning into the four consumers).
+    # The TEXT column is NOT cached (VERDICT r9 #3): every
     # text-derived input quality needs is a scalar count, so the counts are
     # staged in the fill projection and the cache blocks shrink by the
     # whole corpus text size.
@@ -1660,16 +1659,18 @@ def ext_curation_verdict(spark, sf_dir):
                 | (rep_sig["top_bigram_frac"] > pipeline.TOP_BIGRAM_MAX)
             ).alias("repetitive"),
         )
-        .persist()
     )
+    staged = persist_scoped(staged)
     base = staged.select("doc_id", "lang_pred", "quality", "repetitive")
     # ONE corpus tokenize+shingle+md5 pass feeds BOTH the LSH clustering and
     # both sides of decontamination (values identical to computing each
     # independently — same oracle; at 100 TB this removes a full extra scan)
-    sh = pipeline._shingle_hashes(
-        docs, "doc_id", "text", 3,
-        toks=staged.select("doc_id", F.col("__toks").alias("tk")),
-    ).persist()
+    sh = persist_scoped(
+        pipeline._shingle_hashes(
+            docs, "doc_id", "text", 3,
+            toks=staged.select("doc_id", F.col("__toks").alias("tk")),
+        )
+    )
     # fused bucket->clusters path: this funnel never needs the pair LIST,
     # so skip candidates_from_buckets' oriented distinct + the symmetric
     # re-distinct (one dedup shuffle instead of two; same closure, same
@@ -2219,7 +2220,7 @@ def ext_minhash_est_jaccard(spark, sf_dir):
     from ..operators.pipeline import _shingle_hashes
 
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingle_hashes(d, "doc_id", "text", 3).persist()
+    sh = persist_scoped(_shingle_hashes(d, "doc_id", "text", 3))
     sig = dedup.minhash_signatures(d, shingle_hashes=sh)
     cand = dedup.minhash_lsh_candidates(d, shingle_hashes=sh)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -2283,7 +2284,7 @@ def ext_pagerank_personalized(spark, sf_dir):
     # banded persists only across the eager edges cut: the self-join's
     # two sides read it from cache (ONE LSH pipeline compute), and the
     # cut materializes edges, so the cache is released immediately
-    banded = dedup.minhash_bucket_table(d).persist()
+    banded = persist_scoped(dedup.minhash_bucket_table(d))
     edges = dedup.symmetric_edges_from_buckets(banded)
     banded.unpersist()
     pr = pagerank_personalized_int(None, iters=5, edges=edges)
@@ -2310,7 +2311,7 @@ def ext_pagerank(spark, sf_dir):
     # banded persists only across the eager edges cut: the self-join's
     # two sides read it from cache (ONE LSH pipeline compute), and the
     # cut materializes edges, so the cache is released immediately
-    banded = dedup.minhash_bucket_table(d).persist()
+    banded = persist_scoped(dedup.minhash_bucket_table(d))
     edges = dedup.symmetric_edges_from_buckets(banded)
     banded.unpersist()
     pr = pagerank_int(None, iters=5, edges=edges)
@@ -2467,7 +2468,7 @@ def ext_containment(spark, sf_dir):
     Same single shingle-join pass as ext_ngram_jaccard (keep_counts=True);
     ratios are exact rationals of shingle counts, rounded 4."""
     d = load_table(spark, sf_dir, "documents")
-    sh = pipeline._shingle_hashes(d, "doc_id", "text", 3).persist()
+    sh = persist_scoped(pipeline._shingle_hashes(d, "doc_id", "text", 3))
     cand = dedup.minhash_lsh_candidates(d, shingle_hashes=sh)
     j = dedup.ngram_jaccard_pairs(d, cand, keep_counts=True, shingle_hashes=sh)
     return j.select(
@@ -2486,7 +2487,7 @@ def ext_verified_clusters(spark, sf_dir):
     otherwise chain unrelated docs into one mega-cluster. Same iterative
     closure as ext_dedup_clusters over the verified edge set."""
     d = load_table(spark, sf_dir, "documents")
-    sh = pipeline._shingle_hashes(d, "doc_id", "text", 3).persist()
+    sh = persist_scoped(pipeline._shingle_hashes(d, "doc_id", "text", 3))
     cand = dedup.minhash_lsh_candidates(d, shingle_hashes=sh)
     verified = dedup.ngram_jaccard_pairs(
         d, cand, threshold=0.5, shingle_hashes=sh
@@ -2622,7 +2623,7 @@ def ext_best_survivor(spark, sf_dir):
     # fused bucket->clusters path (one dedup shuffle; see
     # connected_components_from_buckets) — banded persists only across the
     # eager edges cut, then the cache is released
-    banded = dedup.minhash_bucket_table(d).persist()
+    banded = persist_scoped(dedup.minhash_bucket_table(d))
     cc = dedup.connected_components_from_buckets(banded)
     banded.unpersist()
     q = textstats.quality_score(d).select("doc_id", "quality")
@@ -3089,7 +3090,7 @@ def ext_effective_size(spark, sf_dir):
     # fused bucket->clusters path (one dedup shuffle; see
     # connected_components_from_buckets) — banded persists only across the
     # eager edges cut, then the cache is released
-    banded = dedup.minhash_bucket_table(d).persist()
+    banded = persist_scoped(dedup.minhash_bucket_table(d))
     cc = dedup.connected_components_from_buckets(banded)
     banded.unpersist()
     survivors = dedup.near_dedup_survivors(d, None, clusters=cc).select(
@@ -3381,7 +3382,7 @@ def ext_cluster_sizes(spark, sf_dir):
     # fused bucket->clusters path (one dedup shuffle; see
     # connected_components_from_buckets) — banded persists only across the
     # eager edges cut, then the cache is released
-    banded = dedup.minhash_bucket_table(d).persist()
+    banded = persist_scoped(dedup.minhash_bucket_table(d))
     cc = dedup.connected_components_from_buckets(banded)
     banded.unpersist()
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("size"))
@@ -4942,7 +4943,7 @@ def ext_tpch_q15(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_cents()).alias("rc")).persist()
+    rev = persist_scoped(li.groupBy("l_suppkey").agg(F.sum(_disc_cents()).alias("rc")))
     mx = rev.agg(F.max("rc").alias("mx"))
     return (
         rev.join(F.broadcast(mx), F.col("rc") == F.col("mx"))
@@ -5148,7 +5149,7 @@ def ext_bfs_distances(spark, sf_dir):
     # banded persists only across the eager edges cut: the self-join's
     # two sides read it from cache (ONE LSH pipeline compute), and the
     # cut materializes edges, so the cache is released immediately
-    banded = dedup.minhash_bucket_table(d).persist()
+    banded = persist_scoped(dedup.minhash_bucket_table(d))
     edges = dedup.symmetric_edges_from_buckets(banded)
     banded.unpersist()
     return bfs_distances(
@@ -5168,7 +5169,7 @@ def ext_kcore(spark, sf_dir):
     # banded persists only across the eager edges cut: the self-join's
     # two sides read it from cache (ONE LSH pipeline compute), and the
     # cut materializes edges, so the cache is released immediately
-    banded = dedup.minhash_bucket_table(d).persist()
+    banded = persist_scoped(dedup.minhash_bucket_table(d))
     edges = dedup.symmetric_edges_from_buckets(banded)
     banded.unpersist()
     return kcore(
@@ -5778,11 +5779,11 @@ def ext_vocab_topk_coverage(spark, sf_dir):
     from ..functions.text import tokenize_normalized as _tokn
 
     d = load_table(spark, sf_dir, "documents")
-    counts = (
+    counts = persist_scoped(
         d.select(F.explode(_tokn("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
-    ).persist()
+    )
     total = counts.agg(F.sum("c").alias("total"))
     out = None
     for k in (10, 100, 1000):
@@ -5862,11 +5863,10 @@ def ext_source_vocab_overlap(spark, sf_dir):
         .agg(F.count("*").alias("c"))
     )
     w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
-    head = (
+    head = persist_scoped(
         counts.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 100)
         .select("source", "tok")
-        .persist()
     )
     a, b = head.alias("a"), head.alias("b")
     pairs = (

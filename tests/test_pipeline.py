@@ -798,3 +798,29 @@ def test_packing_stats_hand_computed(spark):
     assert (row["n_docs"], row["n_tokens"], row["n_windows"]) == (3, 900, 2)
     assert row["waste_tokens"] == 2 * 512 - 900 == 124
     assert row["efficiency_bps"] == (10000 * 900) // 1024 == 8789
+
+
+def test_persist_scoped_releases_on_sf_dir_switch(spark):
+    """ADVICE r9: query-level persists must not accumulate across a long
+    mixed-sf session. persist_scoped holds ONE generation per query —
+    invoking the same query against a different sf_dir releases the
+    previous generation's blocks, while a same-sf rerun keeps the warm
+    cache (plan-identity match) alive."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        _SCOPED_CACHES,
+        QUERIES,
+    )
+
+    name = "ext_ngram_jaccard"
+    QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    gen1 = list(_SCOPED_CACHES[name][1])
+    assert gen1, "query did not register scoped caches"
+    assert all(d.is_cached for d in gen1)
+    QUERIES[name](spark, "/root/testdata/sf0.01").count()
+    assert all(not d.is_cached for d in gen1), (
+        "previous sf_dir generation not released"
+    )
+    gen2 = list(_SCOPED_CACHES[name][1])
+    assert gen2 and all(d.is_cached for d in gen2)
+    QUERIES[name](spark, "/root/testdata/sf0.01").count()
+    assert all(d.is_cached for d in gen2), "same-sf rerun must keep the cache"
