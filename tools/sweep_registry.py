@@ -15,9 +15,11 @@ Artifacts under .bench/:
 
 Exit code is ALWAYS 0 — single-trial timings at sf0.01 are noisy, so the
 guard reports rather than gates: entries with cur/prev > 2.0 AND
-cur - prev > 0.5 s land in the printed "flagged" block (and in the
-artifact) for an idle-machine min-of-2 re-time before calling them
-regressions (the adjudication convention BENCH artifacts use).
+cur - prev > 0.5 s are automatically RE-MEASURED min-of-2 at end of
+sweep (the noisy-neighbor burst that inflated a single trial has usually
+passed by then; a real regression reproduces) and only survivors land in
+the printed "flagged" block and the artifact — the manual idle-window
+adjudication this tool used to prescribe, done by the tool itself.
 """
 
 from __future__ import annotations
@@ -110,11 +112,40 @@ def main() -> int:
         except (OSError, ValueError, ImportError):
             pass
 
-    flagged = {}
-    for name, cur in timings.items():
-        p = prior.get(name)
-        if p and cur / p > 2.0 and cur - p > 0.5:
-            flagged[name] = {"prev": p, "cur": cur, "ratio": round(cur / p, 2)}
+    def _flags() -> dict:
+        out = {}
+        for name, cur in timings.items():
+            p = prior.get(name)
+            if p and cur / p > 2.0 and cur - p > 0.5:
+                out[name] = {"prev": p, "cur": cur, "ratio": round(cur / p, 2)}
+        return out
+
+    flagged = _flags()
+    # automatic flag RECHECK (same policy as bench.py's guard, r10): a
+    # single-trial timing taken during a noisy-neighbor burst flags at
+    # 2-10x with no code change — both r10 sweep attempts needed manual
+    # idle-window re-times to adjudicate exactly that. Re-measure each
+    # flagged entry min-of-2 at end of sweep (the burst has usually
+    # passed), keep the best, recompute. A real regression reproduces.
+    rechecked = []
+    if flagged:
+        for name in list(flagged):
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            best = timings[name]
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, round(time.perf_counter() - t0, 3))
+            except Exception:
+                continue
+            timings[name] = best
+            rechecked.append(name)
+        flagged = _flags()
 
     doc = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
@@ -124,6 +155,7 @@ def main() -> int:
         "timings": timings,
         "errors": errors,
         "flagged_vs_prev": flagged,
+        "rechecked": rechecked,
         **prior_meta,
     }
     os.makedirs(BENCH_DIR, exist_ok=True)
