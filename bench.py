@@ -1132,6 +1132,7 @@ def main() -> None:
     ]
     if flagged:
         rechecked = []
+        recheck_trials: dict[str, list[float]] = {}
         for name in flagged:
             fn = RERUN[name]
             rts = []
@@ -1141,12 +1142,18 @@ def main() -> None:
                     fn()
                     rts.append(round(time.perf_counter() - t0, 3))
             except Exception:
-                # thunk needs run-scoped context (e.g. the HTTP bench's
-                # live server) — keep the original flag, trials tell why
+                # thunk needs run-scoped context — keep the original
+                # flag, trials tell why
                 continue
-            SERVED_TRIALS[name] = SERVED_TRIALS.get(name, []) + rts
+            # recheck trials live under their OWN artifact key: folding
+            # them into served_trials would widen the baseline's recorded
+            # spread and make the next run's within_prev_trial_spread
+            # absorption too generous (a real regression could hide inside
+            # a burst-inflated range)
+            recheck_trials[name] = rts
             timings[name] = min(timings[name], *rts)
             rechecked.append(name)
+        doc["recheck_trials"] = recheck_trials
         total = round(sum(timings.values()), 3)
         doc["value"] = total
         doc["queries"] = timings
