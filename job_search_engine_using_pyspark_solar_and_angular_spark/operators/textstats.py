@@ -53,6 +53,30 @@ def lang_id_scores(
     multiply-referenced non-cheap alias)."""
     if col is None and toks is None:
         raise ValueError("lang_id_scores: pass col or toks")
+    # fast path (r10): when toks is a plain NAMED column, instantiate the
+    # whole scores array with one F.expr parse instead of per-profile py4j
+    # tree building (~86 ms -> ~1 ms of driver time per construction; the
+    # cost sits inside every timed invocation of every query embedding the
+    # fold). Same expression tree, pinned value-equal by test.
+    if toks is not None:
+        import re as _re
+
+        try:
+            s = toks._jc.toString()
+        except Exception:
+            s = ""
+        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s):
+            tk = f"`{s}`"
+            entries_sql = ", ".join(
+                "struct('{lang}' AS lang, size(filter({tk}, "
+                "t -> array_contains(array({words}), t))) AS hits)".format(
+                    lang=lang,
+                    tk=tk,
+                    words=", ".join(f"'{w}'" for w in words),
+                )
+                for lang, words in LANG_PROFILES.items()
+            )
+            return F.expr(f"array({entries_sql})")
     toks = tokenize_normalized(col) if toks is None else toks
     entries = []
     for lang, words in LANG_PROFILES.items():

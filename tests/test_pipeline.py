@@ -824,3 +824,64 @@ def test_persist_scoped_releases_on_sf_dir_switch(spark):
     assert gen2 and all(d.is_cached for d in gen2)
     QUERIES[name](spark, "/root/testdata/sf0.01").count()
     assert all(d.is_cached for d in gen2), "same-sf rerun must keep the cache"
+
+
+def test_repetition_signals_expr_path_equals_column_path(spark):
+    """repetition_signals builds through ONE SQL parse when given a plain
+    column name (r10: ~170 ms of per-construction driver time -> ~2 ms);
+    the Column-API path remains for arbitrary expressions. Both paths must
+    agree value-for-value, including the zero-token (NULL top_token_frac)
+    and single-token edges."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.functions.text import (
+        tokenize_normalized,
+    )
+
+    base = _docs(spark).select(
+        "doc_id", tokenize_normalized("text").alias("__tk")
+    )
+    edge = spark.createDataFrame(
+        [(9000001, []), (9000002, ["solo"]), (9000003, ["a", "a", "a"])],
+        "doc_id long, __tk array<string>",
+    )
+    allr = base.unionByName(edge)
+    fast = allr.select(
+        "doc_id", pipeline.repetition_signals("__tk").alias("s")
+    )
+    # a sliced self-copy is not a bare name -> forces the Column-API path
+    slow = allr.select(
+        "doc_id",
+        pipeline.repetition_signals(
+            F.slice(F.col("__tk"), 1, 1_000_000)
+        ).alias("s"),
+    )
+    assert sorted(map(str, fast.collect())) == sorted(map(str, slow.collect()))
+
+
+def test_lang_id_scores_expr_path_equals_column_path(spark):
+    """lang_id_scores' one-parse fast path (named toks column) must agree
+    value-for-value with the Column-API path, empty arrays included."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.functions.text import (
+        tokenize_normalized,
+    )
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators import (
+        textstats,
+    )
+
+    base = _docs(spark).select(
+        "doc_id", tokenize_normalized("text").alias("__tk")
+    )
+    edge = spark.createDataFrame(
+        [(9000001, []), (9000002, ["the", "la", "und", "le"])],
+        "doc_id long, __tk array<string>",
+    )
+    allr = base.unionByName(edge)
+    fast = allr.select(
+        "doc_id", textstats.lang_id_scores(toks=F.col("__tk")).alias("s")
+    )
+    slow = allr.select(
+        "doc_id",
+        textstats.lang_id_scores(
+            toks=F.slice(F.col("__tk"), 1, 1_000_000)
+        ).alias("s"),
+    )
+    assert sorted(map(str, fast.collect())) == sorted(map(str, slow.collect()))
