@@ -116,26 +116,51 @@ def quality_features(
     """Append standard quality-scoring features: n_chars, n_tokens,
     mean token length, punctuation ratio, stopword ratio, uppercase ratio.
     ``toks_col``: name of a pre-staged normalized-token array column to
-    reuse (see lang_id_scores); absent, tokens derive inline."""
-    c = F.col(text_col)
-    toks = tokenize_ws(text_col)
-    norm = (
-        F.col(toks_col) if toks_col is not None else tokenize_normalized(text_col)
+    reuse (see lang_id_scores); absent, tokens derive inline.
+
+    Column construction goes through per-column F.expr parses (r10): the
+    Column-API build paid ~0.5 s of driver time per construction across
+    every timed invocation embedding it; semantics unchanged, pinned by
+    the quality oracles and the expr/Column parity test."""
+    c = f"`{text_col}`"
+    # SQL string literals treat backslash as an escape: '\\\\w' in the
+    # Python source is '\\w' in the SQL text, which the parser unescapes
+    # to the regex \w — same pattern the Column form passed directly.
+    norm_sql = (
+        f"`{toks_col}`"
+        if toks_col is not None
+        else (
+            f"filter(transform(split({c}, ' '), "
+            "t -> regexp_replace(lower(t), '[^a-z0-9]', '')), t -> t != '')"
+        )
     )
-    n_chars = F.length(c)
-    n_tokens = F.size(toks)
-    stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
-    n_stop = F.size(F.filter(norm, lambda t: F.array_contains(stop, t)))
-    n_punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
-    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    stop_sql = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    nc = f"length({c})"
+    nt = f"size(split({c}, ' '))"
+    ns = f"size(filter({norm_sql}, t -> array_contains(array({stop_sql}), t)))"
+    np = f"length(regexp_replace({c}, '[\\\\w\\\\s]', ''))"
+    nu = f"length(regexp_replace({c}, '[^A-Z]', ''))"
+    zero = "CAST(0.0 AS DOUBLE)"
     return df.withColumns(
         {
-            "q_n_chars": n_chars,
-            "q_n_tokens": n_tokens,
-            "q_mean_tok_len": F.when(n_tokens > 0, (n_chars - n_tokens + 1).cast("double") / n_tokens).otherwise(F.lit(0.0)),
-            "q_punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
-            "q_stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)),
-            "q_upper_ratio": F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(F.lit(0.0)),
+            "q_n_chars": F.expr(nc),
+            "q_n_tokens": F.expr(nt),
+            "q_mean_tok_len": F.expr(
+                f"CASE WHEN {nt} > 0 THEN "
+                f"CAST({nc} - {nt} + 1 AS DOUBLE) / {nt} ELSE {zero} END"
+            ),
+            "q_punct_ratio": F.expr(
+                f"CASE WHEN {nc} > 0 THEN "
+                f"CAST({np} AS DOUBLE) / {nc} ELSE {zero} END"
+            ),
+            "q_stopword_ratio": F.expr(
+                f"CASE WHEN {nt} > 0 THEN "
+                f"CAST({ns} AS DOUBLE) / {nt} ELSE {zero} END"
+            ),
+            "q_upper_ratio": F.expr(
+                f"CASE WHEN {nc} > 0 THEN "
+                f"CAST({nu} AS DOUBLE) / {nc} ELSE {zero} END"
+            ),
         }
     )
 
