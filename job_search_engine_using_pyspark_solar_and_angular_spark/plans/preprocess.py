@@ -37,6 +37,8 @@ holding ~10% of all rows.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -88,6 +90,20 @@ def flatten_tweets(raw: DataFrame) -> DataFrame:
     over the same scan. Same 24-column output, one third the input I/O —
     at 100 TB the difference between reading the corpus once and three times.
     """
+    pred, cols = _flatten_exprs()
+    return raw.filter(pred).select(*cols)
+
+
+@functools.cache
+def _flatten_exprs() -> tuple[Column, list[Column]]:
+    """The flatten's (keep-predicate, 24-column select list), built ONCE per
+    process (r11). Every expression here is an UNRESOLVED Column tree —
+    independent of any DataFrame — and building it costs ~0.4 s of py4j
+    round trips (24 columns x branch-pick ``when`` trees). The cost was
+    paid per call: once per bench trial, once per STREAMING MICRO-BATCH
+    (foreachBatch re-plans per batch), twice per dual-sink preprocess run.
+    Resolution still happens per-plan at analysis, so semantics are
+    unchanged (same trees, same oracle)."""
     is_quoted = (
         F.coalesce(F.col("is_quote_status"), F.lit(False))
         & F.col("quoted_status.id").isNotNull()
@@ -119,8 +135,8 @@ def flatten_tweets(raw: DataFrame) -> DataFrame:
         .otherwise(_first_media_url(""))
     )
 
-    kept = raw.filter(~F.coalesce(pick("possibly_sensitive"), F.lit(False)))
-    return kept.select(
+    kept_pred = ~F.coalesce(pick("possibly_sensitive"), F.lit(False))
+    return kept_pred, [
         pick("id").alias("org_id"),
         F.col("id").alias("samp_id"),
         parse_twitter_timestamp(F.col("created_at")).alias("samp_datetime"),
@@ -147,7 +163,7 @@ def flatten_tweets(raw: DataFrame) -> DataFrame:
         pick("reply_count").alias("org_reply_count"),
         pick("retweet_count").alias("org_retweet_count"),
         parse_twitter_timestamp(pick("created_at")).alias("org_datetime"),
-    )
+    ]
 
 
 def hiring_filter(df: DataFrame, terms=HIRING_TERMS, text_col: str = "org_text") -> DataFrame:
@@ -177,6 +193,7 @@ def write_outputs(
     parquet_path: str,
     csv_path: str | None = None,
     partition_by: list[str] | None = None,
+    stage_times: dict | None = None,
 ) -> None:
     """Dual sink (reference S4/S5, ``Tweets_preprocessing.py:484-507``):
     typed parquet (arrays kept) and optionally a CSV export with arrays
@@ -190,16 +207,45 @@ def write_outputs(
     ``partition_by`` (e.g. an ingest-date column) hive-partitions the parquet
     output so time-scoped readers prune partitions instead of scanning the
     corpus — the 100 TB layout.
+
+    The CSV export reads BACK the parquet just written rather than
+    re-running ``df``'s plan: two sinks on one lazy DataFrame execute the
+    whole upstream pipeline (raw-corpus scan + JSON parse + flatten + the
+    dedup shuffle) once PER SINK, and the parquet sink already materialized
+    the exact rows the CSV needs. One compute, two writes — at 100 TB the
+    difference between reading the raw corpus once and twice; the re-read
+    touches only the (post-filter, output-sized) parquet. Values are
+    lossless round-trips (parquet is typed); partition columns come back
+    re-inferred, so every column is cast to ``df``'s own schema before the
+    stringify projection.
+
+    ``stage_times``: optional dict that receives the per-sink wall seconds
+    ({"parquet_sec", "csv_sec"}) — the parquet stage is the whole
+    compute-plus-write, the csv stage is read-back-plus-write, so a slow
+    run is attributable to compute vs output IO from the record alone
+    (VERDICT r10 #2: the 10 GB bench entry was a single opaque number).
     """
+    import time as _time
+
+    t0 = _time.perf_counter()
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(parquet_path)
+    if stage_times is not None:
+        stage_times["parquet_sec"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
     if csv_path:
+        back = df.sparkSession.read.parquet(parquet_path).select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in df.schema.fields
+            ]
+        )
         arr_cols = {"org_media_url", "org_media_type", "org_attached_links",
                     "org_hashtags", "org_user_metions"}
         id_cols = {"org_id", "samp_id", "user_id"}
-        out = df.select(
+        out = back.select(
             *[
                 F.to_json(F.col(c)).alias(c)
                 if c in arr_cols
@@ -212,3 +258,5 @@ def write_outputs(
             ]
         )
         out.write.mode("overwrite").option("header", True).csv(csv_path)
+        if stage_times is not None:
+            stage_times["csv_sec"] = round(_time.perf_counter() - t0, 3)

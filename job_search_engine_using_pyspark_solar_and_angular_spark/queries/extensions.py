@@ -99,7 +99,7 @@ def ext_lang_id(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        textstats.lang_id("text", toks=F.col("__toks")).alias("lang_pred"),
+        textstats.lang_id("text", toks="__toks").alias("lang_pred"),
     )
 
 
@@ -1614,7 +1614,7 @@ def ext_curation_verdict(spark, sf_dir):
     # fuse it into the fill projection instead of a separate corpus scan
     # joined back on doc_id (zero-token docs: frac is NULL, exactly like
     # the old left join's missing row)
-    rep_sig = pipeline.repetition_signals(F.col("__toks"))
+    rep_sig = pipeline.repetition_signals("__toks")
     # ONE fold over __toks serves BOTH lang-ID and quality: the lang-scores
     # array is staged as a column, lang_pred argmaxes it, and quality's
     # stopword count IS its en entry (same filter over the same word list —
@@ -1642,7 +1642,7 @@ def ext_curation_verdict(spark, sf_dir):
             ),
         )
         .withColumn(
-            "__lang_scores", textstats.lang_id_scores(toks=F.col("__toks"))
+            "__lang_scores", textstats.lang_id_scores(toks="__toks")
         )
         .select(
             "doc_id",
@@ -2657,7 +2657,7 @@ def ext_lang_confusion(spark, sf_dir):
     )
     pred = d.select(
         "doc_id", "lang",
-        textstats.lang_id("text", toks=F.col("__toks")).alias("lang_pred"),
+        textstats.lang_id("text", toks="__toks").alias("lang_pred"),
     )
     return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
 

@@ -17,6 +17,7 @@ Construction (mirrored in queries/oracles.py ``ext_preprocess_pipeline``):
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -94,16 +95,25 @@ def tweets_from_documents(docs: DataFrame) -> DataFrame:
     column, behavior is unchanged (org id == doc_id)."""
     # re-observations only for retweet/quote branches: an original's org_id
     # IS its samp_id, so a "re-observation" would be a different tweet.
-    cols = ["doc_id", "text"] + (
-        ["org_doc_id"] if "org_doc_id" in docs.columns else []
-    )
+    has_org = "org_doc_id" in docs.columns
+    cols = ["doc_id", "text"] + (["org_doc_id"] if has_org else [])
     base = docs.select(*cols, F.lit(0).alias("re_obs")).unionByName(
         docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 3 != 0)).select(
             *cols, F.lit(1).alias("re_obs")
         )
     )
+    return base.select(*_tweet_exprs(has_org))
+
+
+@functools.cache
+def _tweet_exprs(has_org: bool) -> tuple:
+    """The nested-tweet select list, built ONCE per process per variant
+    (r11): two full ``_mk_status`` struct trees are ~0.5 s of py4j round
+    trips per construction, previously paid on every call — every bench
+    trial and every streaming micro-batch. Pure unresolved Column trees
+    (no DataFrame binding); resolution still happens per-plan."""
     doc_id = F.col("doc_id")
-    org_doc = F.col("org_doc_id") if "org_doc_id" in docs.columns else doc_id
+    org_doc = F.col("org_doc_id") if has_org else doc_id
     text = F.col("text")
     branch = doc_id % 3
     org_epoch = F.lit(EPOCH_2022) + doc_id
@@ -119,7 +129,7 @@ def tweets_from_documents(docs: DataFrame) -> DataFrame:
     outer = _mk_status(samp_id, outer_text, samp_epoch, fav_bonus)
 
     struct_t = org  # same type for quoted/retweeted slots
-    return base.select(
+    return (
         *[
             outer.getField(f).alias(f)
             for f in (

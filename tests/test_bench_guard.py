@@ -205,6 +205,24 @@ def test_flag_absorbed_within_prev_trial_spread(tmp_path):
     assert out["regressed"]["ratio"] >= 2.0  # real regression still counted
 
 
+def test_spread_absorption_skipped_on_inconsistent_baseline(tmp_path):
+    # ADVICE r10 (medium): a PRE-FIX baseline whose recorded min was
+    # recheck-folded BELOW its served_trials (min 0.4, trials [0.6, 0.9])
+    # has a burst-inflated spread — a current 0.62 is a real 1.55x vs the
+    # recorded min and must FLAG, not absorb against the stale burst range.
+    bdir = tmp_path / ".bench"
+    bdir.mkdir()
+    (bdir / "last_full.json").write_text(json.dumps({
+        "queries": {"folded": 0.4},
+        "served_trials": {"folded": [0.6, 0.9]},
+    }))
+    out = bench.regressions_vs_previous(
+        {"folded": 0.62}, repo_dir=str(tmp_path), bench_dir=str(bdir),
+    )
+    assert "folded" in out and out["folded"]["ratio"] >= 1.5
+    assert "_noise_absorbed" not in out
+
+
 def test_back_to_back_noisy_runs_need_no_adjudication(tmp_path):
     # VERDICT r9 #2 done-criterion in miniature: run A (quiet host) writes
     # the baseline with trials; run B lands on a 1.7x-loaded host (every

