@@ -27,6 +27,17 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Resolved-once parquet schemas per absolute file path (r11): a bare
+# ``spark.read.parquet`` pays a driver-side footer read + schema resolution
+# on EVERY call (~70 ms per table here) — across a bench run that is
+# hundreds of redundant footer reads, and at 100 TB it is the per-job
+# "resolve the merged schema ONCE and pin it" practice load_evolving's
+# docstring prescribes. Pure StructType values (session-independent); the
+# fixture tables' schemas are part of the testdata contract, so a path's
+# schema never changes within a process. Data is still read fresh from
+# parquet on every action — only the SCHEMA resolution is reused.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Predicates/projections placed on the returned
@@ -44,7 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # conf may be static/absent on some builds; the read will tell
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    df = spark.read.schema(schema).parquet(path)
     from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":

@@ -36,7 +36,12 @@ from .checkpointing import lineage_cut
 SCALE = 10**12
 
 
-def triangle_stats(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+def triangle_stats(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    assume_distinct: bool = False,
+) -> DataFrame:
     """Global triangle census of the undirected graph of ``pairs`` (edges
     pre-oriented ``src < dst``, as LSH candidate pairs are): one row with
     n_nodes, n_edges, n_triangles, n_triplets (open+closed length-2 paths,
@@ -50,8 +55,16 @@ def triangle_stats(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> 
     exactly one orientation, so no /3 correction and, at scale, the join
     fan-out of a hub vertex is bounded by its *higher-id* neighbors only.
     Two shuffles on vertex keys; degrees are one more groupBy on the same
-    exploded edge list."""
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct().persist()
+    exploded edge list.
+
+    ``assume_distinct``: skip the defensive dedup when the caller's pairs
+    are distinct by construction (``minhash_lsh_candidates`` output is) —
+    the re-distinct is a full corpus-pairs shuffle for zero information
+    (r11)."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.persist()
     e1 = e.select(F.col("a"), F.col("b").alias("m"))
     e2 = e.select(F.col("a").alias("m"), F.col("b").alias("c"))
     wedges = e1.join(e2, "m").select("a", "c", F.col("m").alias("b"))

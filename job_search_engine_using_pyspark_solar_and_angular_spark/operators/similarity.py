@@ -541,6 +541,7 @@ def quantize_int8(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-vector scalar int8 quantization: the storage-compression stage of
     a 100 TB vector index (4x smaller than float32, 8x smaller than float64;
@@ -557,18 +558,37 @@ def quantize_int8(
     (mx == mn) quantize to all-zero codes with scale 0.
 
     Scale shape: pure per-row column math (transform HOF) — no shuffle, no
-    Python; column pruning keeps only (id, vec) in the scan."""
+    Python; column pruning keeps only (id, vec) in the scan. The vector
+    min/range are STAGED as columns before the transform (r11): embedded
+    in the per-element lambda they re-evaluate array_min/array_max once
+    PER ELEMENT after projection collapse — O(d²) per vector for loop-
+    invariant values (the same HOF trap minhash_signatures documents;
+    measured ~30% off the quantized-ANN query at sf0.1, values identical).
+
+    ``keep_cols``: extra input columns carried through unchanged — a
+    caller that needs the full-precision vector next to the codes passes
+    it here instead of re-joining the corpus on id (one fewer shuffle)."""
     v = F.col(vec_col)
-    mn = F.array_min(v).cast("double")
-    mx = F.array_max(v).cast("double")
-    rng = mx - mn
+    keep = list(keep_cols or [])
+    staged = embeddings.select(
+        *keep,
+        F.col(id_col),
+        v.alias("__v"),
+        F.array_min(v).cast("double").alias("__mn"),
+        (F.array_max(v).cast("double") - F.array_min(v).cast("double")).alias(
+            "__rng"
+        ),
+    )
+    mn = F.col("__mn")
+    rng = F.col("__rng")
     codes = F.transform(
-        v,
+        F.col("__v"),
         lambda x: F.when(rng == 0.0, F.lit(0)).otherwise(
             (F.floor((x.cast("double") - mn) * 255.0 / rng + 0.5) - 128).cast("int")
         ),
     )
-    return embeddings.select(
+    return staged.select(
+        *keep,
         F.col(id_col),
         codes.alias("codes"),
         mn.alias("zero_point"),

@@ -1889,8 +1889,10 @@ def ext_ann_lsh_multiprobe(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") != 0)
     qrow = emb.filter(F.col("vec_id") == 0)
+    # keep_cols carries the full-precision column through quantize — the
+    # old re-join of the corpus on vec_id was a whole extra shuffle (r11)
     cb = similarity.lsh_bucket_int8(
-        similarity.quantize_int8(corpus).join(corpus, "vec_id"),
+        similarity.quantize_int8(corpus, keep_cols=["embedding"]),
         num_planes=num_planes,
     )
     qb = similarity.lsh_bucket_int8(
@@ -2011,8 +2013,10 @@ def ext_ann_lsh_quantized(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") != 0)
     qrow = emb.filter(F.col("vec_id") == 0)
+    # keep_cols: full-precision column rides through quantize — no re-join
+    # of the corpus on vec_id (one fewer shuffle, r11)
     cb = similarity.lsh_bucket_int8(
-        similarity.quantize_int8(corpus).join(corpus, "vec_id"), num_planes=4
+        similarity.quantize_int8(corpus, keep_cols=["embedding"]), num_planes=4
     )
     qb = similarity.lsh_bucket_int8(
         similarity.quantize_int8(qrow), num_planes=4
@@ -4009,7 +4013,9 @@ def ext_triangles(spark, sf_dir):
     from ..operators.graph import triangle_stats
 
     d = load_table(spark, sf_dir, "documents")
-    return triangle_stats(dedup.minhash_lsh_candidates(d))
+    # candidates are distinct by construction — skip the defensive
+    # re-distinct (one full pairs shuffle, r11)
+    return triangle_stats(dedup.minhash_lsh_candidates(d), assume_distinct=True)
 
 
 @query("ext_bloom_prune")
