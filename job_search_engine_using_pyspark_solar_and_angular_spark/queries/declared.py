@@ -32,9 +32,25 @@ Q24_USER = "Customer#000000001"
 
 # (query name, sf_dir) of the registry query currently CONSTRUCTING its
 # DataFrame — a stack because a query may compose another query's builder.
-_ACTIVE_QUERY: list[tuple[str, str]] = []
+# THREAD-LOCAL (ADVICE r10): a threaded harness or serving layer building
+# two queries concurrently must not attach one query's persists to the
+# other's generation. The cache registry itself is shared (generations are
+# per query NAME) and guarded by a lock.
+import threading as _threading
+
+_TLS = _threading.local()
+
+
+def _active_query() -> list:
+    stack = getattr(_TLS, "stack", None)
+    if stack is None:
+        stack = _TLS.stack = []
+    return stack
+
+
 # per-query scoped caches: name -> (sf_dir, [persisted DataFrames])
 _SCOPED_CACHES: dict[str, tuple[str, list]] = {}
+_SCOPED_LOCK = _threading.Lock()
 
 
 def query(name: str):
@@ -52,24 +68,28 @@ def query(name: str):
             # Bounds the lazy-caller cache leak (ADVICE r9) without a
             # listener: long mixed-sf sessions — certify + parity sweeps —
             # hold at most one generation per query.
-            prev = _SCOPED_CACHES.get(name)
-            if prev is not None and prev[0] != sf_dir:
-                for d in prev[1]:
-                    try:
-                        d.unpersist()
-                    except Exception:
-                        pass
-                _SCOPED_CACHES.pop(name, None)
-            elif prev is not None:
-                # same sf_dir: the rerun's persists alias the same cache
-                # entries (plan identity) — drop the stale handles so the
-                # list doesn't grow across reruns, WITHOUT unpersisting
-                prev[1].clear()
-            _ACTIVE_QUERY.append((name, sf_dir))
+            with _SCOPED_LOCK:
+                prev = _SCOPED_CACHES.get(name)
+                stale = None
+                if prev is not None and prev[0] != sf_dir:
+                    stale = prev[1]
+                    _SCOPED_CACHES.pop(name, None)
+                elif prev is not None:
+                    # same sf_dir: the rerun's persists alias the same cache
+                    # entries (plan identity) — drop the stale handles so the
+                    # list doesn't grow across reruns, WITHOUT unpersisting
+                    prev[1].clear()
+            for d in stale or ():
+                try:
+                    d.unpersist()
+                except Exception:
+                    pass
+            stack = _active_query()
+            stack.append((name, sf_dir))
             try:
                 return fn(spark, sf_dir, *a, **kw)
             finally:
-                _ACTIVE_QUERY.pop()
+                stack.pop()
 
         QUERIES[name] = wrapper
         return wrapper
@@ -83,13 +103,15 @@ def persist_scoped(df: DataFrame) -> DataFrame:
     ``query``). Outside a registry query construction it degrades to a
     plain persist (operator-level callers manage their own lifecycle)."""
     df = df.persist()
-    if _ACTIVE_QUERY:
-        name, sf_dir = _ACTIVE_QUERY[-1]
-        entry = _SCOPED_CACHES.get(name)
-        if entry is None or entry[0] != sf_dir:
-            entry = (sf_dir, [])
-            _SCOPED_CACHES[name] = entry
-        entry[1].append(df)
+    stack = _active_query()
+    if stack:
+        name, sf_dir = stack[-1]
+        with _SCOPED_LOCK:
+            entry = _SCOPED_CACHES.get(name)
+            if entry is None or entry[0] != sf_dir:
+                entry = (sf_dir, [])
+                _SCOPED_CACHES[name] = entry
+            entry[1].append(df)
     return df
 
 
