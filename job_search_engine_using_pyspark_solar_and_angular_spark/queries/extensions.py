@@ -1215,11 +1215,12 @@ def ext_dedup_clusters(spark, sf_dir):
     recursive CTE over the same LSH pair set."""
     d = load_table(spark, sf_dir, "documents")
     # fused bucket->clusters path (one dedup shuffle; see
-    # connected_components_from_buckets) — banded persists only across the
-    # eager edges cut, then the cache is released
-    banded = persist_scoped(dedup.minhash_bucket_table(d))
+    # connected_components_from_buckets). banded is NOT persisted (r11):
+    # the self-join's two sides are identical subtrees, so ReuseExchange
+    # computes the LSH pipeline once anyway — the cache write bought
+    # nothing (measured equal-or-faster without it, and no memory held)
+    banded = dedup.minhash_bucket_table(d)
     cc = dedup.connected_components_from_buckets(banded)
-    banded.unpersist()
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
@@ -1229,11 +1230,12 @@ def ext_near_dedup(spark, sf_dir):
     minimum doc_id; unclustered docs survive. One left_anti join."""
     d = load_table(spark, sf_dir, "documents")
     # fused bucket->clusters path (one dedup shuffle; see
-    # connected_components_from_buckets) — banded persists only across the
-    # eager edges cut, then the cache is released
-    banded = persist_scoped(dedup.minhash_bucket_table(d))
+    # connected_components_from_buckets). banded is NOT persisted (r11):
+    # the self-join's two sides are identical subtrees, so ReuseExchange
+    # computes the LSH pipeline once anyway — the cache write bought
+    # nothing (measured equal-or-faster without it, and no memory held)
+    banded = dedup.minhash_bucket_table(d)
     cc = dedup.connected_components_from_buckets(banded)
-    banded.unpersist()
     out = dedup.near_dedup_survivors(d, None, clusters=cc)
     return out.select("doc_id")
 
@@ -2285,12 +2287,12 @@ def ext_pagerank_personalized(spark, sf_dir):
     from ..operators.graph import pagerank_personalized_int
 
     d = load_table(spark, sf_dir, "documents")
-    # banded persists only across the eager edges cut: the self-join's
-    # two sides read it from cache (ONE LSH pipeline compute), and the
-    # cut materializes edges, so the cache is released immediately
-    banded = persist_scoped(dedup.minhash_bucket_table(d))
+    # banded is NOT persisted (r11): the self-join's two sides are
+    # identical subtrees, so ReuseExchange computes the LSH pipeline once
+    # anyway — the cache write bought nothing (measured equal-or-faster
+    # without it; the eager edges cut still materializes the result)
+    banded = dedup.minhash_bucket_table(d)
     edges = dedup.symmetric_edges_from_buckets(banded)
-    banded.unpersist()
     pr = pagerank_personalized_int(None, iters=5, edges=edges)
     return (
         pr.filter(F.col("rank") > 0)
@@ -2312,12 +2314,12 @@ def ext_pagerank(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     # fused bucket->edges path: same edge set as the pair-list API, one
     # dedup shuffle instead of two (symmetric_edges_from_buckets)
-    # banded persists only across the eager edges cut: the self-join's
-    # two sides read it from cache (ONE LSH pipeline compute), and the
-    # cut materializes edges, so the cache is released immediately
-    banded = persist_scoped(dedup.minhash_bucket_table(d))
+    # banded is NOT persisted (r11): the self-join's two sides are
+    # identical subtrees, so ReuseExchange computes the LSH pipeline once
+    # anyway — the cache write bought nothing (measured equal-or-faster
+    # without it; the eager edges cut still materializes the result)
+    banded = dedup.minhash_bucket_table(d)
     edges = dedup.symmetric_edges_from_buckets(banded)
-    banded.unpersist()
     pr = pagerank_int(None, iters=5, edges=edges)
     return (
         pr.select(F.col("node").alias("doc_id"), "rank")
@@ -2625,11 +2627,12 @@ def ext_best_survivor(spark, sf_dir):
     cluster assignment joined to the quality score."""
     d = load_table(spark, sf_dir, "documents")
     # fused bucket->clusters path (one dedup shuffle; see
-    # connected_components_from_buckets) — banded persists only across the
-    # eager edges cut, then the cache is released
-    banded = persist_scoped(dedup.minhash_bucket_table(d))
+    # connected_components_from_buckets). banded is NOT persisted (r11):
+    # the self-join's two sides are identical subtrees, so ReuseExchange
+    # computes the LSH pipeline once anyway — the cache write bought
+    # nothing (measured equal-or-faster without it, and no memory held)
+    banded = dedup.minhash_bucket_table(d)
     cc = dedup.connected_components_from_buckets(banded)
-    banded.unpersist()
     q = textstats.quality_score(d).select("doc_id", "quality")
     j = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(q, "doc_id")
     # max over (quality, -doc_id) struct == highest quality, lowest id on tie
@@ -3092,11 +3095,12 @@ def ext_effective_size(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     # fused bucket->clusters path (one dedup shuffle; see
-    # connected_components_from_buckets) — banded persists only across the
-    # eager edges cut, then the cache is released
-    banded = persist_scoped(dedup.minhash_bucket_table(d))
+    # connected_components_from_buckets). banded is NOT persisted (r11):
+    # the self-join's two sides are identical subtrees, so ReuseExchange
+    # computes the LSH pipeline once anyway — the cache write bought
+    # nothing (measured equal-or-faster without it, and no memory held)
+    banded = dedup.minhash_bucket_table(d)
     cc = dedup.connected_components_from_buckets(banded)
-    banded.unpersist()
     survivors = dedup.near_dedup_survivors(d, None, clusters=cc).select(
         "doc_id"
     )
@@ -3384,11 +3388,12 @@ def ext_cluster_sizes(spark, sf_dir):
     (cluster sizes bound the per-cluster work of canonical selection)."""
     d = load_table(spark, sf_dir, "documents")
     # fused bucket->clusters path (one dedup shuffle; see
-    # connected_components_from_buckets) — banded persists only across the
-    # eager edges cut, then the cache is released
-    banded = persist_scoped(dedup.minhash_bucket_table(d))
+    # connected_components_from_buckets). banded is NOT persisted (r11):
+    # the self-join's two sides are identical subtrees, so ReuseExchange
+    # computes the LSH pipeline once anyway — the cache write bought
+    # nothing (measured equal-or-faster without it, and no memory held)
+    banded = dedup.minhash_bucket_table(d)
     cc = dedup.connected_components_from_buckets(banded)
-    banded.unpersist()
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
 
@@ -5152,12 +5157,12 @@ def ext_bfs_distances(spark, sf_dir):
     from ..operators.graph import bfs_distances
 
     d = load_table(spark, sf_dir, "documents")
-    # banded persists only across the eager edges cut: the self-join's
-    # two sides read it from cache (ONE LSH pipeline compute), and the
-    # cut materializes edges, so the cache is released immediately
-    banded = persist_scoped(dedup.minhash_bucket_table(d))
+    # banded is NOT persisted (r11): the self-join's two sides are
+    # identical subtrees, so ReuseExchange computes the LSH pipeline once
+    # anyway — the cache write bought nothing (measured equal-or-faster
+    # without it; the eager edges cut still materializes the result)
+    banded = dedup.minhash_bucket_table(d)
     edges = dedup.symmetric_edges_from_buckets(banded)
-    banded.unpersist()
     return bfs_distances(
         None, max_hops=4, edges=edges
     ).orderBy("node").withColumnRenamed("node", "doc_id")
@@ -5172,12 +5177,12 @@ def ext_kcore(spark, sf_dir):
     from ..operators.graph import kcore
 
     d = load_table(spark, sf_dir, "documents")
-    # banded persists only across the eager edges cut: the self-join's
-    # two sides read it from cache (ONE LSH pipeline compute), and the
-    # cut materializes edges, so the cache is released immediately
-    banded = persist_scoped(dedup.minhash_bucket_table(d))
+    # banded is NOT persisted (r11): the self-join's two sides are
+    # identical subtrees, so ReuseExchange computes the LSH pipeline once
+    # anyway — the cache write bought nothing (measured equal-or-faster
+    # without it; the eager edges cut still materializes the result)
+    banded = dedup.minhash_bucket_table(d)
     edges = dedup.symmetric_edges_from_buckets(banded)
-    banded.unpersist()
     return kcore(
         None, k=2, rounds=3, edges=edges
     ).orderBy("node").withColumnRenamed("node", "doc_id")
