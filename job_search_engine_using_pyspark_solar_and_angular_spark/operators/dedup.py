@@ -209,13 +209,15 @@ def minhash_lsh_candidates(
     you want flagged anyway.
     """
     # ONE band-key derivation owned by minhash_bucket_table — the in-session
-    # path and the persisted-index path cannot drift. persist: the banded
-    # table feeds BOTH sides of the self-join in candidates_from_buckets;
-    # without it the full shingle->minhash pipeline runs twice per action.
+    # path and the persisted-index path cannot drift. banded is NOT
+    # persisted (r11): the self-join's two sides are identical subtrees,
+    # so ReuseExchange computes the shingle->minhash pipeline once per
+    # action anyway — the old persist was a cache write with no reuse,
+    # and it was never unpersisted (leaked blocks for the session).
     banded = minhash_bucket_table(
         df, id_col, text_col, shingle_n, num_perm, bands,
         shingle_hashes=shingle_hashes,
-    ).persist()
+    )
     return candidates_from_buckets(banded)
 
 

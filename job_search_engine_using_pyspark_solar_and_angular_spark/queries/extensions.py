@@ -137,7 +137,13 @@ def ext_simhash(spark, sf_dir):
 @query("ext_minhash_candidates")
 def ext_minhash_candidates(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_candidates(d)
+    # the bucket table is persisted at QUERY level via persist_scoped
+    # (r11): minhash_lsh_candidates' old internal persist leaked (never
+    # unpersisted, never released on sf change); the scoped persist keeps
+    # the same warm-rerun behavior every persist_scoped query has while
+    # the registry owns the release
+    banded = persist_scoped(dedup.minhash_bucket_table(d))
+    return dedup.candidates_from_buckets(banded)
 
 
 @query("ext_minhash_signatures")
