@@ -489,24 +489,44 @@ def _cc_label_loop(
     # One tiny agg on checkpointed labels instead of a join per round.
     # (Sum of int64 ids: exact while n_nodes * max_id < 2^63 — beyond that,
     # switch the check to count(label != prev) at one extra join.)
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
-    rounds = 0
-    for _ in range(max_iter):
+
+    def one_round(lbl):
         nbr = edges.join(
-            labels, edges["b"] == labels["node"]
+            lbl, edges["b"] == lbl["node"]
         ).select(F.col("a").alias("node"), "cluster_id")
-        labels = lineage_cut(
-            labels.unionByName(nbr)
+        return lineage_cut(
+            lbl.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id")),
             checkpoint_dir,
             eager=False,
         )
-        rounds += 1
-        new_sum = labels.agg(F.sum("cluster_id")).first()[0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+
+    def label_sum(lbl, tag):
+        return lbl.agg(F.sum("cluster_id").alias("s")).select(
+            F.lit(tag).alias("i"), "s"
+        )
+
+    # FIRST pair fused (r11): the init sum and round-1 sum ride in ONE
+    # action (both frames are lazily cut, so the single collect
+    # materializes init and round 1 together) — shallow dup graphs
+    # converge right here, and the loop pays one action fewer in every
+    # case. Deeper graphs continue with the standard one-action-per-round
+    # check (never an extra speculative round at scale).
+    nxt = one_round(labels)
+    rows = {
+        r["i"]: r["s"]
+        for r in label_sum(labels, 0).unionByName(label_sum(nxt, 1)).collect()
+    }
+    labels, rounds, prev_sum = nxt, 1, rows[1]
+    if rows[0] != rows[1]:
+        for _ in range(max_iter - 1):
+            labels = one_round(labels)
+            rounds += 1
+            new_sum = labels.agg(F.sum("cluster_id")).first()[0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
     if stats is not None:
         stats["rounds"] = rounds
     return labels

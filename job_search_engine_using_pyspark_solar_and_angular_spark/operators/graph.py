@@ -321,17 +321,21 @@ def bfs_distances(
     dist = e.agg(F.min("a").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
-    for _ in range(max_hops):
+    for h in range(max_hops):
         nxt = dist.join(e, dist.node == e.a).select(
             F.col("b").alias("node"), (F.col("dist") + 1).alias("dist")
         )
-        dist = lineage_cut(
-            dist.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist")),
-            checkpoint_dir,
-            eager=False,
+        dist = dist.unionByName(nxt).groupBy("node").agg(
+            F.min("dist").alias("dist")
         )
+        # each round references dist TWICE (join + union), so an uncut
+        # chain doubles per round — full fusion measured SLOWER (2^4
+        # subtree copies). Cutting every SECOND round (r11) bounds the
+        # tree at 2^2 copies while halving the per-round driver planning
+        # passes the lazy cut costs; reliable mode cuts every round
+        # (bounded recompute on executor loss).
+        if checkpoint_dir is not None or h % 2 == 1 or h == max_hops - 1:
+            dist = lineage_cut(dist, checkpoint_dir, eager=False)
     return dist
 
 

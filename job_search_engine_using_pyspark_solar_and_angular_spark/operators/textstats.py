@@ -793,7 +793,11 @@ def _bpe_learn(df: DataFrame, text_col: str, rounds: int):
             ).alias("sym"),
             "wc",
         )
-        .localCheckpoint()
+        # lazy cut: round 1's argmax job materializes the vocab blocks in
+        # the same job instead of paying a separate fill job first
+        # (measured ~0.1 s off the train path at sf0.1; rounds 2+ read
+        # the cached blocks either way)
+        .localCheckpoint(eager=False)
     )
     merge_rows: list[tuple] = []
     for r in range(1, rounds + 1):

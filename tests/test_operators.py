@@ -1083,6 +1083,40 @@ def test_star_cc_matches_hashmin_on_hard_graphs(spark):
     )
 
 
+def test_cc_rounds_stat_with_fused_first_pair(spark):
+    """The r11 loop fuses the init sum and the round-1 sum into one action;
+    the ``stats`` out-param must still report the true loop-round count:
+    a clique converges in the fused first round (rounds == 1), a 20-node
+    chain still iterates to the full diameter (rounds > 1) with correct
+    labels."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.dedup import (
+        connected_components,
+    )
+
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],
+        "doc_a long, doc_b long",
+    )
+    st: dict = {}
+    got = sorted(
+        (r["node"], r["cluster_id"])
+        for r in connected_components(clique, stats=st).collect()
+    )
+    assert got == [(i, 1) for i in range(1, 6)]
+    assert st["rounds"] == 1
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "doc_a long, doc_b long"
+    )
+    st2: dict = {}
+    got2 = sorted(
+        (r["node"], r["cluster_id"])
+        for r in connected_components(chain, stats=st2).collect()
+    )
+    assert got2 == [(i, 1) for i in range(1, 21)]
+    assert st2["rounds"] > 1
+
+
 def test_encoding_audit_detects_planted_damage(spark):
     """Zeros on clean text; each damage class counted on planted rows."""
     rows = [

@@ -29,6 +29,10 @@ TOUCHED = [
     "ext_ann_quantized",
     "ext_quantize_embeddings",
     "ext_triangles",
+    "ext_bfs_distances",
+    "ext_dedup_clusters",
+    "ext_minhash_candidates",
+    "ext_curation_verdict",
 ]
 
 
