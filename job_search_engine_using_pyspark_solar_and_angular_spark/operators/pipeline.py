@@ -78,6 +78,7 @@ def decontaminate(
     broadcast_limit_rows: int = 10_000_000,
     doc_shingles: DataFrame | None = None,
     bench_shingles: DataFrame | None = None,
+    assume_small_benchmark: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination report: for every corpus document sharing at
     least one token ``shingle_n``-gram with the benchmark set, return
@@ -102,17 +103,20 @@ def decontaminate(
         else _shingle_hashes(df, id_col, text_col, shingle_n)
     )
     bench_sh = (
-        (
-            bench_shingles
-            if bench_shingles is not None
-            else _shingle_hashes(benchmark, id_col, text_col, shingle_n)
-        )
-        .select("h")
-        .distinct()
-        .persist()  # the guardrail count() materializes the cache the join reuses
-    )
-    if bench_sh.count() <= broadcast_limit_rows:
+        bench_shingles
+        if bench_shingles is not None
+        else _shingle_hashes(benchmark, id_col, text_col, shingle_n)
+    ).select("h").distinct()
+    if assume_small_benchmark:
+        # caller vouches the benchmark side is broadcast-sized (r11): skip
+        # the guardrail count() action (and the persist it materialized —
+        # the broadcast build reads the relation exactly once anyway)
         bench_sh = F.broadcast(bench_sh)
+    else:
+        bench_sh = bench_sh.persist()  # the guardrail count() materializes
+        # the cache the join reuses
+        if bench_sh.count() <= broadcast_limit_rows:
+            bench_sh = F.broadcast(bench_sh)
     per_doc = doc_sh.join(
         bench_sh.withColumn("__hit", F.lit(1)), "h", "left"
     ).groupBy("doc_id").agg(

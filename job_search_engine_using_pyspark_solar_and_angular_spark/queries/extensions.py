@@ -1700,6 +1700,9 @@ def ext_curation_verdict(spark, sf_dir):
         docs.filter(F.col("doc_id") % 50 == 0),
         doc_shingles=sh.filter(F.col("doc_id") % 50 != 0),
         bench_shingles=sh.filter(F.col("doc_id") % 50 == 0),
+        # 2% of the corpus' shingles off the persisted sh cache — known
+        # broadcast-sized, skip the guardrail action (r11)
+        assume_small_benchmark=True,
     ).select("doc_id", "contamination")
     joined = base.join(removed, "doc_id", "left").join(cont, "doc_id", "left")
     verdict = (
