@@ -43,6 +43,14 @@ Methodology:
   quiet window): trial 1 pays per-plan whole-stage-codegen compilation (a
   fixed driver-side cost, irrelevant at cluster scale); the min is the
   reproducible plan cost.
+- COLD-TRIAL ACCOUNTING (r12, VERDICT r11 #1/#3): every trial starts with
+  the query's ``persist_scoped`` cache generation released, so each trial
+  rebuilds its persists and the recorded min is the honest cold cost — a
+  measurement fix, not an optimization: pre-r12 a scoped-persist query's
+  trial 2 read trial 1's cache blocks and min-of-N recorded a warm cache
+  read (ext_minhash_candidates' 0.59 s vs its ~1.0 s true cost). Entries
+  affected are listed in the artifact's ``scoped_cache_queries``; their
+  r12 numbers are NOT comparable to earlier rounds' warm minima.
 - ``preprocess_scaled`` measures the END-TO-END reference batch job at the
   reference's own measured volume (BASELINE.md Fig. 10: ~90 s / 100 MB of
   raw tweet JSON => ~1.1 MB/s): read a >=100 MB JSON corpus from disk,
@@ -207,6 +215,7 @@ def timed_min(
     trials: int = 2,
     max_trials: int = 3,
     spread: float = 1.3,
+    pre=None,
 ) -> float:
     """Min-of-N timed runs of ``fn`` (the bench's standard policy — the
     per-query loop in main() routes through this too); raw trials recorded
@@ -215,22 +224,33 @@ def timed_min(
     to ``max_trials`` — a noisy-neighbor spike on a single trial then gets
     a third chance at a quiet window instead of inflating the recorded min
     (VERDICT r9 #2: best-of-N INSIDE one run, so a noisy host doesn't cost
-    the whole run)."""
-    ts = []
-    for _ in range(trials):
+    the whole run).
+
+    ``pre``: run OUTSIDE the timed region before every trial. The headline
+    loop passes the scoped-cache release (VERDICT r11 #1/#3 cold-trial
+    accounting): a query whose plan registers ``persist_scoped`` caches
+    rebuilds them in every trial, so min-of-N records the reproducible COLD
+    cost — pre-r12 trial 2 read trial 1's still-registered cache blocks and
+    the recorded min measured a cache read, not the query. The RERUN thunk
+    folds ``pre`` in (the unpersist of a dropped generation is microseconds)
+    so flag rechecks re-measure the same cold cost."""
+
+    def one() -> float:
+        if pre is not None:
+            pre()
         t0 = time.perf_counter()
         fn()
-        ts.append(round(time.perf_counter() - t0, 3))
+        return round(time.perf_counter() - t0, 3)
+
+    ts = [one() for _ in range(trials)]
     while (
         len(ts) < max_trials
         and min(ts) > 0
         and max(ts) / min(ts) > spread
     ):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(round(time.perf_counter() - t0, 3))
+        ts.append(one())
     SERVED_TRIALS[name] = ts
-    RERUN[name] = fn
+    RERUN[name] = fn if pre is None else (lambda: (pre(), fn()))
     return min(ts)
 
 
@@ -1077,11 +1097,26 @@ def main() -> None:
     # figure (standard steady-state practice; every trial runs the full
     # plan). Raw trials land in the artifact's served_trials so a flagged
     # slowdown is adjudicable from the artifact alone.
+    # cold-trial accounting (VERDICT r11 #1/#3): each trial starts with the
+    # query's scoped-cache generation RELEASED, so every trial pays the full
+    # cold plan (persist fills included) and the recorded min is the honest
+    # per-run cost. Queries that registered a scoped cache are listed in the
+    # artifact's ``scoped_cache_queries`` — the warm-capable set whose
+    # steady-state rerun cost is lower than the recorded cold number.
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        release_query_caches,
+    )
+
     timings: dict[str, float] = {}
+    warm_capable: list[str] = []
     for name in HEADLINE:
         timings[name] = timed_min(
-            name, lambda n=name: force(QUERIES[n](spark, sf_dir))
+            name,
+            lambda n=name: force(QUERIES[n](spark, sf_dir)),
+            pre=lambda n=name: release_query_caches(n),
         )
+        if release_query_caches(name):
+            warm_capable.append(name)
 
     timings["q20_bm25_served"] = bench_bm25_served(spark, sf_dir)
     timings["http_query_served"] = bench_http_served(spark, sf_dir)
@@ -1138,6 +1173,11 @@ def main() -> None:
         # artifact alone (r4 recorded three phantom regressions from
         # single-shot served timings)
         "served_trials": SERVED_TRIALS,
+        # the warm-capable set (VERDICT r11 #3): these queries registered
+        # persist_scoped caches, which the r12 cold-trial accounting
+        # releases between trials — their recorded numbers are honest COLD
+        # costs; a steady-state same-sf rerun (caches warm) is cheaper.
+        "scoped_cache_queries": warm_capable,
     }
     calib_post = host_calibration()
     doc["host_calib_sec"] = min(calib_pre, calib_post)
@@ -1223,6 +1263,12 @@ def main() -> None:
         "unit": "sec",
         "sf": doc["sf"],
         "queries_n": len(timings),
+        # full per-query min timings ON the contract line (VERDICT r11 #2):
+        # the driver's PERF comparison reads the one-line JSON, which until
+        # r12 carried only totals + the slowest-8 — per-query
+        # round-over-round status and geomean were impossible for two
+        # rounds running. Same dict as the full artifact's ``queries``.
+        "queries": timings,
         "slowest": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:8]
         ),

@@ -36,7 +36,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # fixture tables' schemas are part of the testdata contract, so a path's
 # schema never changes within a process. Data is still read fresh from
 # parquet on every action — only the SCHEMA resolution is reused.
-_SCHEMA_CACHE: dict[str, "object"] = {}
+# Keyed on (path, mtime) (ADVICE r11): a fixture regenerated in-process at
+# the same path with a different schema misses the cache instead of
+# silently reading with the stale pinned schema. The mtime probe is one
+# os.stat — noise next to the ~70 ms footer read it avoids; stale
+# (path, old_mtime) entries are dropped on sight so the dict stays one
+# entry per live path.
+_SCHEMA_CACHE: dict[str, tuple[float, "object"]] = {}
+
+
+def _pinned_schema(spark: SparkSession, path: str):
+    try:
+        mtime = os.stat(path).st_mtime
+    except OSError:
+        # path missing/unstatable: let spark.read raise its own error
+        return spark.read.parquet(path).schema
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    schema = spark.read.parquet(path).schema
+    _SCHEMA_CACHE[path] = (mtime, schema)
+    return schema
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,11 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass  # conf may be static/absent on some builds; the read will tell
     path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = _SCHEMA_CACHE.get(path)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
-    df = spark.read.schema(schema).parquet(path)
+    df = spark.read.schema(_pinned_schema(spark, path)).parquet(path)
     from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":

@@ -214,6 +214,11 @@ def minhash_lsh_candidates(
     # so ReuseExchange computes the shingle->minhash pipeline once per
     # action anyway — the old persist was a cache write with no reuse,
     # and it was never unpersisted (leaked blocks for the session).
+    # NOTE (ADVICE r11): that single-computation guarantee materializes at
+    # RUNTIME via AQE's exchange reuse (the static plan shows two Exchange
+    # subtrees, no ReusedExchange node) — disabling AQE/exchange reuse
+    # silently doubles the pipeline cost. Pinned by
+    # tests/test_dedup.py::test_lsh_self_join_reuses_exchange_at_runtime.
     banded = minhash_bucket_table(
         df, id_col, text_col, shingle_n, num_perm, bands,
         shingle_hashes=shingle_hashes,
@@ -506,6 +511,14 @@ def _cc_label_loop(
         return lbl.agg(F.sum("cluster_id").alias("s")).select(
             F.lit(tag).alias("i"), "s"
         )
+
+    # max_iter is a pure upper bound on LOOP rounds (ADVICE r11): with
+    # max_iter <= 0 the fused first round below must not run — return the
+    # init labels (identity-init + one propagation, the documented labels0).
+    if max_iter <= 0:
+        if stats is not None:
+            stats["rounds"] = 0
+        return labels
 
     # FIRST pair fused (r11): the init sum and round-1 sum ride in ONE
     # action (both frames are lazily cut, so the single collect

@@ -216,8 +216,9 @@ def write_outputs(
     difference between reading the raw corpus once and twice; the re-read
     touches only the (post-filter, output-sized) parquet. Values are
     lossless round-trips (parquet is typed); partition columns come back
-    re-inferred, so every column is cast to ``df``'s own schema before the
-    stringify projection.
+    UNINFERRED (type inference disabled for the read-back — directory-name
+    re-parsing is lossy for string values like '00123') and every column is
+    cast to ``df``'s own schema before the stringify projection.
 
     ``stage_times``: optional dict that receives the per-sink wall seconds
     ({"parquet_sec", "csv_sec"}) — the parquet stage is the whole
@@ -236,7 +237,21 @@ def write_outputs(
         stage_times["parquet_sec"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
     if csv_path:
-        back = df.sparkSession.read.parquet(parquet_path).select(
+        spark = df.sparkSession
+        # partition values must come back EXACTLY as written (ADVICE r11):
+        # type inference re-parses directory names, which is lossy for
+        # string partition values ('00123' -> int 123 -> '123'), so it is
+        # disabled for the read-back — columns surface as strings and the
+        # cast to df's own schema below restores the declared types.
+        _infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        _infer_prev = spark.conf.get(_infer_key, "true")
+        spark.conf.set(_infer_key, "false")
+        try:
+            # partition discovery happens at read-DataFrame creation
+            back = spark.read.parquet(parquet_path)
+        finally:
+            spark.conf.set(_infer_key, _infer_prev)
+        back = back.select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 for f in df.schema.fields

@@ -100,8 +100,9 @@ def query(name: str):
 def persist_scoped(df: DataFrame) -> DataFrame:
     """``df.persist()`` whose blocks are RELEASED when the enclosing
     registry query is next invoked against a different sf_dir (see
-    ``query``). Outside a registry query construction it degrades to a
-    plain persist (operator-level callers manage their own lifecycle)."""
+    ``query``), or explicitly via :func:`release_query_caches`. Outside a
+    registry query construction it degrades to a plain persist
+    (operator-level callers manage their own lifecycle)."""
     df = df.persist()
     stack = _active_query()
     if stack:
@@ -113,6 +114,23 @@ def persist_scoped(df: DataFrame) -> DataFrame:
                 _SCOPED_CACHES[name] = entry
             entry[1].append(df)
     return df
+
+
+def release_query_caches(name: str) -> bool:
+    """Unpersist and drop ``name``'s scoped-cache generation NOW (instead
+    of waiting for the next different-sf invocation). The bench's
+    cold-trial accounting (VERDICT r11 #1/#3): releasing between trials
+    makes every trial rebuild the query's persists, so min-of-N records
+    the reproducible COLD plan cost rather than a warm cache read.
+    Returns True when a generation existed (the query is warm-capable)."""
+    with _SCOPED_LOCK:
+        entry = _SCOPED_CACHES.pop(name, None)
+    for d in entry[1] if entry is not None else ():
+        try:
+            d.unpersist()
+        except Exception:
+            pass
+    return entry is not None
 
 
 @query("q01_scan_project")

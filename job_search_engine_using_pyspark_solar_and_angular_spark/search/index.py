@@ -62,8 +62,14 @@ def build_index(
     (and a following search) share one tokenize+aggregate pass instead of
     re-deriving it per subtree — the in-session analog of the materialized
     index ``write_index`` produces. Without it a single BM25 action scans the
-    corpus up to 4x (postings/doc_stats/term_stats/corpus_stats subtrees)."""
+    corpus up to 4x (postings/doc_stats/term_stats/corpus_stats subtrees).
+    The persists route through ``queries.declared.persist_scoped``: inside a
+    registry query the blocks join that query's scoped generation (released
+    on sf change or by the bench's between-trial release — pre-r12 they were
+    plain persists that leaked for the session and silently warmed trial 2);
+    outside query construction it degrades to the same plain persist."""
     from ..io import ensure_parallelism
+    from ..queries.declared import persist_scoped
 
     if isinstance(text_col, (list, tuple)):
         text_expr = F.concat_ws(
@@ -86,11 +92,11 @@ def build_index(
         F.count("*").alias("tf")
     )
     if cache:
-        postings = postings.persist()
+        postings = persist_scoped(postings)
     doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     if cache:
         # doc_stats feeds corpus_stats (avg/count) and non-search consumers
-        doc_stats = doc_stats.persist()
+        doc_stats = persist_scoped(doc_stats)
     term_stats = postings.groupBy("token").agg(F.count("*").alias("df"))
     return SearchIndex(postings=postings, doc_stats=doc_stats, term_stats=term_stats)
 

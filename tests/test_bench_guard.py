@@ -295,3 +295,32 @@ def test_timed_min_escalates_on_trial_disagreement(monkeypatch):
     got2 = bench.timed_min("no_esc", lambda: calls2.append(1))
     assert len(calls2) == 2
     assert got2 == 0.1
+
+
+def test_timed_min_pre_hook_runs_outside_timed_region(monkeypatch):
+    # r12 cold-trial accounting: ``pre`` runs before EVERY trial but its
+    # cost stays outside the timed region, and the RERUN thunk folds pre in
+    # so a flag recheck re-measures the same cold cost.
+    ticks = iter([0.0, 0.10, 0.10, 0.21])
+    order = []
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(ticks))
+    got = bench.timed_min(
+        "cold", lambda: order.append("fn"), pre=lambda: order.append("pre")
+    )
+    assert order == ["pre", "fn", "pre", "fn"]
+    assert got == 0.1
+    bench.RERUN["cold"]()  # recheck thunk: pre then fn
+    assert order == ["pre", "fn", "pre", "fn", "pre", "fn"]
+
+
+def test_summary_line_carries_per_query_timings():
+    # VERDICT r11 #2: the one-line contract JSON must carry the full
+    # per-query map so the driver's PERF comparison can run. Pin it at the
+    # source-structure level: main() builds summary["queries"] from the
+    # same timings dict the full artifact uses.
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert '"queries": timings' in src, (
+        "summary line no longer carries the per-query timings map"
+    )

@@ -1117,6 +1117,49 @@ def test_cc_rounds_stat_with_fused_first_pair(spark):
     assert st2["rounds"] > 1
 
 
+def test_cc_max_iter_zero_runs_no_loop_round(spark):
+    """ADVICE r11: max_iter is a pure upper bound — with max_iter=0 the
+    fused first round must NOT run; the result is the init labels
+    (identity + one min-over-direct-neighbors propagation), which on a
+    3-chain leaves node 3 labeled 2, not the converged 1."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    st: dict = {}
+    got = sorted(
+        (r["node"], r["cluster_id"])
+        for r in connected_components(chain, max_iter=0, stats=st).collect()
+    )
+    assert got == [(1, 1), (2, 1), (3, 2)]
+    assert st["rounds"] == 0
+
+
+def test_lsh_self_join_reuses_exchange_at_runtime(spark):
+    """ADVICE r11: the unpersisted banded self-join relies on exchange
+    reuse to compute the shingle->minhash pipeline ONCE per action. The
+    static plan carries no ReusedExchange node — the reuse materializes in
+    the AQE final plan at runtime — so this pins it where it actually
+    happens: after execution, the adaptive plan must contain a
+    ReusedExchange (a config change that disables it would silently double
+    the pipeline cost)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.io import load_table
+    from job_search_engine_using_pyspark_solar_and_angular_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cand = minhash_lsh_candidates(docs)
+    cand.collect()
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, (
+        "LSH self-join no longer reuses the bucket-table exchange — the "
+        "shingle->minhash pipeline is being computed twice per action"
+    )
+
+
 def test_encoding_audit_detects_planted_damage(spark):
     """Zeros on clean text; each damage class counted on planted rows."""
     rows = [

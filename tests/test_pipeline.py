@@ -826,6 +826,30 @@ def test_persist_scoped_releases_on_sf_dir_switch(spark):
     assert all(d.is_cached for d in gen2), "same-sf rerun must keep the cache"
 
 
+def test_release_query_caches_unpersists_now(spark):
+    """r12 cold-trial accounting (VERDICT r11 #1/#3): release_query_caches
+    drops a query's scoped generation immediately — the bench calls it
+    between trials so every trial rebuilds the persists and min-of-N
+    records the cold cost. Returns whether a generation existed (the
+    bench's warm-capable detection)."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.queries.declared import (
+        _SCOPED_CACHES,
+        QUERIES,
+        release_query_caches,
+    )
+
+    name = "ext_ngram_jaccard"
+    QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    gen = list(_SCOPED_CACHES[name][1])
+    assert gen and all(d.is_cached for d in gen)
+    assert release_query_caches(name) is True
+    assert name not in _SCOPED_CACHES
+    assert all(not d.is_cached for d in gen), "blocks not released"
+    # idempotent / no-generation case
+    assert release_query_caches(name) is False
+    assert release_query_caches("never_a_query") is False
+
+
 def test_repetition_signals_expr_path_equals_column_path(spark):
     """repetition_signals builds through ONE SQL parse when given a plain
     column name (r10: ~170 ms of per-construction driver time -> ~2 ms);

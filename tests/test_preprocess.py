@@ -334,3 +334,24 @@ def test_skewed_corpus_hot_key_dedups_to_one_row(spark):
     flat = flatten_tweets(tweets_from_documents(skewed))
     n_hot = flat.filter(F.col("org_id") == 7).count()
     assert n_hot >= 60, n_hot
+
+
+def test_write_outputs_string_partition_values_survive_csv(spark, tmp_path):
+    """ADVICE r11: the CSV read-back must not re-infer partition column
+    types from directory names — a string partition value like '00123'
+    would round-trip as int 123 -> '123'. write_outputs disables partition
+    type inference for the read-back, so values come back as written."""
+    from job_search_engine_using_pyspark_solar_and_angular_spark.plans.preprocess import (
+        write_outputs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "00123"), (2, "b", "00123"), (3, "c", "7")],
+        "org_id long, org_text string, ingest_day string",
+    )
+    pq = str(tmp_path / "pq_part")
+    csv = str(tmp_path / "csv_part")
+    write_outputs(df, pq, csv, partition_by=["ingest_day"])
+    back = spark.read.option("header", True).csv(csv)
+    got = {r["org_id"]: r["ingest_day"] for r in back.collect()}
+    assert got == {"1": "00123", "2": "00123", "3": "7"}
